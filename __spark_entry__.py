@@ -1,38 +1,923 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship hybrid-retrieval query on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the correctness gate.
+
+Parity conventions (load-bearing — see tools/check_oracle.py):
+- every computed integer column is cast to BIGINT on both sides;
+- float aggregates are summed in DECIMAL then cast to DOUBLE, or
+  rounded to 6 dp, so results are order-independent;
+- ranking windows order by the ROUNDED score with an id tiebreaker;
+- Python float quirks are mirrored textually (e.g. ``(1.0 - 0.7)`` in
+  SQL, never ``0.3``);
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from customkb_spark.config import KBConfig
+from customkb_spark.embedding.embedder import embed_texts
+from customkb_spark.functions import hashing as H
+from customkb_spark.functions import text as X
+from customkb_spark.functions import vector as V
+from customkb_spark.ingest.chunker import chunk_fixed
+from customkb_spark.ingest.pipeline import documents_to_chunks, incremental_filter
+from customkb_spark.operators import bm25 as B
+from customkb_spark.operators import dedup as D
+from customkb_spark.operators import fusion as FU
+from customkb_spark.operators import sessionize as S
+from customkb_spark.operators import topk as TK
+from customkb_spark.operators import windows as W
+from customkb_spark.operators.range_join import context_range_join
+from customkb_spark.plans import hybrid as HY
+from customkb_spark.session import tune_session
+
+# ---------------------------------------------------------------- helpers
+
+QUERY_TERMS = ["spark", "data", "query", "table", "window"]
+QUERY_TERMS_SQL = "('spark', 'data', 'query', 'table', 'window')"
+
+# Shared DuckDB fragments (tokenization contract, functions/text.py)
+SQL_TOKS = "regexp_extract_all(lower({c}), '[a-z0-9]+')"
+SQL_UTOKS = "list_sort(list_distinct(regexp_extract_all(lower({c}), '[a-z0-9]+')))"
+SQL_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (nanosAsLong); values are
+        # micro-precision so the div-1000 conversion is lossless.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _longs(df: DataFrame) -> DataFrame:
+    """Cast every 32-bit-or-smaller int column to BIGINT (DuckDB's
+    window/count/generate_series results are BIGINT)."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.IntegerType, T.ShortType, T.ByteType)):
+            cols.append(F.col(f.name).cast("long").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").collect()
+    )
+    return [float(x) for x in row[0][0]]
+
+
+# ------------------------------------------------- relational (TPC-H-ish)
+
+
+def q_tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter → 2-key groupBy with partial aggs.
+    Decimal sums make the result order-independent at any parallelism."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec = lambda c: c.cast("decimal(28,6)")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+    )
+    return out
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_by_price(spark, sf_dir):
+    """T2/T3 top-k: TakeOrderedAndProject, no full sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_segment_order_stats(spark, sf_dir):
+    """J1+A-family: broadcast dim join + groupBy aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .withColumn("avg_price", F.round(F.col("total_price") / F.col("n_orders"), 6))
+    )
+
+
+SQL_SEGMENT_STATS = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """S4/U2 anti-join (the incremental-ingest shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+SQL_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_customers_with_big_orders(spark, sf_dir):
+    """P3 semi-join (category-filter shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(big, "c_custkey", "left_semi").select("c_custkey", "c_acctbal")
+
+
+SQL_CUST_BIG_ORDERS = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    """W1 ranking window: top-3 orders per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return _longs(
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOP3_PER_CUST = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + cumsum), 30-minute gap."""
+    ev = _t(spark, sf_dir, "events")
+    return _longs(S.sessionize(ev, "user_id", "ts", 30, tiebreak_col="event_id"))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_events_hourly_agg(spark, sf_dir):
+    """Tumbling-window aggregate (batch form of the streaming agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return S.tumbling_window_agg(ev, "ts", "event_type", "value", "hour")
+
+
+SQL_HOURLY = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_consecutive_runs(spark, sf_dir):
+    """W3 consecutive-run grouping (the formatter-grouping shape)."""
+    ev = _t(spark, sf_dir, "events")
+    runs = W.consecutive_runs(ev, "user_id", ["ts", "event_id"], "event_type")
+    return _longs(
+        runs.select(
+            "user_id",
+            F.col("run_id").cast("long").alias("run_id"),
+            "event_type",
+            "run_len",
+            F.col("run_start").alias("run_start"),
+            F.col("run_end").alias("run_end"),
+        )
+    )
+
+
+SQL_RUNS = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM g)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, min(event_type) AS event_type,
+       count(*) AS run_len, min(ts) AS run_start, max(ts) AS run_end
+FROM r GROUP BY user_id, run_id
+"""
+
+
+# ---------------------------------------------------- ingest / chunking
+
+
+def q_chunk_documents_fixed(spark, sf_dir):
+    """§2.10 chunking fan-out: fixed 80-char windows."""
+    docs = _t(spark, sf_dir, "documents")
+    return _longs(chunk_fixed(docs, "doc_id", "text", 80))
+
+
+SQL_CHUNKS = """
+SELECT d.doc_id, s.sid, substr(d.text, CAST(s.sid * 80 + 1 AS INT), 80) AS chunk_text
+FROM documents d,
+     unnest(generate_series(0, greatest(CAST(ceil(length(d.text) / 80.0) AS BIGINT), 1) - 1)) s(sid)
+"""
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """F3 tokenization contract: unique-token doc_length (BM25 dl)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _longs(
+        docs.select(
+            "doc_id",
+            F.size(X.unique_tokens("text")).alias("doc_length"),
+            F.size(X.tokens("text")).alias("n_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({SQL_UTOKS.format(c='text')}) AS BIGINT) AS doc_length,
+       CAST(len({SQL_TOKS.format(c='text')}) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_incremental_ingest_missing(spark, sf_dir):
+    """S4 incremental scan: documents not yet in the ingestion log
+    (log simulated as every 10th doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    log = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("source").alias("file_path")
+    )
+    files = docs.select("doc_id", F.col("source").alias("path"))
+    return incremental_filter(files, log, "path")
+
+
+SQL_INCREMENTAL = """
+SELECT doc_id, source AS path FROM documents
+WHERE source NOT IN (SELECT source FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+def q_positional_sample(spark, sf_dir):
+    """T6 positional sampling over chunked docs: top/middle/bottom."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_fixed(docs, "doc_id", "text", 80)
+    out = W.positional_sample(chunks, "doc_id", "sid")
+    return _longs(out.select("doc_id", "sid", "position"))
+
+
+SQL_POSITIONAL = """
+WITH chunks AS (
+  SELECT d.doc_id, s.sid
+  FROM documents d,
+       unnest(generate_series(0, greatest(CAST(ceil(length(d.text) / 80.0) AS BIGINT), 1) - 1)) s(sid)
+), m AS (SELECT doc_id, sid, max(sid) OVER (PARTITION BY doc_id) AS max_sid FROM chunks)
+SELECT doc_id, sid,
+       CASE WHEN sid = 0 THEN 'top'
+            WHEN sid = floor(max_sid / 2) THEN 'middle'
+            WHEN sid = max_sid THEN 'bottom' END AS position
+FROM m
+WHERE CASE WHEN sid = 0 THEN 'top'
+           WHEN sid = floor(max_sid / 2) THEN 'middle'
+           WHEN sid = max_sid THEN 'bottom' END IS NOT NULL
+"""
+
+
+def q_cache_probe_misses(spark, sf_dir):
+    """J5 embedding-cache probe: sha256 cache keys, left-join misses
+    (cache simulated as every 3rd doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    pending = docs.select(
+        "doc_id", H.sha_cache_key("stub", F.col("text")).alias("cache_key")
+    )
+    cache = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(H.sha_cache_key("stub", F.col("text")).alias("cache_key"))
+        .withColumn("vector", F.lit(1))
+    )
+    return (
+        pending.join(cache, "cache_key", "left")
+        .filter(F.col("vector").isNull())
+        .select("doc_id", "cache_key")
+    )
+
+
+SQL_CACHE_MISSES = """
+SELECT doc_id, 'stub_' || sha256(text) AS cache_key FROM documents
+WHERE 'stub_' || sha256(text) NOT IN
+      (SELECT 'stub_' || sha256(text) FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
+# -------------------------------------------------------- BM25 / fusion
+
+
+def q_bm25_term_stats(spark, sf_dir):
+    """A1 corpus statistics: df + idf per term, top 50 by df."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = B.build_postings(docs, "doc_id", "text")
+    n = docs.count()
+    stats = B.build_term_stats(postings, n)
+    return (
+        stats.select("term", "df", F.round("idf", 6).alias("idf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+SQL_TERM_STATS = f"""
+WITH u AS (SELECT doc_id, unnest({SQL_UTOKS.format(c='text')}) AS term FROM documents),
+s AS (SELECT term, count(*) AS df FROM u GROUP BY term)
+SELECT term, df,
+       round(ln(((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+FROM s ORDER BY df DESC, term LIMIT 50
+"""
+
+
+def q_bm25_score(spark, sf_dir):
+    """A2/T2 BM25 scoring for a fixed query, top 20.
+    tf ∈ {{0,1}} (reference dedup semantics, text_utils.py:306-314)."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = B.build_postings(docs, "doc_id", "text")
+    n, avgdl = B.corpus_stats(docs, "text")
+    stats = B.build_term_stats(postings, n)
+    return B.bm25_score(postings, stats, QUERY_TERMS, avgdl, 1.2, 0.75, 20)
+
+
+SQL_BM25 = f"""
+WITH u AS (SELECT doc_id AS id, {SQL_UTOKS.format(c='text')} AS toks FROM documents),
+post AS (SELECT id, len(toks) AS dl, unnest(toks) AS term FROM u),
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM u)
+SELECT id,
+       round(sum( ln((c.n - stats.df + 0.5) / (stats.df + 0.5) + 1.0) * (1.2 + 1.0)
+                  / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * post.dl / c.avgdl)) ), 6) AS score
+FROM post JOIN stats USING (term), c
+WHERE post.term IN {QUERY_TERMS_SQL}
+GROUP BY id
+HAVING score > 0
+ORDER BY score DESC, id LIMIT 20
+"""
+
+
+# SQL fragments for the fused retrieval pipeline
+_SQL_VEC_SCORES = f"""
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS id,
+         {SQL_COS.format(a='CAST(e.embedding AS DOUBLE[])', b='q.qv')} AS score
+  FROM embeddings e, q)
+"""
+
+_SQL_VEC_TOP = """
+vec_top AS (
+  SELECT id, score, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rnk
+  FROM vec QUALIFY rnk <= 50)
+"""
+
+_SQL_BM25_TOP = f"""
+u AS (SELECT doc_id AS id, {SQL_UTOKS.format(c='text')} AS toks FROM documents),
+post AS (SELECT id, len(toks) AS dl, unnest(toks) AS term FROM u),
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM u),
+bm AS (
+  SELECT id,
+         round(sum( ln((c.n - stats.df + 0.5) / (stats.df + 0.5) + 1.0) * (1.2 + 1.0)
+                    / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * post.dl / c.avgdl)) ), 6) AS score
+  FROM post JOIN stats USING (term), c
+  WHERE post.term IN {QUERY_TERMS_SQL}
+  GROUP BY id HAVING score > 0),
+bm_top AS (
+  SELECT id, score, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rnk
+  FROM bm QUALIFY rnk <= 50)
+"""
+
+
+def _vec_hits(spark, sf_dir, k=50):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return TK.brute_force_topk(emb, qv, k, "vec_id", "embedding", "cosine")
+
+
+def _bm25_hits(spark, sf_dir, k=50):
+    docs = _t(spark, sf_dir, "documents")
+    postings = B.build_postings(docs, "doc_id", "text")
+    n, avgdl = B.corpus_stats(docs, "text")
+    stats = B.build_term_stats(postings, n)
+    return B.bm25_score(postings, stats, QUERY_TERMS, avgdl, 1.2, 0.75, k)
+
+
+def q_vector_topk_cosine(spark, sf_dir):
+    """T1 exact brute-force top-k (FAISS IndexFlat oracle path)."""
+    return _vec_hits(spark, sf_dir, 10)
+
+
+SQL_VEC_TOPK = f"""
+WITH {_SQL_VEC_SCORES}
+SELECT id, score FROM vec ORDER BY score DESC, id LIMIT 10
+"""
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN join: 5 broadcast query vectors × corpus, top-5 each."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return _longs(TK.knn_join(queries, emb, 5, "qid", "qvec", "vec_id", "embedding"))
+
+
+SQL_KNN = f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS id,
+         {SQL_COS.format(a='CAST(e.embedding AS DOUBLE[])', b='q.qv')} AS score
+  FROM embeddings e, q),
+ranked AS (
+  SELECT qid, id, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS BIGINT) AS rank
+  FROM scored)
+SELECT qid, id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """A3/J3 hybrid fusion: RRF(k=60) of vector + BM25 top-50 lists."""
+    return FU.rrf_fuse(_vec_hits(spark, sf_dir), _bm25_hits(spark, sf_dir), 60, 20)
+
+
+SQL_RRF = f"""
+WITH {_SQL_VEC_SCORES}, {_SQL_VEC_TOP}, {_SQL_BM25_TOP}
+SELECT coalesce(v.id, b.id) AS id,
+       round(CASE WHEN v.rnk IS NOT NULL THEN 1.0 / (60.0 + v.rnk) ELSE 0.0 END
+             + CASE WHEN b.rnk IS NOT NULL THEN 1.0 / (60.0 + b.rnk) ELSE 0.0 END, 6) AS score
+FROM vec_top v FULL OUTER JOIN bm_top b USING (id)
+ORDER BY score DESC, id LIMIT 20
+"""
+
+
+def q_weighted_fusion(spark, sf_dir):
+    """A4 max-normalized weighted fusion (0.7 vector / 0.3 keyword)."""
+    return FU.weighted_fuse(_vec_hits(spark, sf_dir), _bm25_hits(spark, sf_dir), 0.7, 20)
+
+
+SQL_WEIGHTED = f"""
+WITH {_SQL_VEC_SCORES}, {_SQL_VEC_TOP}, {_SQL_BM25_TOP},
+vmax AS (SELECT max(score) AS m FROM vec_top),
+bmax AS (SELECT max(score) AS m FROM bm_top),
+vn AS (SELECT id, score / (SELECT m FROM vmax) AS v_norm FROM vec_top),
+bn AS (SELECT id, score / (SELECT m FROM bmax) AS b_norm FROM bm_top)
+SELECT coalesce(vn.id, bn.id) AS id,
+       round(0.7 * coalesce(v_norm, 0.0) + (1.0 - 0.7) * coalesce(b_norm, 0.0), 6) AS score
+FROM vn FULL OUTER JOIN bn USING (id)
+ORDER BY score DESC, id LIMIT 20
+"""
+
+
+def q_context_range_join(spark, sf_dir):
+    """J2 context range join: ±2 chunks around each hit (shrunk to ±1
+    for hits under the 0.6 similarity threshold, P5)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_fixed(docs, "doc_id", "text", 80).withColumnRenamed(
+        "doc_id", "sourcedoc"
+    )
+    hits = (
+        _vec_hits(spark, sf_dir, 5)
+        .select(F.col("id").alias("sourcedoc"), "score")
+        .withColumn("sid", F.lit(2))
+    )
+    out = context_range_join(hits, chunks, scope=4, text_col="chunk_text")
+    return _longs(out)
+
+
+SQL_CONTEXT = f"""
+WITH {_SQL_VEC_SCORES},
+hits AS (SELECT id AS sourcedoc, score, 2 AS sid FROM vec ORDER BY score DESC, id LIMIT 5),
+bounds AS (
+  SELECT sourcedoc, sid AS hit_sid,
+         greatest(sid - (CASE WHEN score < 0.6 THEN greatest(CAST(ceil(2 * 0.5) AS INT), 1) ELSE 2 END), 0) AS lo,
+         sid + (CASE WHEN score < 0.6 THEN greatest(CAST(ceil(2 * 0.5) AS INT), 1) ELSE 2 END) AS hi
+  FROM hits),
+chunks AS (
+  SELECT d.doc_id AS sourcedoc, CAST(s.sid AS BIGINT) AS sid,
+         substr(d.text, CAST(s.sid * 80 + 1 AS INT), 80) AS chunk_text
+  FROM documents d,
+       unnest(generate_series(0, greatest(CAST(ceil(length(d.text) / 80.0) AS BIGINT), 1) - 1)) s(sid))
+SELECT c.sourcedoc, CAST(b.hit_sid AS BIGINT) AS hit_sid, c.sid, c.chunk_text AS text
+FROM chunks c JOIN bounds b
+  ON c.sourcedoc = b.sourcedoc AND c.sid BETWEEN b.lo AND b.hi
+"""
+
+
+# ------------------------------------------------ dedup / text analysis
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 over whitespace-normalized text, hash groups."""
+    docs = _t(spark, sf_dir, "documents")
+    normed = F.md5(F.regexp_replace(F.col("text"), "\\s+", " "))
+    return (
+        docs.select(F.col("doc_id").alias("id"), normed.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("canonical_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(text, '\\s+', ' ', 'g')) AS text_hash,
+       count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def _augmented_docs(docs: DataFrame) -> DataFrame:
+    """documents ∪ 90%-prefix mutations (near-dup planted pairs)."""
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") * 0.9).cast("int")
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+SQL_AUG = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
+  FROM documents)
+"""
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash (16 perms) → LSH (4 bands) → exact-Jaccard verify ≥ 0.5
+    over documents + planted 90%-prefix near-dups."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_duplicates(
+        _augmented_docs(docs), "doc_id", "text", num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+def _sql_minhash() -> str:
+    minhs = ",\n         ".join(
+        f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(16)
+    )
+    bands = "\n  UNION ALL ".join(
+        "SELECT id, %d AS band, mh%d || '|' || mh%d || '|' || mh%d || '|' || mh%d AS key FROM mh"
+        % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+        for b in range(4)
+    )
+    return f"""
+WITH {SQL_AUG},
+tk AS (SELECT doc_id AS id, {SQL_TOKS.format(c='text')} AS toks FROM aug),
+sh AS (
+  SELECT id, CASE WHEN len(toks) >= 3
+    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)]
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tk),
+shx AS (SELECT DISTINCT id, s AS shingle FROM sh, unnest(sh.shingles) AS t(s)),
+mh AS (SELECT id, {minhs} FROM shx GROUP BY id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+sizes AS (SELECT id, count(*) AS n_sh FROM shx GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c JOIN shx sa ON sa.id = c.id_a JOIN shx sb ON sb.id = c.id_b
+   AND sa.shingle = sb.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(i.n_common / (za.n_sh + zb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+WHERE round(i.n_common / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.5
+"""
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """SimHash 16-bit fingerprints over unique tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs, "doc_id", "text", bits=16)
+
+
+def _sql_simhash() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(16)
+    )
+    fp = " || ".join(f"CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END" for i in range(16))
+    return f"""
+WITH tk AS (SELECT doc_id AS id, unnest({SQL_UTOKS.format(c='text')}) AS tok FROM documents),
+h AS (SELECT id, md5(tok) AS h FROM tk),
+s AS (SELECT id, {sums} FROM h GROUP BY id)
+SELECT id, {fp} AS simhash FROM s
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Winnowing-style rolling fingerprint (4-gram shingles, keep 4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        H.rolling_fingerprint(X.tokens("text"), window=4, keep=4).alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH tk AS (SELECT doc_id AS id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+sh AS (
+  SELECT id, CASE WHEN len(toks) >= 4
+    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+          FOR i IN generate_series(1, len(toks) - 3)]
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tk)
+SELECT id,
+       md5(array_to_string(list_slice(list_sort([md5(s) FOR s IN shingles]), 1, 4), '|')) AS fingerprint
+FROM sh
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.35 — the synthetic
+    vectors are near-orthogonal; real corpora would use ~0.95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
+
+
+SQL_EMB_DUPS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {SQL_COS.format(a='CAST(a.embedding AS DOUBLE[])', b='CAST(b.embedding AS DOUBLE[])')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {SQL_COS.format(a='CAST(a.embedding AS DOUBLE[])', b='CAST(b.embedding AS DOUBLE[])')} >= 0.35
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-marker language-ID heuristic (F9 stand-in)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.detect_language_heuristic("text").alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    toks = SQL_TOKS.format(c="text")
+    score = lambda markers: (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + "], t))) / CAST(greatest(len(toks), 1) AS DOUBLE)"
+    )
+    scores = {lang: score(m) for lang, m in X.LANG_MARKERS}
+    case = " ".join(
+        f"WHEN best >= 0.05 AND s_{lang} = best THEN '{lang}'" for lang, _ in X.LANG_MARKERS
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, {', '.join(f'{expr} AS s_{lang}' for lang, expr in scores.items())} FROM tk),
+b AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM s)
+SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred FROM b
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Text-quality scoring (length/stopword/punctuation heuristics)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _longs(
+        docs.select(
+            "doc_id",
+            X.word_count("text").alias("word_count"),
+            X.quality_score("text").alias("quality"),
+        )
+    )
+
+
+def _sql_quality() -> str:
+    toks = SQL_TOKS.format(c="text")
+    sw = ", ".join(f"'{s}'" for s in X.ESSENTIAL_STOPWORDS)
+    return f"""
+WITH tk AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS word_count,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> list_contains([{sw}], t))) / len(toks)
+             ELSE 0.0 END AS sw_ratio,
+        CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+             ELSE 0.0 END AS punct
+      FROM tk)
+SELECT doc_id, word_count,
+       round((least(CAST(word_count AS DOUBLE) / 100.0, 1.0)
+              + least(sw_ratio * 4, 1.0)
+              + (1.0 - least(punct * 10, 1.0))) / 3, 6) AS quality
+FROM m
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish piece estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.col("text"), F.lit("\\S+"), 0)
+    return _longs(
+        docs.select(
+            "doc_id",
+            F.size(ws).alias("n_ws_tokens"),
+            X.token_count_bpe_ish("text").alias("n_bpe_approx"),
+        )
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS pieces FROM documents)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_ws_tokens,
+       CAST(coalesce(list_sum([greatest(CAST(ceil(length(p) / 4.0) AS BIGINT), 1) FOR p IN pieces]), 0) AS BIGINT) AS n_bpe_approx
+FROM w
+"""
+
+
+# ----------------------------------------------- non-SQL-expressible ops
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN top-10 (KMeans centroids + nprobe=4 cluster scan).
+    Iterative KMeans isn't SQL-expressible → rows-only check; recall vs
+    the exact oracle is asserted in tests/test_ann.py."""
+    from customkb_spark.embedding.index import assign_clusters, ivf_search, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, "embedding", nlist=16)
+    indexed = assign_clusters(emb, cents, "embedding")
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_search(indexed, cents, qv, k=10, nprobe=4, id_col="vec_id", vec_col="embedding")
+
+
+def q_hybrid_context_flagship(spark, sf_dir):
+    """Flagship end-to-end RAG retrieval: documents → chunks → stub
+    embeddings → hybrid (vector+BM25, RRF) → context range join.
+    Exercises the whole engine; the composed pieces are individually
+    oracle-checked → rows-only here."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = documents_to_chunks(docs, chunk_size=200).cache()
+    vectors = embed_texts(chunks, "id", "embedtext")
+    index = HY.HybridIndex.build(chunks, vectors)
+    cfg = KBConfig(query_top_k=10)
+    return HY.query(index, "spark data query table window fast", cfg)
+
+
+# ----------------------------------------------------------- contract
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "top_orders_by_price": q_top_orders_by_price,
+    "segment_order_stats": q_segment_order_stats,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_big_orders": q_customers_with_big_orders,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "events_sessionize": q_events_sessionize,
+    "events_hourly_agg": q_events_hourly_agg,
+    "events_consecutive_runs": q_events_consecutive_runs,
+    "chunk_documents_fixed": q_chunk_documents_fixed,
+    "doc_token_stats": q_doc_token_stats,
+    "incremental_ingest_missing": q_incremental_ingest_missing,
+    "positional_sample": q_positional_sample,
+    "cache_probe_misses": q_cache_probe_misses,
+    "bm25_term_stats": q_bm25_term_stats,
+    "bm25_score": q_bm25_score,
+    "vector_topk_cosine": q_vector_topk_cosine,
+    "knn_join": q_knn_join,
+    "rrf_fusion": q_rrf_fusion,
+    "weighted_fusion": q_weighted_fusion,
+    "context_range_join": q_context_range_join,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "doc_fingerprints": q_doc_fingerprints,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "hybrid_context_flagship": q_hybrid_context_flagship,
+}
+
+_ORACLES: dict[str, str] = {
+    "tpch_q1_pricing_summary": SQL_TPCH_Q1,
+    "top_orders_by_price": SQL_TOP_ORDERS,
+    "segment_order_stats": SQL_SEGMENT_STATS,
+    "customers_without_orders": SQL_CUST_NO_ORDERS,
+    "customers_with_big_orders": SQL_CUST_BIG_ORDERS,
+    "top3_orders_per_customer": SQL_TOP3_PER_CUST,
+    "events_sessionize": SQL_SESSIONIZE,
+    "events_hourly_agg": SQL_HOURLY,
+    "events_consecutive_runs": SQL_RUNS,
+    "chunk_documents_fixed": SQL_CHUNKS,
+    "doc_token_stats": SQL_TOKEN_STATS,
+    "incremental_ingest_missing": SQL_INCREMENTAL,
+    "positional_sample": SQL_POSITIONAL,
+    "cache_probe_misses": SQL_CACHE_MISSES,
+    "bm25_term_stats": SQL_TERM_STATS,
+    "bm25_score": SQL_BM25,
+    "vector_topk_cosine": SQL_VEC_TOPK,
+    "knn_join": SQL_KNN,
+    "rrf_fusion": SQL_RRF,
+    "weighted_fusion": SQL_WEIGHTED,
+    "context_range_join": SQL_CONTEXT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_lsh_dedup": _sql_minhash(),
+    "simhash_fingerprints": _sql_simhash(),
+    "doc_fingerprints": SQL_FINGERPRINT,
+    "embedding_near_dups": SQL_EMB_DUPS,
+    "lang_id": _sql_lang_id(),
+    "quality_scores": _sql_quality(),
+    "token_counts": SQL_TOKEN_COUNTS,
+    # ann_ivf_topk / hybrid_context_flagship: iterative KMeans + staged
+    # pipeline — not SQL-expressible; rows-only check.
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_hybrid_context_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,85 @@
+"""Layered knowledgebase configuration.
+
+Mirrors the reference's five config sections and precedence
+(env var > cfg file > defaults; reference: config/models.py:23-42,
+config/config_manager.py:207-296) without the Pydantic dependency.
+Only the knobs that drive query/data semantics are modeled; pure
+single-node performance knobs (memory tiers, thread pools) are replaced
+by Spark confs.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class KBConfig:
+    # [DEFAULT] — reference config/models.py:45-105
+    vector_model: str = "stub-hash-embed"  # deterministic local stub by default
+    vector_dimensions: int = 64
+    db_min_tokens: int = 100
+    db_max_tokens: int = 200
+    query_model: str = "none"
+
+    # [ALGORITHMS] — reference config/models.py:139-190
+    similarity_threshold: float = 0.6
+    low_similarity_scope_factor: float = 0.5
+    enable_hybrid_search: bool = True
+    hybrid_fusion_method: str = "rrf"  # rrf | weighted
+    rrf_k: int = 60
+    vector_weight: float = 0.7  # weighted fusion (reference search.py:383-405)
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
+    bm25_min_token_length: int = 2
+    bm25_max_results: int = 1000
+    enable_reranking: bool = False
+    reranking_top_k: int = 20
+    faiss_nprobe: int = 32
+
+    # [LIMITS]/[PERFORMANCE] — only the semantics-relevant subset
+    query_top_k: int = 50
+    query_context_scope: int = 4
+    max_file_size_mb: int = 100
+    embedding_batch_size: int = 100
+
+    # Spark-scale additions (not in the reference)
+    shuffle_partitions: int = 32
+    ann_nlist: int = 64  # IVF centroid count for the pruned ANN path
+
+    @classmethod
+    def from_file(cls, path: str | None = None, env: dict | None = None) -> "KBConfig":
+        """Load with env > cfg > default precedence.
+
+        Env var name for field ``x`` is ``CUSTOMKB_X`` (the reference
+        uses the same uppercase-field convention, config/models.py:23-42).
+        """
+        values: dict = {}
+        if path and os.path.exists(path):
+            parser = configparser.ConfigParser()
+            parser.read(path)
+            flat: dict[str, str] = dict(parser.defaults())
+            for section in parser.sections():
+                flat.update(dict(parser.items(section)))
+            for f in fields(cls):
+                if f.name in flat:
+                    values[f.name] = _coerce(flat[f.name], f.type)
+        env = env if env is not None else os.environ
+        for f in fields(cls):
+            key = f"CUSTOMKB_{f.name.upper()}"
+            if key in env:
+                values[f.name] = _coerce(env[key], f.type)
+        return cls(**values)
+
+
+def _coerce(raw: str, typ) -> object:
+    t = str(typ)
+    if "bool" in t:
+        return str(raw).strip().lower() in ("1", "true", "yes", "on")
+    if "int" in t:
+        return int(raw)
+    if "float" in t:
+        return float(raw)
+    return raw

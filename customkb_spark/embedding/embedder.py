@@ -1,0 +1,112 @@
+"""Batch embedding — provider interface + deterministic local stub.
+
+The reference batches texts to LiteLLM providers with caps/retries
+(embedding/embed_manager.py:260-333, SURVEY.md §2.8 M1). The Spark
+shape is ``mapInPandas``: each Arrow batch of (id, text) rows becomes
+one provider call (or one local-model forward pass); providers are
+instantiated once per executor (module-level singleton), and batches
+respect the provider's cap.
+
+The default provider is a DETERMINISTIC hash embedder (no network, no
+model weights): sha256(text) seeds a NumPy RNG → standard normal →
+L2-normalize. This mirrors the reference's mock-embedding test strategy
+(SURVEY.md §5) and the seeded-vector benchmark recipe
+(scripts/benchmark_vectordb.py:36-57): identical text → identical
+vector, on any executor, any run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class EmbeddingProvider:
+    """Provider interface — mirrors litellm_provider.get_embeddings
+    (reference embedding/litellm_provider.py:60-119)."""
+
+    name = "base"
+    dimensions = 64
+    batch_cap = 2048  # per-call text cap (reference: provider caps)
+
+    def get_embeddings(self, texts: list[str]) -> np.ndarray:  # (n, dims) float32
+        raise NotImplementedError
+
+
+class HashEmbeddingProvider(EmbeddingProvider):
+    name = "stub-hash-embed"
+
+    def __init__(self, dimensions: int = 64):
+        self.dimensions = dimensions
+
+    def get_embeddings(self, texts: list[str]) -> np.ndarray:
+        out = np.empty((len(texts), self.dimensions), dtype=np.float32)
+        for i, t in enumerate(texts):
+            digest = hashlib.sha256((t or "").encode("utf-8")).digest()
+            rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+            v = rng.standard_normal(self.dimensions)
+            n = np.linalg.norm(v)
+            out[i] = (v / n if n > 0 else v).astype(np.float32)
+        return out
+
+
+_PROVIDERS = {"stub-hash-embed": HashEmbeddingProvider}
+_provider_singleton: EmbeddingProvider | None = None  # per-executor
+
+
+def get_provider(name: str, dimensions: int) -> EmbeddingProvider:
+    global _provider_singleton
+    if _provider_singleton is None or _provider_singleton.name != name:
+        _provider_singleton = _PROVIDERS[name](dimensions)
+    return _provider_singleton
+
+
+def embed_texts(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "embedtext",
+    model: str = "stub-hash-embed",
+    dimensions: int = 64,
+) -> DataFrame:
+    """(id, vector) for each input row, via Arrow-batched mapInPandas.
+
+    Duplicate-text dedup (reference embed_manager.py:669-677, J4/A9):
+    embed one representative per distinct text, then join vectors back
+    to every id sharing that text — the provider is called once per
+    unique text regardless of corpus duplication.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("text_key", T.StringType()),
+            T.StructField("vector", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    distinct_texts = df.select(F.col(text_col).alias("text_key")).distinct()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        provider = get_provider(model, dimensions)
+        for pdf in batches:
+            texts = pdf["text_key"].fillna("").tolist()
+            for lo in range(0, len(texts), provider.batch_cap):
+                sub = texts[lo : lo + provider.batch_cap]
+                vecs = provider.get_embeddings(sub)
+                yield pd.DataFrame(
+                    {
+                        "text_key": pdf["text_key"].iloc[lo : lo + len(sub)],
+                        "vector": [v.tolist() for v in vecs],
+                    }
+                )
+
+    vectors = distinct_texts.mapInPandas(run, schema=schema)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text_key"))
+        .join(vectors, "text_key")
+        .select("id", "vector")
+    )

@@ -1,0 +1,102 @@
+"""IVF-style ANN index — the one genuinely custom engine component
+(SURVEY.md §4, "needs a custom Spark component").
+
+Mirrors FAISS IndexIVFFlat semantics (reference embed_manager.py:163-213,
+nprobe search query/search.py:223-231) as a derived-table + pruned-scan
+pattern:
+
+  build:  sample vectors → k-means centroids (small, driver/NumPy —
+          same as FAISS training on a ≤10k sample) → assign every
+          vector its nearest centroid id with a JVM-side argmin
+          expression → vectors table carries ``cluster_id``.
+          At 100 TB: write the vectors table PARTITIONED BY cluster_id
+          so probes become partition pruning, not filters.
+
+  search: query → nprobe nearest centroids (driver, tiny) →
+          scan only those clusters → exact top-k within.
+
+Recall/speed trades exactly like IVFFlat: nprobe=nlist ⇒ exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import vector as V
+from customkb_spark.operators.topk import brute_force_topk
+
+
+def train_centroids(
+    vectors: DataFrame,
+    vec_col: str = "vector",
+    nlist: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample (FAISS trains on ≤10k
+    sampled embeddings too, embed_manager.py:694-715)."""
+    sample = np.array(
+        vectors.select(vec_col)
+        .limit(sample_size)
+        .rdd.map(lambda r: r[0])
+        .collect(),
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    nlist = min(nlist, len(sample))
+    centroids = sample[rng.choice(len(sample), nlist, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def assign_clusters(
+    vectors: DataFrame, centroids: np.ndarray, vec_col: str = "vector"
+) -> DataFrame:
+    """Add ``cluster_id`` = argmin L2 distance to centroid — a pure
+    column expression (array of distances → array_position of min), so
+    assignment runs JVM-side with no Python in the loop."""
+    dists = F.array(
+        *[
+            V.l2_distance(F.col(vec_col), F.lit(c.tolist()).cast("array<double>"))
+            for c in centroids
+        ]
+    )
+    return vectors.withColumn(
+        "cluster_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def nearest_clusters(query_vec: list[float], centroids: np.ndarray, nprobe: int) -> list[int]:
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    return [int(i) for i in d2.argsort()[:nprobe]]
+
+
+def ivf_search(
+    indexed_vectors: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest clusters, exact top-k within them.
+
+    The cluster filter is a pushed-down predicate; with the table
+    partitioned by cluster_id it prunes files before the scan.
+    """
+    probes = nearest_clusters(query_vec, centroids, nprobe)
+    pruned = indexed_vectors.filter(F.col("cluster_id").isin(probes))
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col, metric)

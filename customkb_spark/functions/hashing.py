@@ -1,0 +1,91 @@
+"""Deterministic hashing expressions — cache keys, MinHash, SimHash,
+fingerprints.
+
+Everything is built on md5 (stable across engines and languages) rather
+than Spark's xxhash64/hash, so results are reproducible against the
+DuckDB oracle and across cluster restarts. md5 is computed JVM-side by
+codegen — no Python in the path.
+
+MinHash design (for LSH dedup at 100 TB): a "hash family" member k maps
+shingle s → md5(k || ':' || s); the signature component is the MINIMUM
+of those digests *as hex strings* (lexicographic min over a uniformly
+distributed 128-bit space ≡ numeric min). Using string min avoids any
+hex→int conversion differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sha_cache_key(model: Column | str, text: Column | str) -> Column:
+    """Embedding-cache key — reference embed_manager.py:72-85:
+    f'{model}_{sha256(text)}'."""
+    m = F.lit(model) if isinstance(model, str) else model
+    t = F.col(text) if isinstance(text, str) else text
+    return F.concat(m, F.lit("_"), F.sha2(t, 256))
+
+
+def md5_hash(col: Column, salt: int | None = None) -> Column:
+    if salt is not None:
+        col = F.concat(F.lit(f"{salt}:"), col)
+    return F.md5(col)
+
+
+def hex_to_long(hex_col: Column, n_chars: int = 15) -> Column:
+    """First ``n_chars`` hex chars → non-negative bigint (≤60 bits)."""
+    return F.conv(F.substring(hex_col, 1, n_chars), 16, 10).cast("long")
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array, in document order."""
+    idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens_col)))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
+    """Aggregate expressions: one min-md5 per hash-family member.
+
+    Use inside groupBy(doc).agg(*minhash_signature(...)) after exploding
+    shingles — a single shuffle produces the whole signature.
+    """
+    return [
+        F.min(md5_hash(shingle_col, salt=k)).alias(f"mh{k}") for k in range(num_hashes)
+    ]
+
+
+def simhash_bits(token_col: Column, bits: int = 16) -> list[Column]:
+    """Per-token ±1 contributions for each SimHash bit.
+
+    Bit i of token t is derived from hex digit i of md5(t): digit value
+    ≥ 8 → +1 else −1 (i.e. the top bit of each 4-bit nibble). Summing
+    per document and taking sign(sum) ≥ 0 gives the fingerprint bit.
+    Expressible identically in DuckDB (strpos on a hex alphabet).
+    """
+    digest = F.md5(token_col)
+    out = []
+    for i in range(bits):
+        digit = F.substring(digest, i + 1, 1)
+        val = F.instr(F.lit("0123456789abcdef"), digit) - 1
+        out.append(F.when(val >= 8, F.lit(1)).otherwise(F.lit(-1)).alias(f"b{i}"))
+    return out
+
+
+def rolling_fingerprint(tokens_col: Column, window: int = 4, keep: int = 4) -> Column:
+    """Winnowing-style document fingerprint: hash every ``window``-gram,
+    keep the ``keep`` smallest digests, md5 the concatenation. Two
+    documents share a fingerprint iff their minimal shingle digests
+    agree — robust to local edits, cheap to group on."""
+    sh = shingles(tokens_col, window)
+    digests = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    kept = F.slice(digests, 1, keep)
+    return F.md5(F.concat_ws("|", kept))

@@ -1,0 +1,145 @@
+"""Text expressions — cleaning, tokenization, analysis.
+
+All hot-path functions are built-in column expressions (JVM-side,
+whole-stage-codegen) — no Python UDFs. The reference implements these
+as per-row Python (utils/text_utils.py); at 100 TB the regex/array
+forms here run inside Tungsten.
+
+Tokenization contract (used by BM25, shingles, dedup, language ID):
+``tokens(col) = regexp_extract_all(lower(col), '[a-z0-9]+')``.
+The reference's tokenize_for_bm25 (utils/text_utils.py:255-314)
+additionally DEDUPLICATES tokens per document — BM25 term frequency is
+0/1 — which `unique_tokens` reproduces; that quirk is load-bearing for
+score parity (SURVEY.md §2.7 F3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# 14 "essential" English stopwords the reference always drops during BM25
+# tokenization (utils/text_utils.py:255-314).
+ESSENTIAL_STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on that the to was were will with"
+).split()
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased alphanumeric tokens, in document order."""
+    return F.regexp_extract_all(F.lower(F.col(col) if isinstance(col, str) else col), F.lit(TOKEN_RE), 0)
+
+
+def unique_tokens(col: Column | str) -> Column:
+    """Distinct tokens, sorted — the BM25 token set (tf ∈ {0,1}).
+
+    The reference preserves first-seen order; we sort instead so the
+    result is canonical under Spark's unordered shuffles. BM25 scores
+    depend only on set membership, so score parity is unaffected.
+    """
+    return F.array_sort(F.array_distinct(tokens(col)))
+
+
+def clean_text(col: Column | str) -> Column:
+    """Reference clean_text (utils/text_utils.py:77-102): lowercase,
+    strip HTML tags, collapse non-word runs to single spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "<[^>]+>", " ")
+    c = F.regexp_replace(c, "[^\\w\\s]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def normalize_query(col: Column | str) -> Column:
+    """Reference normalize_query (query/enhancement.py:26-56):
+    whitespace collapse, smart-quote standardization, punctuation dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "[‘’]", "'")
+    c = F.regexp_replace(c, "[“”]", '"')
+    c = F.regexp_replace(c, "([.!?]){2,}", "$1")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords — a cheap
+    quality / language signal computed fully JVM-side."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or ESSENTIAL_STOPWORDS)])
+    toks = tokens(col)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic for training-data filtering:
+    rewards mid-length docs, penalizes punctuation soup and stopword
+    deserts. Deterministic + SQL-expressible (oracle-checkable)."""
+    wc = word_count(col).cast("double")
+    length_term = F.least(wc / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 10, F.lit(1.0))
+    return F.round((length_term + sw_term + punct_term) / 3, 6)
+
+
+# Marker stopwords per language, in PRIORITY order: ties resolve to the
+# earlier language (en > es > de > fr), matching the oracle CASE chain.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "is", "that", "with"]),
+    ("es", ["el", "la", "de", "que", "los", "una", "por"]),
+    ("de", ["der", "die", "und", "das", "ist", "nicht", "mit"]),
+    ("fr", ["le", "les", "des", "est", "une", "dans", "pour"]),
+]
+
+
+def detect_language_heuristic(col: Column | str) -> Column:
+    """N-gram/stopword language-ID heuristic (stand-in for the
+    reference's langdetect call, utils/language_detector.py:36-118):
+    scores per-language stopword hit-rates and picks the argmax with a
+    fixed priority order for ties. Pure column algebra — runs at scan
+    speed, no Python."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scores = []
+    for _, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(hits / n)
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    out = F.lit("und")
+    # build the CASE in reverse so earlier languages win ties
+    for (lang, _), score in reversed(list(zip(LANG_MARKERS, scores))):
+        out = F.when((best >= 0.05) & (score == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def token_count_bpe_ish(col: Column | str) -> Column:
+    """Approximate LLM token count without tiktoken (reference falls
+    back to words × 1.3, database/chunking.py:24-60): count word pieces
+    by splitting on whitespace and adding ceil(chars/4) for long words."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit("\\S+"), 0)
+    per_word = F.transform(
+        pieces, lambda w: F.greatest(F.ceil(F.length(w) / F.lit(4.0)), F.lit(1))
+    )
+    return F.coalesce(
+        F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(0).cast("long"),
+    )

@@ -1,0 +1,87 @@
+"""BM25 as DataFrame algebra.
+
+The reference materializes a BM25Okapi object into NPZ arrays
+(embedding/bm25_manager.py:64-102) and scores queries in-process
+(bm25_manager.py:258-324). Here the "index" is two derived tables —
+``postings(id, term)`` and ``term_stats(term, df, idf)`` — built by one
+pass of explode + groupBy (map-side partial agg), and scoring is a
+broadcast join + sum. Both build and score are shuffle-minimal and
+scale linearly with the corpus.
+
+Semantics parity notes (load-bearing for the oracle gate):
+- The reference DEDUPLICATES tokens per document (tokenize_for_bm25,
+  utils/text_utils.py:306-314), so tf ∈ {0,1} and a posting row carries
+  no count.
+- doc_length = number of UNIQUE tokens (text_utils.py:314).
+- idf is the BM25Okapi formula: ln((N - df + 0.5)/(df + 0.5) + 1).
+- Scores ≤ 0 are dropped (bm25_manager.py:298,316).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import text as X
+
+
+def build_postings(chunks: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """postings(id, term, dl): one row per (document, unique term)."""
+    toks = chunks.select(
+        F.col(id_col).alias("id"), X.unique_tokens(text_col).alias("toks")
+    )
+    return toks.select(
+        "id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+
+
+def build_term_stats(postings: DataFrame, corpus_size: int) -> DataFrame:
+    """term_stats(term, df, idf) — partial+final hash aggregation."""
+    n = float(corpus_size)
+    return postings.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+
+
+def bm25_score(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    query_terms: list[str],
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 1000,
+) -> DataFrame:
+    """Score all documents against ``query_terms``; top-``limit`` rows
+    (score desc, id asc), positive scores only.
+
+    Plan: postings are filtered to the query terms FIRST (pushed to the
+    scan), then joined to the broadcast term_stats slice — the shuffle
+    carries only matching postings, not the corpus.
+    """
+    qt = sorted(set(t.lower() for t in query_terms))
+    matched = postings.filter(F.col("term").isin(qt))
+    stats = F.broadcast(term_stats.filter(F.col("term").isin(qt)))
+    # tf = 1 (dedup semantics) → the classic numerator reduces to (k1+1)
+    # and the denominator to 1 + k1·(1 − b + b·dl/avgdl).
+    score_term = (
+        F.col("idf")
+        * (k1 + 1.0)
+        / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        matched.join(stats, "term")
+        .groupBy("id")
+        .agg(F.round(F.sum(score_term), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(limit)
+    )
+
+
+def corpus_stats(chunks: DataFrame, text_col: str = "text") -> tuple[int, float]:
+    """(corpus_size, avgdl) over unique-token document lengths."""
+    row = chunks.select(X.unique_tokens(text_col).alias("toks")).agg(
+        F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"])

@@ -1,0 +1,70 @@
+"""Hybrid-search result fusion — RRF and weighted score merge.
+
+Reference semantics (query/search.py:311-439):
+- RRF: rank each result list independently (1-based, score desc), then
+  rrf(d) = Σ_ranker 1/(k + rank_d) with k = 60. Documents missing from
+  a ranker contribute nothing for it.
+- Weighted: max-normalize each score set, then w_v·v + w_b·b
+  (defaults 0.7/0.3); a missing side scores 0.
+
+Spark shape: per-ranker row_number window → full-outer join on id →
+coalesce. The inputs are top-k lists (tiny), so the joins broadcast;
+at scale this stage is O(k), independent of corpus size.
+
+Ties are broken by id ascending everywhere for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ranked(df: DataFrame, side: str) -> DataFrame:
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return df.select(
+        "id",
+        F.col("score").alias(f"{side}_score"),
+        F.row_number().over(w).alias(f"{side}_rank"),
+    )
+
+
+def rrf_fuse(vec: DataFrame, kw: DataFrame, k: int = 60, top_k: int = 50) -> DataFrame:
+    """Reciprocal-rank fusion of (id, score) result sets."""
+    v, b = _ranked(vec, "vec"), _ranked(kw, "bm25")
+    contrib_v = F.when(
+        F.col("vec_rank").isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col("vec_rank"))
+    ).otherwise(0.0)
+    contrib_b = F.when(
+        F.col("bm25_rank").isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col("bm25_rank"))
+    ).otherwise(0.0)
+    return (
+        v.join(b, "id", "full_outer")
+        .select("id", F.round(contrib_v + contrib_b, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )
+
+
+def weighted_fuse(
+    vec: DataFrame,
+    kw: DataFrame,
+    vector_weight: float = 0.7,
+    top_k: int = 50,
+) -> DataFrame:
+    """Max-normalized weighted fusion (reference search.py:350-411)."""
+    bm25_weight = 1.0 - vector_weight
+    v_max = vec.agg(F.max("score")).collect()[0][0] or 1.0
+    b_max = kw.agg(F.max("score")).collect()[0][0] or 1.0
+    v = vec.select("id", (F.col("score") / F.lit(float(v_max))).alias("v_norm"))
+    b = kw.select("id", (F.col("score") / F.lit(float(b_max))).alias("b_norm"))
+    fused = (
+        F.lit(vector_weight) * F.coalesce(F.col("v_norm"), F.lit(0.0))
+        + F.lit(bm25_weight) * F.coalesce(F.col("b_norm"), F.lit(0.0))
+    )
+    return (
+        v.join(b, "id", "full_outer")
+        .select("id", F.round(fused, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )

@@ -1,0 +1,69 @@
+"""Event sessionization + time-window aggregation.
+
+The reference has no streaming surface (SURVEY.md §2.11); these are the
+batch forms of the standard event-pipeline operators, with streaming
+variants in streaming/. Both are single-shuffle plans: partition by
+user, order by time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds ``gap_minutes``.
+
+    Returns one row per session: (user, session_id, n_events,
+    session_start, session_end). session_id is 1-based per user.
+    ``tiebreak_col`` (e.g. event_id) makes ordering deterministic when
+    a user has multiple events at the same timestamp.
+    """
+    order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+    is_new = F.when(prev.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    with_sess = events.withColumn("_new", is_new).withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sess.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Tumbling-window aggregate: (window_start, key, n, total).
+
+    ``total`` is summed in decimal then cast to double so results are
+    deterministic (order-independent) and oracle-comparable.
+    """
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+            F.col(key_col).alias(key_col),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

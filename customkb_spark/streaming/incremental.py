@@ -1,0 +1,68 @@
+"""Incremental ingest/embed as Structured Streaming.
+
+The reference polls flag columns for pending work (embedded=0,
+embed_manager.py:586) and checkpoints every N batches
+(embed_manager.py:466-523). The streaming-native form is: read new
+document files as they land, run the SAME chunk/clean/tokenize exprs as
+batch ingest (the pipeline functions take DataFrames — batch and stream
+share code), embed per micro-batch, append to the chunks/vectors
+tables. ``availableNow`` gives the reference's catch-up-then-stop batch
+semantics with real checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from customkb_spark.embedding.embedder import embed_texts
+from customkb_spark.ingest.pipeline import documents_to_chunks
+
+
+def stream_documents(
+    spark: SparkSession, input_dir: str, schema, fmt: str = "parquet"
+) -> DataFrame:
+    return spark.readStream.format(fmt).schema(schema).load(input_dir)
+
+
+def incremental_ingest(
+    docs_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 200,
+) -> StreamingQuery:
+    """Stream documents → chunks table (append, exactly-once via
+    checkpoint). One streaming job replaces the reference's
+    poll-and-flag loop."""
+    chunks = documents_to_chunks(docs_stream, chunk_size=chunk_size)
+    return (
+        chunks.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_embed(
+    chunks_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    model: str = "stub-hash-embed",
+    dimensions: int = 64,
+) -> StreamingQuery:
+    """Stream chunks → vectors table via foreachBatch (the embed stage
+    needs the dedup-join shape, so each micro-batch runs the batch
+    embedder — reference checkpoint-group semantics, batch.py:93-177)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        vectors = embed_texts(batch_df, "id", "embedtext", model, dimensions)
+        vectors.write.mode("append").parquet(output_dir)
+
+    return (
+        chunks_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

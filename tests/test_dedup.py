@@ -1,0 +1,67 @@
+"""Dedup family: exact groups, MinHash-LSH planted near-dups, SimHash
+stability, embedding near-dup symmetry."""
+
+from pyspark.sql import functions as F
+
+from customkb_spark.operators import dedup as D
+
+
+def test_exact_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello  world"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = D.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 1 and out[0]["n_dups"] == 2
+
+
+def test_minhash_finds_planted_near_dup(spark, documents):
+    base = documents.limit(20).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.substring("text", 1, F.floor(F.length("text") * 0.9).cast("int")).alias("text"),
+    )
+    pairs = D.minhash_lsh_duplicates(base.union(mutated), threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(r["doc_id"], r["doc_id"] + 1000) for r in base.collect()}
+    # LSH is probabilistic: require most planted pairs recovered, no junk
+    assert len(found & planted) >= len(planted) * 0.7
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_minhash_no_false_positives_on_distinct(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    assert D.minhash_lsh_duplicates(docs).count() == 0
+
+
+def test_simhash_identical_docs_share_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "completely different words here")],
+        ["doc_id", "text"],
+    )
+    fps = {r["id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_embedding_near_dups_brute_force(spark):
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = D.embedding_near_duplicates(docs, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_embedding_near_dups_bucketed_prunes(spark):
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.99, 0.1], 1), (3, [0.98, 0.05], 1)],
+        ["vec_id", "embedding", "cluster_id"],
+    )
+    out = D.embedding_near_duplicates(docs, threshold=0.5, bucket_col="cluster_id").collect()
+    # pair (1,2) crosses buckets → pruned; only (2,3) survives
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(2, 3)]

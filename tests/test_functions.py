@@ -1,0 +1,84 @@
+"""Unit tests for the scalar expression library (reference invariants:
+tokenization dedup, cleaning, hashing determinism)."""
+
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import hashing as H
+from customkb_spark.functions import text as X
+from customkb_spark.functions import vector as V
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_tokens_lowercase_alnum(spark):
+    df = spark.createDataFrame([("Hello, World! 42x",)], ["t"])
+    assert df.select(X.tokens("t").alias("v")).collect()[0]["v"] == [
+        "hello",
+        "world",
+        "42x",
+    ]
+
+
+def test_unique_tokens_dedup_sorted(spark):
+    # BM25 tf ∈ {0,1}: dedup is load-bearing (text_utils.py:306-314)
+    df = spark.createDataFrame([("b a b a c",)], ["t"])
+    assert df.select(X.unique_tokens("t").alias("v")).collect()[0]["v"] == ["a", "b", "c"]
+
+
+def test_clean_text_strips_html(spark):
+    df = spark.createDataFrame([("<p>Hello <b>World</b></p>!!",)], ["t"])
+    assert df.select(X.clean_text("t").alias("v")).collect()[0]["v"] == "hello world"
+
+
+def test_normalize_query(spark):
+    df = spark.createDataFrame([("“what??   is  this…’s”",)], ["t"])
+    out = df.select(X.normalize_query("t").alias("v")).collect()[0]["v"]
+    assert "  " not in out and "??" not in out
+
+
+def test_quality_score_range(spark, documents):
+    rows = documents.select(X.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_lang_id_returns_known_codes(spark, documents):
+    rows = documents.select(X.detect_language_heuristic("text").alias("l")).collect()
+    assert {r["l"] for r in rows} <= {"en", "es", "de", "fr", "und"}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d"],)], ["toks"])
+    out = df.select(H.shingles(F.col("toks"), 3).alias("v")).collect()[0]["v"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([(["a", "b"],)], ["toks"])
+    out = df.select(H.shingles(F.col("toks"), 3).alias("v")).collect()[0]["v"]
+    assert out == ["a b"]
+
+
+def test_sha_cache_key_format(spark):
+    df = spark.createDataFrame([("hello",)], ["t"])
+    v = df.select(H.sha_cache_key("m1", F.col("t")).alias("v")).collect()[0]["v"]
+    assert v.startswith("m1_") and len(v) == 3 + 64
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
+    out = df.select(F.round(V.cosine(F.col("v"), F.col("v")), 9).alias("c")).collect()
+    assert out[0]["c"] == 1.0
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
+    out = df.select(V.l2_normalize(F.col("v")).alias("n")).collect()[0]["n"]
+    assert abs(out[0] - 0.6) < 1e-9 and abs(out[1] - 0.8) < 1e-9
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame([("ab cdefghij",)], ["t"])
+    # ab → 1 piece, cdefghij (8 chars) → 2 pieces
+    assert df.select(X.token_count_bpe_ish("t").alias("v")).collect()[0]["v"] == 3

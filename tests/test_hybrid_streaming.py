@@ -1,0 +1,76 @@
+"""End-to-end hybrid pipeline, formatters, streaming increment, entry
+contract consistency."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+from customkb_spark.config import KBConfig
+from customkb_spark.embedding.embedder import embed_texts
+from customkb_spark.ingest.pipeline import documents_to_chunks
+from customkb_spark.plans import hybrid as HY
+from customkb_spark.plans.formatters import format_references, group_consecutive_sections
+from customkb_spark.streaming.incremental import incremental_ingest, stream_documents
+
+
+def _index(spark, documents):
+    chunks = documents_to_chunks(documents, chunk_size=200).cache()
+    vectors = embed_texts(chunks, "id", "embedtext")
+    return HY.HybridIndex.build(chunks, vectors)
+
+
+def test_hybrid_query_end_to_end(spark, documents):
+    idx = _index(spark, documents)
+    cfg = KBConfig(query_top_k=5)
+    out = HY.query(idx, "spark data query table", cfg)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"sourcedoc", "hit_sid", "sid", "text"} <= set(out.columns)
+
+
+def test_hybrid_weighted_path(spark, documents):
+    idx = _index(spark, documents)
+    cfg = KBConfig(query_top_k=5, hybrid_fusion_method="weighted")
+    assert HY.hybrid_search(idx, "spark data table", cfg=cfg).count() > 0
+
+
+def test_formatters_group_consecutive(spark):
+    rows = [("d", 0, 0, "a"), ("d", 0, 1, "b"), ("d", 0, 5, "c")]
+    ctx = spark.createDataFrame(rows, ["sourcedoc", "hit_sid", "sid", "text"])
+    grouped = group_consecutive_sections(ctx).collect()
+    assert len(grouped) == 2  # [0,1] and [5]
+    for fmt in ("plain", "xml", "json", "markdown"):
+        s = format_references(ctx, fmt)
+        assert "a" in s and "c" in s
+
+
+def test_streaming_ingest_matches_batch(spark, documents, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    documents.limit(10).write.parquet(src)
+    stream = stream_documents(spark, src, documents.schema)
+    q = incremental_ingest(stream, out, ckpt, chunk_size=200)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    expected = documents_to_chunks(
+        spark.read.parquet(src), chunk_size=200
+    )
+    assert got.count() == expected.count()
+    assert set(got.columns) == set(expected.columns)
+
+
+def test_entry_contract():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    assert df.count() > 0

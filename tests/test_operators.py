@@ -1,0 +1,123 @@
+"""Operator-level invariants, mirroring the reference's unit-test
+strategy (SURVEY.md §5): RRF formula, BM25 formula with unique-token
+tf, context-range clamping, top-k ordering, run grouping."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from customkb_spark.operators import bm25 as B
+from customkb_spark.operators import fusion as FU
+from customkb_spark.operators import sessionize as S
+from customkb_spark.operators import topk as TK
+from customkb_spark.operators import windows as W
+from customkb_spark.operators.range_join import context_range_join
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    rows = embeddings.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    expected = [rows[i]["vec_id"] for i in np.argsort(-sims)[:5]]
+    got = [
+        r["id"]
+        for r in TK.brute_force_topk(embeddings, q.tolist(), 5, "vec_id", "embedding").collect()
+    ]
+    assert got == expected
+
+
+def test_knn_join_rank1_is_self(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = TK.knn_join(queries, embeddings, 3, "qid", "qvec", "vec_id", "embedding")
+    r1 = {r["qid"]: r["id"] for r in out.filter(F.col("rank") == 1).collect()}
+    assert r1 == {0: 0, 1: 1, 2: 2}  # self-similarity = 1.0
+
+
+def test_bm25_formula_hand_check(spark):
+    # 3 docs; query term 'x' appears in doc1 and doc2 (dedup → tf=1)
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x x w"), (3, "w y")], ["id", "text"]
+    )
+    postings = B.build_postings(docs, "id", "text")
+    n, avgdl = B.corpus_stats(docs, "text")
+    stats = B.build_term_stats(postings, n)
+    out = {r["id"]: r["score"] for r in B.bm25_score(postings, stats, ["x"], avgdl).collect()}
+    # manual: df(x)=2, N=3 → idf = ln((3-2+0.5)/(2+0.5)+1); dl: doc1=3, doc2=2; avgdl=(3+2+2)/3
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    for doc_id, dl in [(1, 3), (2, 2)]:
+        exp = idf * 2.2 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        assert abs(out[doc_id] - exp) < 1e-5
+    assert 3 not in out
+
+
+def test_rrf_formula(spark):
+    vec = spark.createDataFrame([(1, 0.9), (2, 0.8)], ["id", "score"])
+    kw = spark.createDataFrame([(2, 5.0), (3, 4.0)], ["id", "score"])
+    out = {r["id"]: r["score"] for r in FU.rrf_fuse(vec, kw, 60, 10).collect()}
+    assert abs(out[2] - (1 / 62 + 1 / 61)) < 1e-5  # rank 2 vec + rank 1 kw
+    assert abs(out[1] - 1 / 61) < 1e-5
+    assert abs(out[3] - 1 / 62) < 1e-5
+
+
+def test_weighted_fusion_normalizes(spark):
+    vec = spark.createDataFrame([(1, 0.5), (2, 0.25)], ["id", "score"])
+    kw = spark.createDataFrame([(1, 10.0)], ["id", "score"])
+    out = {r["id"]: r["score"] for r in FU.weighted_fuse(vec, kw, 0.7, 10).collect()}
+    assert abs(out[1] - (0.7 * 1.0 + 0.3 * 1.0)) < 1e-5
+    assert abs(out[2] - 0.7 * 0.5) < 1e-5
+
+
+def test_context_range_clamps_at_zero(spark):
+    chunks = spark.createDataFrame(
+        [("d", i, f"c{i}") for i in range(10)], ["sourcedoc", "sid", "originaltext"]
+    )
+    hits = spark.createDataFrame([("d", 1, 0.9)], ["sourcedoc", "sid", "score"])
+    out = context_range_join(hits, chunks, scope=4)
+    sids = [r["sid"] for r in out.collect()]
+    assert sids == [0, 1, 2, 3]  # lo clamped to 0, hi = 1+2
+
+
+def test_context_range_shrinks_low_similarity(spark):
+    chunks = spark.createDataFrame(
+        [("d", i, f"c{i}") for i in range(10)], ["sourcedoc", "sid", "originaltext"]
+    )
+    hits = spark.createDataFrame([("d", 5, 0.1)], ["sourcedoc", "sid", "score"])
+    out = context_range_join(hits, chunks, scope=4, similarity_threshold=0.6)
+    sids = [r["sid"] for r in out.collect()]
+    assert sids == [4, 5, 6]  # half-scope 2 shrunk to 1
+
+
+def test_consecutive_runs(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "a"), ("u", 3, "b"), ("u", 4, "a")],
+        ["user", "t", "v"],
+    )
+    out = W.consecutive_runs(df, "user", "t", "v").orderBy("run_id").collect()
+    assert [(r["v"], r["run_len"]) for r in out] == [("a", 2), ("b", 1), ("a", 1)]
+
+
+def test_sessionize_gap(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1),
+        (1, base + datetime.timedelta(minutes=10), 2),
+        (1, base + datetime.timedelta(minutes=50), 3),  # 40min gap → new session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = S.sessionize(df, gap_minutes=30, tiebreak_col="event_id").collect()
+    assert sorted(r["n_events"] for r in out) == [1, 2]
+
+
+def test_positional_sample(spark):
+    chunks = spark.createDataFrame(
+        [("d", i) for i in range(5)], ["sourcedoc", "sid"]
+    )
+    out = W.positional_sample(chunks)
+    got = {r["position"]: r["sid"] for r in out.collect()}
+    assert got == {"top": 0, "middle": 2, "bottom": 4}

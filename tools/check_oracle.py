@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() on DuckDB (same parquet tables), then compares:
+row count, sorted column names, and an order-insensitive value
+comparison (cells canonicalized to strings; floats via repr of the
+double). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from customkb_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_cell(v) -> str:
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return repr(round(float(v), 9))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle", cpus=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if not srows:
+                print(f"WARN {name}: empty result")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sc, oc = canon_rows(scols, srows), canon_rows(ocols, orows)
+            if sc != oc:
+                diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            note = " (EMPTY)" if not srows else ""
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s){note}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
