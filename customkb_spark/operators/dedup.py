@@ -56,13 +56,23 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh0..mh{K-1}) — one explode + one groupBy for the full
-    signature matrix."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(H.shingles(X.tokens(text_col), shingle_n)).alias("shingle"),
-    ).distinct()
-    return sh.groupBy("id").agg(*H.minhash_signature(F.col("shingle"), num_hashes))
+    """(id, mh0..mh{K-1}) — computed entirely PER ROW with higher-order
+    functions (transform + array_min): the signature build is map-side
+    with ZERO shuffle, so at 100 TB it scales with scan bandwidth.
+    (min over the shingle array ≡ min over the distinct shingle set.)"""
+    sh = H.shingles(X.tokens(text_col), shingle_n)
+
+    # NB: a two-parameter lambda would be interpreted by transform() as
+    # (element, index) — bind the salt via closure factory instead.
+    def _min_hash(k: int):
+        salt = f"{k}:"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s)))
+        ).alias(f"mh{k}")
+
+    return docs.select(
+        F.col(id_col).alias("id"), *[_min_hash(k) for k in range(num_hashes)]
+    )
 
 
 def minhash_band_buckets(
@@ -170,18 +180,25 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """(id, simhash) — per-token ±1 bit votes summed per document, sign
-    → bit. Documents with equal fingerprints are near-dup candidates."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(X.unique_tokens(text_col)).alias("tok")
-    )
-    contribs = toks.select("id", *H.simhash_bits(F.col("tok"), bits))
-    sums = contribs.groupBy("id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
-    )
+    → bit. Documents with equal fingerprints are near-dup candidates.
+
+    Like the MinHash signature, the whole fingerprint is a per-row
+    expression (aggregate over the token array): no explode, no
+    shuffle — map-side at any scale."""
+    toks = X.unique_tokens(text_col)
+
+    def bit_sum(i: int):
+        def step(acc, tok):
+            digit = F.substring(F.md5(tok), i + 1, 1)
+            val = F.instr(F.lit("0123456789abcdef"), digit) - 1
+            return acc + F.when(val >= 8, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(toks, F.lit(0), step)
+
     fingerprint = F.concat(
-        *[F.when(F.col(f"s{i}") >= 0, "1").otherwise("0") for i in range(bits)]
+        *[F.when(bit_sum(i) >= 0, "1").otherwise("0") for i in range(bits)]
     )
-    return sums.select("id", fingerprint.alias("simhash"))
+    return docs.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
 
 
 def embedding_near_duplicates(
