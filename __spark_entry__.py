@@ -695,9 +695,12 @@ SELECT id, {fp} AS simhash FROM s
 def q_doc_fingerprints(spark, sf_dir):
     """Winnowing-style rolling fingerprint (4-gram shingles, keep 4)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("id"),
-        H.rolling_fingerprint(X.tokens("text"), window=4, keep=4).alias("fingerprint"),
+    # tokens materialized first: inlining the regex into the shingle
+    # lambda would re-run it per array element (see operators/dedup.py)
+    toks = docs.select(F.col("doc_id").alias("id"), X.tokens("text").alias("toks"))
+    return toks.select(
+        "id",
+        H.rolling_fingerprint(F.col("toks"), window=4, keep=4).alias("fingerprint"),
     )
 
 

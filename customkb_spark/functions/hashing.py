@@ -52,34 +52,6 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", tokens_col)))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
-    """Aggregate expressions: one min-md5 per hash-family member.
-
-    Use inside groupBy(doc).agg(*minhash_signature(...)) after exploding
-    shingles — a single shuffle produces the whole signature.
-    """
-    return [
-        F.min(md5_hash(shingle_col, salt=k)).alias(f"mh{k}") for k in range(num_hashes)
-    ]
-
-
-def simhash_bits(token_col: Column, bits: int = 16) -> list[Column]:
-    """Per-token ±1 contributions for each SimHash bit.
-
-    Bit i of token t is derived from hex digit i of md5(t): digit value
-    ≥ 8 → +1 else −1 (i.e. the top bit of each 4-bit nibble). Summing
-    per document and taking sign(sum) ≥ 0 gives the fingerprint bit.
-    Expressible identically in DuckDB (strpos on a hex alphabet).
-    """
-    digest = F.md5(token_col)
-    out = []
-    for i in range(bits):
-        digit = F.substring(digest, i + 1, 1)
-        val = F.instr(F.lit("0123456789abcdef"), digit) - 1
-        out.append(F.when(val >= 8, F.lit(1)).otherwise(F.lit(-1)).alias(f"b{i}"))
-    return out
-
-
 def rolling_fingerprint(tokens_col: Column, window: int = 4, keep: int = 4) -> Column:
     """Winnowing-style document fingerprint: hash every ``window``-gram,
     keep the ``keep`` smallest digests, md5 the concatenation. Two

@@ -4,18 +4,26 @@ All variants are shuffle-conscious:
 
 - exact:      one groupBy on a content hash — the only full shuffle, and
               it's on a 128-bit key (no skew; salting unnecessary).
-- minhash:    explode shingles → ONE groupBy builds the whole signature
-              (16 min-aggregates in a single pass) → band keys → self
-              join on (band, key). At 100 TB the candidate join touches
-              only bucket collisions, never the full cross product.
-- simhash:    per-token bit contributions → one groupBy → fingerprint;
-              duplicates share a fingerprint groupBy.
-- ngram jaccard: verification step over candidate pairs only.
+- minhash:    per-row signature (zero shuffle) → band keys → ONE groupBy
+              on (band, key) emits pairs per bucket. At 100 TB the only
+              shuffle is bucket-sized; the full cross product never
+              materializes.
+- simhash:    per-row fingerprint (single aggregate over the token
+              array, zero shuffle); duplicates share a fingerprint.
+- ngram jaccard: per-row array_intersect over candidate pairs only.
 - embedding:  cosine over LSH/band-bucketed candidates (or brute force
               below a size threshold).
 
 Hashes are md5-based (functions/hashing.py) → reproducible across
 engines and runs; no Python UDFs anywhere.
+
+Plan-shape invariant (load-bearing for performance): token / shingle /
+digest arrays are materialized as their own projection step before any
+expression that references them repeatedly. Catalyst's CollapseProject
+keeps a non-cheap expression referenced more than once in its own
+Project, so the regex tokenizer runs ONCE per row; inlining it into a
+``transform``/``element_at`` lambda would re-run it per array element
+(observed 30×+ slowdowns).
 """
 
 from __future__ import annotations
@@ -49,6 +57,19 @@ def exact_duplicates(
     )
 
 
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles) with the token array materialized in its own
+    projection so the regex tokenizer runs once per row (see module
+    docstring)."""
+    toks = docs.select(F.col(id_col).alias("id"), X.tokens(text_col).alias("toks"))
+    return toks.select("id", H.shingles(F.col("toks"), shingle_n).alias("shingles"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -57,21 +78,22 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, mh0..mh{K-1}) — computed entirely PER ROW with higher-order
-    functions (transform + array_min): the signature build is map-side
-    with ZERO shuffle, so at 100 TB it scales with scan bandwidth.
-    (min over the shingle array ≡ min over the distinct shingle set.)"""
-    sh = H.shingles(X.tokens(text_col), shingle_n)
-
-    # NB: a two-parameter lambda would be interpreted by transform() as
-    # (element, index) — bind the salt via closure factory instead.
-    def _min_hash(k: int):
-        salt = f"{k}:"
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s)))
-        ).alias(f"mh{k}")
-
-    return docs.select(
-        F.col(id_col).alias("id"), *[_min_hash(k) for k in range(num_hashes)]
+    functions: one pass over the materialized shingle array per hash-
+    family member, ZERO shuffle, so at 100 TB it scales with scan
+    bandwidth. (min over the shingle array ≡ min over the distinct
+    shingle set.)"""
+    sh = shingle_sets(docs, id_col, text_col, shingle_n)
+    salts = F.array(*[F.lit(f"{k}:") for k in range(num_hashes)])
+    sig = F.transform(
+        salts,
+        lambda salt: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(salt, s)))
+        ),
+    )
+    with_sig = sh.select("id", sig.alias("sig"))
+    return with_sig.select(
+        "id",
+        *[F.element_at(F.col("sig"), k + 1).alias(f"mh{k}") for k in range(num_hashes)],
     )
 
 
@@ -92,24 +114,38 @@ def minhash_band_buckets(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def minhash_candidate_pairs(buckets: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from shared LSH buckets.
 
-    Self-join on (band, band_key). Mega-buckets (boilerplate shingles)
-    are the skew risk at scale — AQE skew-join handles moderate cases;
-    pathological buckets should be capped upstream (drop buckets with
-    > N members — they're near-identical boilerplate anyway).
+    ONE groupBy on (band, band_key) collects each bucket's members, then
+    pairs are generated per-row from the sorted member array — no self
+    join, so the upstream signature computation runs once, not twice.
+    Mega-buckets (boilerplate shingles) are the skew/blowup risk at
+    scale: pass ``max_bucket_size`` to drop buckets with more members —
+    they're near-identical boilerplate and quadratic in pair count.
     """
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+    members = (
+        buckets.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ids") <= max_bucket_size)
+    # all (i < j) combinations of the sorted member array, per row
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        members.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -124,41 +160,31 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs only.
 
-    Computes |A∩B| via a join of the exploded shingle sets restricted to
-    candidate ids — never materializes full set intersections per row.
+    Joins each pair to its two (distinct-)shingle arrays and computes
+    |A∩B| per row with ``array_intersect`` — two hash joins keyed on id,
+    no explode, no shingle-level shuffle. The candidate join already
+    restricts work to bucket collisions; per-pair set intersection is
+    linear in document length.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(H.shingles(X.tokens(text_col), shingle_n)).alias("shingle"),
-    ).distinct()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    ids = pairs.select(F.col("id_a").alias("id")).union(
-        pairs.select(F.col("id_b").alias("id"))
-    ).distinct()
-    sh_c = sh.join(F.broadcast(ids), "id")  # candidate shingles only
-    inter = (
-        pairs.join(sh_c.withColumnRenamed("id", "id_a"), ["id_a"])
-        .join(
-            sh_c.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "shingle_b"),
-            ["id_b"],
-        )
-        .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    sh = shingle_sets(docs, id_col, text_col, shingle_n).select(
+        "id", F.array_distinct("shingles").alias("sh_set")
     )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b"))
     j = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
             ),
         )
     )
-    return j.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
-    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
 def minhash_lsh_duplicates(
@@ -182,23 +208,33 @@ def simhash_fingerprints(
     """(id, simhash) — per-token ±1 bit votes summed per document, sign
     → bit. Documents with equal fingerprints are near-dup candidates.
 
-    Like the MinHash signature, the whole fingerprint is a per-row
-    expression (aggregate over the token array): no explode, no
-    shuffle — map-side at any scale."""
-    toks = X.unique_tokens(text_col)
-
-    def bit_sum(i: int):
-        def step(acc, tok):
-            digit = F.substring(F.md5(tok), i + 1, 1)
-            val = F.instr(F.lit("0123456789abcdef"), digit) - 1
-            return acc + F.when(val >= 8, F.lit(1)).otherwise(F.lit(-1))
-
-        return F.aggregate(toks, F.lit(0), step)
-
-    fingerprint = F.concat(
-        *[F.when(bit_sum(i) >= 0, "1").otherwise("0") for i in range(bits)]
+    The whole fingerprint is a per-row expression: md5 each unique token
+    ONCE, then a single aggregate pass updates all ``bits`` counters via
+    zip_with — no explode, no shuffle, map-side at any scale."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), X.unique_tokens(text_col).alias("toks")
     )
-    return docs.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
+    dig = toks.select("id", F.transform("toks", lambda t: F.md5(t)).alias("digests"))
+
+    positions = F.sequence(F.lit(1), F.lit(bits))
+
+    def step(acc, h):
+        return F.zip_with(
+            acc,
+            positions,
+            lambda a, i: a
+            + F.when(
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, i, F.lit(1))) - 1 >= 8,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    sums = F.aggregate(F.col("digests"), F.array_repeat(F.lit(0), bits), step)
+    fingerprint = F.array_join(
+        F.transform(sums, lambda s: F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+    return dig.select("id", fingerprint.alias("simhash"))
 
 
 def embedding_near_duplicates(
