@@ -29,9 +29,13 @@ from customkb_spark.functions import text as X
 from customkb_spark.functions import vector as V
 from customkb_spark.ingest.chunker import chunk_fixed
 from customkb_spark.ingest.pipeline import documents_to_chunks, incremental_filter
+from customkb_spark.embedding import lsh as LSH
 from customkb_spark.operators import bm25 as B
+from customkb_spark.operators import categorize as CAT
 from customkb_spark.operators import dedup as D
 from customkb_spark.operators import fusion as FU
+from customkb_spark.operators import multimodal as MM
+from customkb_spark.operators import rerank as RR
 from customkb_spark.operators import sessionize as S
 from customkb_spark.operators import topk as TK
 from customkb_spark.operators import windows as W
@@ -813,6 +817,190 @@ FROM w
 """
 
 
+# --------------------------------------------- rerank / categorize / media
+
+
+def q_rerank_topk(spark, sf_dir):
+    """M3/T4 rerank: vector top-20, head-10 re-ordered by deterministic
+    overlap score, tail passed through untouched."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = _vec_hits(spark, sf_dir, 20)
+    return _longs(RR.rerank_hits(hits, docs, QUERY_TERMS, rerank_top_k=10))
+
+
+_SQL_QTERMS = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
+
+SQL_RERANK = f"""
+WITH {_SQL_VEC_SCORES},
+hits AS (
+  SELECT id, score, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS orig_rank
+  FROM vec QUALIFY orig_rank <= 20),
+toks AS (SELECT doc_id AS id, {SQL_UTOKS.format(c='text')} AS utoks FROM documents),
+head AS (
+  SELECT h.id, h.score,
+         round(len(list_intersect(t.utoks, {_SQL_QTERMS}))
+               / CAST(len(list_distinct(list_concat(t.utoks, {_SQL_QTERMS}))) AS DOUBLE), 6) AS rerank_score
+  FROM hits h JOIN toks t USING (id) WHERE h.orig_rank <= 10),
+head_r AS (
+  SELECT id, score, rerank_score,
+         CAST(row_number() OVER (ORDER BY rerank_score DESC, id) AS BIGINT) AS final_rank
+  FROM head)
+SELECT id, score, rerank_score, final_rank FROM head_r
+UNION ALL
+SELECT id, score, CAST(NULL AS DOUBLE) AS rerank_score, orig_rank AS final_rank
+FROM hits WHERE orig_rank > 10
+"""
+
+
+def q_category_counts(spark, sf_dir):
+    """A5 category counts (lang as the category column)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CAT.category_counts(docs.select(F.col("lang").alias("primary_category")))
+
+
+SQL_CATEGORY_COUNTS = """
+SELECT lang AS category, count(*) AS n_docs FROM documents GROUP BY 1
+"""
+
+
+def q_category_fuzzy_pairs(spark, sf_dir):
+    """F17 fuzzy category merge candidates over distinct source names
+    (normalized Levenshtein ≥ 0.8 after a length-gap prune)."""
+    docs = _t(spark, sf_dir, "documents")
+    cats = docs.select(F.col("source").alias("category"))
+    return CAT.fuzzy_category_pairs(cats, threshold=0.8)
+
+
+SQL_CATEGORY_FUZZY = """
+WITH n AS (SELECT DISTINCT source AS name FROM documents)
+SELECT a.name AS cat_a, b.name AS cat_b,
+       round(1.0 - levenshtein(a.name, b.name)
+             / CAST(greatest(length(a.name), length(b.name)) AS DOUBLE), 6) AS similarity
+FROM n a JOIN n b
+  ON a.name < b.name
+ AND abs(length(a.name) - length(b.name))
+     <= ceil((1.0 - 0.8) * greatest(length(a.name), length(b.name)))
+WHERE round(1.0 - levenshtein(a.name, b.name)
+            / CAST(greatest(length(a.name), length(b.name)) AS DOUBLE), 6) >= 0.8
+"""
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    """Multimodal metadata pass: binary payload → byte_len / hash /
+    format, pure JVM exprs (the cheap pre-decode scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return MM.media_metadata(MM.attach_media(docs))
+
+
+SQL_MM_META = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_hash,
+       ['png', 'wav', 'mp4'][CAST(doc_id % 3 AS INT) + 1] AS format
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode stage (mapInPandas, Arrow-batched): the
+    deterministic-fake dims are hex-digit math over the content md5, so
+    the Python UDF output is fully oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    return _longs(MM.decode_media(MM.attach_media(docs)))
+
+
+_HEX_DIGITS = ",\n       ".join(
+    f"strpos('0123456789abcdef', substr(h, {i}, 1)) - 1 AS h{i}" for i in range(1, 11)
+)
+
+SQL_MM_DECODE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         md5(text) AS h
+  FROM documents),
+d AS (SELECT media_id, kind,
+       {_HEX_DIGITS}
+      FROM m)
+SELECT media_id, kind,
+       CAST(16 + (16 * h1 + h2) % 64 AS BIGINT) AS width,
+       CAST(16 + (16 * h3 + h4) % 64 AS BIGINT) AS height,
+       CAST(1 + (16 * h5 + h6) % 3 AS BIGINT) AS n_channels,
+       CAST(CASE WHEN kind = 'image' THEN 0
+                 ELSE 4096 * h7 + 256 * h8 + 16 * h9 + h10 END AS BIGINT) AS duration_ms
+FROM d
+"""
+
+
+def q_ngram_jaccard_topk(spark, sf_dir):
+    """n-gram Jaccard similarity scan: 3-gram shingle-set Jaccard of
+    every document vs probe doc 0, top 10."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingle_sets(docs, "doc_id", "text", 3).select(
+        "id", F.array_distinct("shingles").alias("sh_set")
+    )
+    probe = sh.filter(F.col("id") == 0).select(F.col("sh_set").alias("probe_set"))
+    j = sh.filter(F.col("id") != 0).crossJoin(F.broadcast(probe))
+    inter = F.size(F.array_intersect("sh_set", "probe_set"))
+    jac = F.round(
+        inter / (F.size("sh_set") + F.size("probe_set") - inter).cast("double"), 6
+    )
+    return (
+        j.select("id", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("id"))
+        .limit(10)
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH tk AS (SELECT doc_id AS id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+sh AS (
+  SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)]
+    ELSE [array_to_string(toks, ' ')] END) AS sh_set
+  FROM tk),
+p AS (SELECT sh_set AS probe_set FROM sh WHERE id = 0)
+SELECT s.id,
+       round(len(list_intersect(s.sh_set, p.probe_set))
+             / CAST(len(s.sh_set) + len(p.probe_set) - len(list_intersect(s.sh_set, p.probe_set)) AS DOUBLE), 6) AS jaccard
+FROM sh s, p WHERE s.id <> 0
+ORDER BY jaccard DESC, id LIMIT 10
+"""
+
+
+def q_lsh_bucketed_near_dups(spark, sf_dir):
+    """Hyperplane-LSH bucketed embedding near-dups: candidate pairs
+    restricted to same 8-bit bucket, exact cosine ≥ 0.35 within."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates(
+        LSH.assign_lsh_buckets(emb, LSH.random_hyperplanes(64, 8, 42)),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        bucket_col="lsh_bucket",
+    )
+
+
+def _sql_lsh_near_dups() -> str:
+    planes = LSH.random_hyperplanes(64, 8, 42)
+    bits = " || ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    cos = SQL_COS.format(a="a.v", b="b.v")
+    return f"""
+WITH bk AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bits} AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.35
+"""
+
+
 # ----------------------------------------------- non-SQL-expressible ops
 
 
@@ -874,6 +1062,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
+    "rerank_topk": q_rerank_topk,
+    "category_counts": q_category_counts,
+    "category_fuzzy_pairs": q_category_fuzzy_pairs,
+    "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_decode": q_multimodal_decode,
+    "ngram_jaccard_topk": q_ngram_jaccard_topk,
+    "lsh_bucketed_near_dups": q_lsh_bucketed_near_dups,
     "ann_ivf_topk": q_ann_ivf_topk,
     "hybrid_context_flagship": q_hybrid_context_flagship,
 }
@@ -908,6 +1103,13 @@ _ORACLES: dict[str, str] = {
     "lang_id": _sql_lang_id(),
     "quality_scores": _sql_quality(),
     "token_counts": SQL_TOKEN_COUNTS,
+    "rerank_topk": SQL_RERANK,
+    "category_counts": SQL_CATEGORY_COUNTS,
+    "category_fuzzy_pairs": SQL_CATEGORY_FUZZY,
+    "multimodal_metadata": SQL_MM_META,
+    "multimodal_decode": SQL_MM_DECODE,
+    "ngram_jaccard_topk": SQL_NGRAM_JACCARD,
+    "lsh_bucketed_near_dups": _sql_lsh_near_dups(),
     # ann_ivf_topk / hybrid_context_flagship: iterative KMeans + staged
     # pipeline — not SQL-expressible; rows-only check.
 }

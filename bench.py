@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",
     "simhash_fingerprints",
     "quality_scores",
+    "rerank_topk",
+    "ngram_jaccard_topk",
+    "lsh_bucketed_near_dups",
+    "multimodal_decode",
     "hybrid_context_flagship",
 ]
 

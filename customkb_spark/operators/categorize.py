@@ -1,0 +1,143 @@
+"""Category operations — the reference's categorize pipeline surface
+(SURVEY.md A5/A8/F17/J7, categorize/*.py) minus the LLM call itself.
+
+The LLM classification step (M5/M6) is non-deterministic and provider
+bound; it stays behind the provider interface (embedding/embedder.py
+pattern). Everything around it — counts, complexity heuristics, fuzzy
+merge, import-back join — is deterministic DataFrame algebra and lives
+here.
+
+Fuzzy merge at scale (F17, category_deduplicator.py:110-163): the
+reference scores every category pair with rapidfuzz (4 ratios, max).
+Category vocabularies are small (≤ thousands), so a broadcast self
+join is fine; the similarity is normalized Levenshtein — the cheap
+JVM-side prefilter SURVEY.md recommends, with the Python-UDF rapidfuzz
+pass as an optional refinement over surviving pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import text as X
+
+
+def category_counts(docs: DataFrame, cat_col: str = "primary_category") -> DataFrame:
+    """A5: per-category document counts (categorize_manager.py:680)."""
+    return (
+        docs.groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def complexity_score(text_col) -> "F.Column":
+    """A8 (categorize_manager.py:327-369): word/distinct-word/sentence
+    counts → suggested category count in [3, 7]."""
+    toks = X.tokens(text_col)
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_sentences = F.greatest(
+        F.size(F.split(text_col, "[.!?]+")) - 1, F.lit(1)
+    )
+    raw = (
+        n_words / F.lit(400.0)
+        + n_distinct / F.lit(200.0)
+        + n_sentences / F.lit(30.0)
+    )
+    return F.least(F.greatest(F.lit(3) + F.floor(raw).cast("int"), F.lit(3)), F.lit(7))
+
+
+def fuzzy_category_pairs(
+    categories: DataFrame,
+    name_col: str = "category",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """F17: candidate merge pairs by normalized Levenshtein similarity.
+
+    Returns (cat_a, cat_b, similarity) for distinct name pairs with
+    sim = 1 - lev(a,b)/max(len) ≥ threshold. A length-difference guard
+    (|len_a - len_b| small enough to allow ≥ threshold) prunes the
+    cross join before the quadratic edit-distance — the blocking step
+    that matters if the vocabulary ever grows.
+    """
+    names = categories.select(F.col(name_col).alias("name")).distinct()
+    a = names.select(F.col("name").alias("cat_a"), F.length("name").alias("len_a"))
+    b = names.select(F.col("name").alias("cat_b"), F.length("name").alias("len_b"))
+    max_len = F.greatest(F.col("len_a"), F.col("len_b"))
+    # lev ≥ |len_a - len_b|, so sim can only reach threshold when the
+    # length gap is ≤ (1 - threshold) · max_len. ceil keeps the guard
+    # conservative under float rounding (1.0-0.8 is 0.19999… in double —
+    # the final similarity filter, not the prefilter, must decide
+    # borderline pairs)
+    len_guard = F.abs(F.col("len_a") - F.col("len_b")) <= F.ceil(
+        (F.lit(1.0) - F.lit(threshold)) * max_len
+    )
+    sim = F.round(
+        F.lit(1.0) - F.levenshtein(F.col("cat_a"), F.col("cat_b")) / max_len.cast("double"),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), (F.col("cat_a") < F.col("cat_b")) & len_guard)
+        .withColumn("similarity", sim)
+        .filter(F.col("similarity") >= threshold)
+        .select("cat_a", "cat_b", "similarity")
+    )
+
+
+def merge_categories(
+    categories: DataFrame,
+    pairs: DataFrame,
+    name_col: str = "category",
+) -> DataFrame:
+    """Map each category to its canonical (lexicographically smallest)
+    merge partner: (category, canonical). One-hop union-find — the
+    reference merges greedily pairwise (category_deduplicator.py:
+    131-163), which one canonical-min hop reproduces for its
+    star-shaped clusters."""
+    partners = pairs.select(
+        F.col("cat_b").alias("name"), F.col("cat_a").alias("partner")
+    ).union(pairs.select(F.col("cat_a").alias("name"), F.col("cat_b").alias("partner")))
+    canon = partners.groupBy("name").agg(F.min("partner").alias("min_partner"))
+    names = categories.select(F.col(name_col).alias("name")).distinct()
+    return names.join(canon, "name", "left").select(
+        F.col("name").alias("category"),
+        F.least(F.col("name"), F.coalesce(F.col("min_partner"), F.col("name"))).alias(
+            "canonical"
+        ),
+    )
+
+
+def import_categories(
+    chunks: DataFrame,
+    assignments: DataFrame,
+    doc_col: str = "sourcedoc",
+    file_col: str = "filename",
+) -> DataFrame:
+    """J7 (categorize/import_to_db.py:86-104): attach LLM-assigned
+    categories back onto chunks by basename match — the reference's
+    ``sourcedoc LIKE '%/<filename>'`` update as a broadcast join +
+    coalesce (MERGE semantics)."""
+    basename = F.element_at(F.split(F.col(doc_col), "/"), -1)
+    assign = assignments.select(
+        F.col(file_col).alias("_file"),
+        F.col("primary_category").alias("_pc"),
+        F.col("categories").alias("_cats"),
+    )
+    joined = chunks.withColumn("_base", basename).join(
+        F.broadcast(assign), F.col("_base") == F.col("_file"), "left"
+    )
+    out = joined.withColumn(
+        "primary_category",
+        F.coalesce(
+            F.col("_pc"),
+            *( [F.col("primary_category")] if "primary_category" in chunks.columns else [] ),
+        ),
+    ).withColumn(
+        "categories",
+        F.coalesce(
+            F.col("_cats"),
+            *( [F.col("categories")] if "categories" in chunks.columns else [] ),
+        ),
+    )
+    return out.drop("_base", "_file", "_pc", "_cats")

@@ -1,0 +1,235 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / resize / frame-sample stages.
+
+The training-data-pipeline extension from the build brief: media
+travels as a ``binary`` column with a typed metadata struct; per-item
+processing runs as Arrow-batched ``mapInPandas`` stages. The actual
+codec work (PIL/ffmpeg/soundfile) is NOT available in this container,
+so the decode step is a DETERMINISTIC FAKE (clearly marked below):
+byte-derived pseudo-dimensions and histogram features. The Spark-side
+contract — schema, partitioning, UDF signature, Arrow batch shape — is
+real and is what these functions pin down; swapping the fake for a real
+codec changes only the inner per-row function.
+
+Scale notes: media rows are large (MBs) — keep
+``spark.sql.files.maxPartitionBytes`` low enough that a partition of
+payloads fits executor memory, and repartition by a hash of the id
+before decode so one straggler file can't skew a partition. Feature
+vectors (small) should be written to a separate narrow table so
+downstream similarity joins never drag payload bytes through a shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_KINDS = ["image", "audio", "video"]
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("byte_len", T.LongType(), True),
+                    T.StructField("content_hash", T.StringType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+_FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media table from the documents table (testdata has
+    no real binaries): payload = utf-8 bytes of the text, kind cycles by
+    id. Gives every downstream stage a reproducible binary input."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]), (F.col(id_col) % 3 + 1).cast("int")
+    )
+    content = F.encode(F.col(text_col), "utf-8")
+    fmt = F.element_at(
+        F.array(*[F.lit(_FORMATS[k]) for k in MEDIA_KINDS]),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("byte_len"),
+            F.md5(F.encode(F.col(text_col), "utf-8")).alias("content_hash"),
+            fmt.alias("format"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata projection — pure JVM exprs over the binary
+    column (byte length, content hash, format). The cheap pass that
+    runs BEFORE any decode fan-out at scale."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("content").cast("long").alias("byte_len"),
+        F.md5("content").alias("content_hash"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+def _fake_dims(payload: bytes, kind: str) -> tuple[int, int, int, int]:
+    """DETERMINISTIC FAKE decode (no codecs in container): pseudo
+    width/height/channels/duration derived from hex digits of the
+    content digest (hex-digit math so the DuckDB oracle can mirror it
+    exactly). Swap this single function for PIL/ffmpeg in production."""
+    h = hashlib.md5(payload or b"").hexdigest()
+    width = 16 + int(h[0:2], 16) % 64
+    height = 16 + int(h[2:4], 16) % 64
+    channels = 1 + int(h[4:6], 16) % 3
+    duration = int(h[6:10], 16) if kind in ("audio", "video") else 0
+    return width, height, channels, duration
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode stage: binary → typed dimensions via mapInPandas.
+
+    Arrow-batched; one output row per input row. Images get
+    width/height/channels; audio/video get duration_ms. Real codecs
+    replace ``_fake_dims`` only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [
+                _fake_dims(c, k) for c, k in zip(pdf["content"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_channels": [d[2] for d in dims],
+                    "duration_ms": [d[3] for d in dims],
+                }
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        batches, DECODED_SCHEMA
+    )
+
+
+def media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature-extract stage: byte-histogram feature vector (L1
+    normalized) per item via mapInPandas — the deterministic stand-in
+    for an image/audio embedding model; identical plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            feats = []
+            for payload in pdf["content"]:
+                arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                total = hist.sum() or 1
+                feats.append((hist / total).astype("float32").tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.select("media_id", "content").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stage (images only): STUB — raises NotImplementedError at
+    evaluation; no image codec in this container. The signature and
+    schema (binary in → binary out, one row per image) are the
+    contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires a codec (PIL) not present in this "
+            "container; plumbing contract only"
+        )
+        yield  # pragma: no cover
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sample stage (video): one row per sampled frame index.
+
+    Frame count = duration/every_ms (from the decode stage); frame
+    payload is a deterministic byte slice stand-in. The fan-out shape
+    (1 video → N frame rows, explode AFTER the cheap duration probe,
+    payload never duplicated N times in the plan until the slice) is
+    the part that matters at scale."""
+    decoded = decode_media(media).select("media_id", "duration_ms")
+    vids = (
+        media.filter(F.col("kind") == "video")
+        .join(decoded, "media_id")
+        .withColumn(
+            "n_frames",
+            F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1)),
+        )
+    )
+    frames = vids.select(
+        "media_id",
+        "content",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    )
+    # deterministic stand-in for an ffmpeg frame grab: a 16-byte slice
+    # at the frame's proportional offset
+    offset = (F.col("frame_idx") * 16) % F.greatest(F.octet_length("content") - 16, F.lit(1))
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.substring(F.col("content"), offset.cast("int") + 1, 16).alias("frame"),
+    )

@@ -1,0 +1,150 @@
+"""Cross-encoder reranking — reference M3 (embedding/rerank_manager.py).
+
+Reference semantics (rerank_manager.py:216-271, T4 in SURVEY.md §2.5):
+score only the top ``reranking_top_k`` hits with the (expensive) cross
+encoder, re-sort that head by the new score, and append the untouched
+tail in its original order. Score→distance parity (F12,
+rerank_manager.py:321-328): d = 1/(s + 1e-6) - 1; display similarity
+1/(1 + d).
+
+Two scorer paths:
+
+- ``overlap_score`` — deterministic JVM-side token-overlap (Jaccard of
+  query terms vs document tokens). No model, SQL-expressible → this is
+  the oracle-checked path and the test stand-in for the model (the
+  reference mocks its cross encoder the same way, SURVEY.md §5).
+- ``crossencoder_rerank`` — the real path: an Arrow-batched pandas UDF
+  with a per-executor model singleton (sentence-transformers isn't in
+  this container → gated behind an import-try; the Spark plumbing is
+  identical for any (query, text) → float scorer).
+
+Scale shape: the head is ≤ top_k rows (tiny — broadcastable); the model
+UDF only ever sees reranking_top_k rows per query, so cost is bounded
+regardless of corpus size. For batch query workloads the UDF processes
+(query, text) pairs grouped by query — one Arrow batch per partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import text as X
+
+RERANK_EPS = 1e-6
+
+# per-process (per-executor) model cache — the reference's singleton
+# pattern (rerank_manager.py:133-180)
+_MODELS: dict = {}
+
+
+def _get_crossencoder(model_name: str):
+    if model_name not in _MODELS:
+        try:
+            from sentence_transformers import CrossEncoder  # type: ignore
+        except ImportError as e:  # pragma: no cover - not in container
+            raise NotImplementedError(
+                "cross-encoder model unavailable; use overlap_score or "
+                "install sentence-transformers"
+            ) from e
+        _MODELS[model_name] = CrossEncoder(model_name)
+    return _MODELS[model_name]
+
+
+def overlap_score(query_terms: list[str], text_col) -> "F.Column":
+    """Deterministic rerank score: |Q ∩ T| / |Q ∪ T| over unique
+    lowercase tokens. JVM-side, no Python."""
+    q = F.array(*[F.lit(t) for t in dict.fromkeys(query_terms)])
+    toks = X.unique_tokens(text_col)
+    n_inter = F.size(F.array_intersect(toks, q))
+    n_union = F.size(F.array_union(toks, q))
+    return F.round(
+        F.when(n_union > 0, n_inter / n_union.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+
+
+def score_to_distance(score_col) -> "F.Column":
+    """F12 parity: rerank score → pseudo-distance (rerank_manager.py:
+    321-328)."""
+    return F.lit(1.0) / (score_col + F.lit(RERANK_EPS)) - F.lit(1.0)
+
+
+def distance_to_similarity(dist_col) -> "F.Column":
+    """Display similarity 1/(1+d) (formatters.py:470-477)."""
+    return F.lit(1.0) / (F.lit(1.0) + dist_col)
+
+
+def rerank_hits(
+    hits: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    rerank_top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scorer=None,
+) -> DataFrame:
+    """Rerank the head of a fused hit list; pass the tail through.
+
+    ``hits``: (id, score) in fused order. Returns (id, score,
+    rerank_score, final_rank): head rows ordered by rerank_score desc
+    (id tiebreak), then tail rows in original score order. Tail rows
+    have NULL rerank_score — exactly the reference's behavior of never
+    touching them (rerank_manager.py:216-271).
+    """
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    ranked = hits.select("id", "score", F.row_number().over(w).alias("orig_rank"))
+    head = ranked.filter(F.col("orig_rank") <= rerank_top_k)
+    tail = ranked.filter(F.col("orig_rank") > rerank_top_k)
+
+    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    score_expr = (
+        scorer(query_terms, F.col("_text"))
+        if scorer is not None
+        else overlap_score(query_terms, F.col("_text"))
+    )
+    scored_head = (
+        head.join(texts, "id")  # head is ≤ top_k rows → broadcastable
+        .withColumn("rerank_score", score_expr)
+        .drop("_text")
+    )
+    hw = Window.orderBy(F.desc("rerank_score"), F.asc("id"))
+    head_out = scored_head.select(
+        "id", "score", "rerank_score", F.row_number().over(hw).alias("final_rank")
+    )
+    tail_out = tail.select(
+        "id",
+        "score",
+        F.lit(None).cast("double").alias("rerank_score"),
+        F.col("orig_rank").alias("final_rank"),
+    )
+    return head_out.unionByName(tail_out).orderBy("final_rank")
+
+
+def crossencoder_rerank(
+    pairs: DataFrame,
+    query_col: str = "query",
+    text_col: str = "text",
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Real cross-encoder scoring as an Arrow-batched pandas UDF.
+
+    Adds ``rerank_score`` to ``pairs``. The model loads once per
+    executor (function-attribute singleton — the reference's per-process
+    model cache, rerank_manager.py:133-180). sentence-transformers is
+    not installed in this container: the UDF raises NotImplementedError
+    at evaluation time unless it's available; the plumbing (Arrow batch
+    shape, schema, singleton pattern) is what this function pins down.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _score(query: pd.Series, text: pd.Series) -> pd.Series:
+        model = _get_crossencoder(model_name)
+        scores = model.predict(
+            list(zip(query.tolist(), text.tolist())), batch_size=batch_size
+        )
+        return pd.Series(scores)
+
+    return pairs.withColumn("rerank_score", _score(F.col(query_col), F.col(text_col)))

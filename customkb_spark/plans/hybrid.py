@@ -117,6 +117,26 @@ def query(
     categories: list[str] | None = None,
 ) -> DataFrame:
     """Full pipeline: text in → ordered context rows out
-    (the reference's --context-only semantics, processing.py:262-264)."""
+    (the reference's --context-only semantics, processing.py:262-264).
+    With cfg.enable_reranking the fused head is re-ordered by the
+    rerank stage (M3/T4) before context retrieval."""
     fused = hybrid_search(index, query_text, query_vec, cfg)
+    cfg = cfg or KBConfig()
+    if cfg.enable_reranking:
+        from customkb_spark.operators.rerank import rerank_hits
+
+        q_terms = [t for t in dict.fromkeys(query_text.lower().split()) if t]
+        reranked = rerank_hits(
+            fused,
+            index.chunks,
+            q_terms,
+            cfg.reranking_top_k,
+            id_col="id",
+            text_col="originaltext",
+        )
+        fused = (
+            reranked.orderBy("final_rank")
+            .limit(cfg.query_top_k)
+            .select("id", "score")
+        )
     return retrieve_context(index, fused, cfg, categories)

@@ -1,0 +1,38 @@
+"""Hyperplane LSH: bucket determinism, near-dup pruning, search recall
+vs the exact oracle."""
+
+from customkb_spark.embedding import lsh as L
+from customkb_spark.operators.topk import brute_force_topk
+
+
+def test_bucket_assignment_deterministic(spark, embeddings):
+    planes = L.random_hyperplanes(64, nbits=8, seed=42)
+    a = {r["vec_id"]: r["lsh_bucket"] for r in L.assign_lsh_buckets(embeddings, planes).collect()}
+    b = {r["vec_id"]: r["lsh_bucket"] for r in L.assign_lsh_buckets(embeddings, planes).collect()}
+    assert a == b
+    assert all(len(k) == 8 and set(k) <= {"0", "1"} for k in a.values())
+
+
+def test_identical_vectors_always_collide(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [-1.0, -2.0, -3.0])],
+        ["vec_id", "embedding"],
+    )
+    out = L.lsh_near_duplicates(df, threshold=0.99, nbits=4)
+    pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert pairs == [(1, 2)]  # 3 is in the opposite bucket of every plane
+
+
+def test_lsh_search_recall_vs_exact(spark, embeddings):
+    planes = L.random_hyperplanes(64, nbits=4, seed=42)
+    row = embeddings.filter("vec_id = 0").select("embedding").first()
+    q = [float(x) for x in row[0]]
+    exact = [r["id"] for r in brute_force_topk(embeddings, q, 10, "vec_id", "embedding").collect()]
+    approx = [
+        r["id"]
+        for r in L.lsh_search(embeddings, q, planes, k=10, multiprobe_hamming=1).collect()
+    ]
+    # multi-probe over 4-bit buckets must at least find the query itself
+    # plus a reasonable share of true neighbors
+    assert 0 in approx
+    assert len(set(exact) & set(approx)) >= 3
