@@ -85,3 +85,17 @@ def corpus_stats(chunks: DataFrame, text_col: str = "text") -> tuple[int, float]
         F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
     ).collect()[0]
     return int(row["n"]), float(row["avgdl"])
+
+
+def needs_rebuild(
+    chunks: DataFrame,
+    processed_col: str = "keyphrase_processed",
+    threshold: int = 1000,
+) -> bool:
+    """BM25 staleness check (reference bm25_manager.py:227-255): rebuild
+    when more than ``threshold`` rows haven't been tokenized into the
+    index yet. One pushed-down count — at scale this reads row-group
+    statistics, not data. The streaming-native form is a Delta CDF
+    trigger; this is the batch/poll equivalent."""
+    pending = chunks.filter(~F.col(processed_col)).limit(threshold + 1).count()
+    return pending > threshold

@@ -121,3 +121,26 @@ def test_positional_sample(spark):
     out = W.positional_sample(chunks)
     got = {r["position"]: r["sid"] for r in out.collect()}
     assert got == {"top": 0, "middle": 2, "bottom": 4}
+
+
+def test_bm25_needs_rebuild(spark):
+    from customkb_spark.operators import bm25 as B
+
+    df = spark.createDataFrame(
+        [(i, i % 3 == 0) for i in range(30)], ["id", "keyphrase_processed"]
+    )
+    assert B.needs_rebuild(df, threshold=5)  # 20 pending > 5
+    assert not B.needs_rebuild(df, threshold=25)
+
+
+def test_query_log_roundtrip(spark, tmp_path):
+    from customkb_spark.plans import querylog as QL
+
+    path = str(tmp_path / "qlog")
+    QL.log_query(spark, path, "kb1", "what is spark", 0.12, 5)
+    QL.log_query(spark, path, "kb1", "minhash dedup", 0.34, 3)
+    log = QL.read_query_log(spark, path)
+    assert log.count() == 2
+    stats = QL.query_stats(log).collect()
+    assert stats[0]["n_queries"] == 2
+    assert abs(stats[0]["avg_elapsed_s"] - 0.23) < 1e-6

@@ -1,0 +1,95 @@
+"""Physical-plan regression tests — pin the plan shapes that matter at
+100 TB (pushdown, broadcast strategies, top-k physical op, shuffle-free
+fingerprints). A green result here means Catalyst still picks the plan
+we designed for, not just that the numbers come out right.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from customkb_spark.operators import dedup as D
+from customkb_spark.operators.range_join import context_range_join
+from customkb_spark.ingest.pipeline import incremental_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = explain_str(E.q_tpch_q1_pricing_summary(spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: untouched wide columns never reach the scan
+    assert "l_comment" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = explain_str(E.q_top_orders_by_price(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vector_topk_is_take_ordered(spark):
+    plan = explain_str(E.q_vector_topk_cosine(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = explain_str(E.q_segment_order_stats(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_shape(spark, documents):
+    files = documents.select("doc_id", F.col("source").alias("path"))
+    log = documents.limit(5).select(F.col("source").alias("file_path"))
+    plan = explain_str(incremental_filter(files, log, "path"), "simple")
+    assert "LeftAnti" in plan
+
+
+def test_context_range_join_broadcasts_hits(spark, documents):
+    from customkb_spark.ingest.chunker import chunk_fixed
+
+    chunks = chunk_fixed(documents, "doc_id", "text", 80).withColumnRenamed(
+        "doc_id", "sourcedoc"
+    )
+    hits = spark.createDataFrame([(0, 2, 0.9)], ["sourcedoc", "sid", "score"])
+    plan = explain_str(
+        context_range_join(hits, chunks, text_col="chunk_text"), "simple"
+    )
+    # equi key (sourcedoc) + BETWEEN residual, hit side broadcast: a
+    # BroadcastHashJoin, never a shuffle of the corpus
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_signatures_shuffle_free(spark, documents):
+    sigs = D.minhash_signatures(documents, "doc_id", "text", 16, 3)
+    plan = explain_str(sigs, "simple")
+    assert "Exchange" not in plan  # map-side only
+
+
+def test_simhash_shuffle_free(spark, documents):
+    plan = explain_str(D.simhash_fingerprints(documents), "simple")
+    assert "Exchange" not in plan
+
+
+def test_signature_tokenizer_not_inlined(spark, documents):
+    # the regex tokenizer must appear in its own Project, not inside the
+    # per-element minhash lambdas (the quadratic-eval regression)
+    plan = explain_str(D.minhash_signatures(documents, "doc_id", "text", 4, 3), "extended")
+    physical = plan.split("== Physical Plan ==", 1)[1]
+    # one tokenizer eval per row: regexp appears in the shingle
+    # projection only — lambda bodies reference the materialized array
+    assert physical.count("regexp_extract_all") <= 2
+
+
+def test_knn_join_broadcasts_queries(spark):
+    plan = explain_str(E.q_knn_join(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
