@@ -933,6 +933,48 @@ FROM d
 """
 
 
+def q_chunk_metadata(spark, sf_dir):
+    """F4 metadata extraction: heading / section type / document
+    section / counts / TitleCase entity spans, all JVM regex exprs."""
+    from customkb_spark.ingest import metadata as MD
+
+    docs = _t(spark, sf_dir, "documents")
+    return _longs(
+        docs.select("doc_id", MD.chunk_metadata("text").alias("m")).select(
+            "doc_id",
+            F.col("m.heading").alias("heading"),
+            F.col("m.section_type").alias("section_type"),
+            F.col("m.document_section").alias("document_section"),
+            F.col("m.char_length").alias("char_length"),
+            F.col("m.word_count").alias("word_count"),
+            F.col("m.entities").alias("entities"),
+        )
+    )
+
+
+SQL_CHUNK_METADATA = r"""
+SELECT doc_id,
+       CASE WHEN regexp_extract(substr(text, 1, 200), '(?m)^#{1,6}\s+(.+)$', 1) <> ''
+            THEN regexp_extract(substr(text, 1, 200), '(?m)^#{1,6}\s+(.+)$', 1)
+            ELSE trim(regexp_extract(substr(text, 1, 200), '^([^\n]{1,120})', 1)) END AS heading,
+       CASE WHEN regexp_matches(text, '```|(?m)^ {4,}\S') THEN 'code_block'
+            WHEN regexp_matches(text, '(?m)^\s*\|.*\|') THEN 'table'
+            WHEN regexp_matches(text, '<[a-zA-Z][^>]*>') THEN 'html'
+            WHEN regexp_matches(text, '(?m)^\s*[-*+]\s+') THEN 'bullet_list'
+            WHEN regexp_matches(text, '(?m)^\s*\d+[.)]\s+') THEN 'numbered_list'
+            ELSE 'text' END AS section_type,
+       CASE WHEN regexp_matches(lower(text), 'introduction|overview|abstract') THEN 'introduction'
+            WHEN regexp_matches(lower(text), 'conclusion|summary|final') THEN 'conclusion'
+            WHEN regexp_matches(lower(text), 'references|bibliography|citations') THEN 'references'
+            ELSE 'body' END AS document_section,
+       CAST(length(text) AS BIGINT) AS char_length,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS word_count,
+       list_sort(list_distinct(regexp_extract_all(substr(text, 1, 500),
+           '\b[A-Z][a-z]+(?: [A-Z][a-z]+){0,2}\b'))) AS entities
+FROM documents
+"""
+
+
 def q_ngram_jaccard_topk(spark, sf_dir):
     """n-gram Jaccard similarity scan: 3-gram shingle-set Jaccard of
     every document vs probe doc 0, top 10."""
@@ -1067,6 +1109,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "category_fuzzy_pairs": q_category_fuzzy_pairs,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
+    "chunk_metadata": q_chunk_metadata,
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "lsh_bucketed_near_dups": q_lsh_bucketed_near_dups,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1108,6 +1151,7 @@ _ORACLES: dict[str, str] = {
     "category_fuzzy_pairs": SQL_CATEGORY_FUZZY,
     "multimodal_metadata": SQL_MM_META,
     "multimodal_decode": SQL_MM_DECODE,
+    "chunk_metadata": SQL_CHUNK_METADATA,
     "ngram_jaccard_topk": SQL_NGRAM_JACCARD,
     "lsh_bucketed_near_dups": _sql_lsh_near_dups(),
     # ann_ivf_topk / hybrid_context_flagship: iterative KMeans + staged
