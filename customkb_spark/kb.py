@@ -1,0 +1,165 @@
+"""KnowledgeBase facade — the reference's CLI lifecycle
+(``customkb database|embed|query``, customkb.py:545-629) over Spark
+tables.
+
+A KB is a directory of parquet tables (the reference's
+$VECTORDBS/<name>/ with SQLite+FAISS+NPZ sidecars, SURVEY.md §1.1):
+
+    <kb_dir>/chunks/      the canonical chunk table (CHUNKS_SCHEMA subset)
+    <kb_dir>/vectors/     (id, vector) — the FAISS-file equivalent
+    <kb_dir>/ingest_log/  (file_path, …) — the file_metadata registry
+
+Semantics preserved from the reference:
+- ``database`` is incremental: already-ingested sources are skipped via
+  a left-anti join on the ingest log (S4/U2); ``force`` re-ingests.
+- ``embed`` embeds only rows without a vector (the ``embedded=0``
+  pending set, embed_manager.py:586) — expressed as an anti-join
+  against the vectors table instead of a mutable flag column, so the
+  append-only tables need no MERGE.
+- ``query`` builds the hybrid index from the tables and runs the full
+  fused-retrieval pipeline; ``context_only`` mirrors the reference's
+  --context-only flag, otherwise the (stubbed) LLM answers.
+
+At 100 TB: chunks/vectors are written partitioned by a hash bucket of
+``sourcedoc`` — each document's chunks co-locate, so the context range
+join and sid window never shuffle the corpus; the ingest log stays tiny.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customkb_spark.config import KBConfig
+from customkb_spark.embedding.embedder import embed_texts
+from customkb_spark.ingest.pipeline import documents_to_chunks
+from customkb_spark.plans import hybrid as HY
+from customkb_spark.plans.answer import generate_answer
+from customkb_spark.plans.formatters import format_references
+from customkb_spark.plans.querylog import log_query
+
+
+class KnowledgeBase:
+    def __init__(self, spark: SparkSession, kb_dir: str, cfg: KBConfig | None = None):
+        self.spark = spark
+        self.kb_dir = kb_dir
+        self.cfg = cfg or KBConfig()
+        self._index: HY.HybridIndex | None = None
+
+    # ---------------------------------------------------------- paths
+    def _p(self, name: str) -> str:
+        return os.path.join(self.kb_dir, name)
+
+    def _exists(self, name: str) -> bool:
+        return os.path.isdir(self._p(name))
+
+    def _read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._p(name))
+
+    # ------------------------------------------------------- database
+    def database(self, docs: DataFrame, force: bool = False) -> int:
+        """Ingest a documents DataFrame (doc_id, text, source[, lang]).
+
+        Returns the number of NEW chunks written. Incremental by
+        ``source`` path; ``force=True`` re-ingests everything (the
+        reference deletes+reinserts per path, db_manager.py:613-615).
+        """
+        if not force and self._exists("ingest_log"):
+            seen = self._read("ingest_log")
+            docs = docs.join(
+                seen.select(F.col("file_path").alias("source")), "source", "left_anti"
+            )
+        lang = "lang" if "lang" in docs.columns else None
+        chunks = documents_to_chunks(
+            docs, lang_col=lang, chunk_size=self.cfg.db_max_tokens
+        )
+        n = chunks.count()
+        if n == 0:
+            return 0
+        mode = "overwrite" if force else "append"
+        chunks.write.mode(mode).parquet(self._p("chunks"))
+        log = docs.select(
+            F.col("source").alias("file_path"),
+            F.current_timestamp().alias("ingested_at"),
+        ).distinct()
+        log.write.mode(mode).parquet(self._p("ingest_log"))
+        self._index = None
+        return n
+
+    # ---------------------------------------------------------- embed
+    def embed(self) -> int:
+        """Embed chunks that have no vector yet (anti-join pending set).
+        Returns the number of new vectors."""
+        chunks = self._read("chunks")
+        pending = chunks.filter(F.length("embedtext") > 0)
+        if self._exists("vectors"):
+            have = self._read("vectors").select("id")
+            pending = pending.join(have, "id", "left_anti")
+        vectors = embed_texts(
+            pending,
+            "id",
+            "embedtext",
+            self.cfg.vector_model,
+            self.cfg.vector_dimensions,
+        )
+        n = vectors.count()
+        if n:
+            vectors.write.mode("append").parquet(self._p("vectors"))
+            self._index = None
+        return n
+
+    # ---------------------------------------------------------- query
+    def _build_index(self) -> HY.HybridIndex:
+        if self._index is None:
+            self._index = HY.HybridIndex.build(
+                self._read("chunks").cache(), self._read("vectors")
+            )
+        return self._index
+
+    def query(
+        self,
+        query_text: str,
+        context_only: bool = True,
+        fmt: str = "plain",
+        categories: list[str] | None = None,
+        log: bool = True,
+    ) -> str:
+        """Full reference query lifecycle (SURVEY.md §3.3): hybrid
+        search → context assembly → format → (stub) LLM answer."""
+        t0 = time.time()
+        index = self._build_index()
+        ctx = HY.query(index, query_text, self.cfg, categories=categories)
+        reference_string = format_references(ctx, fmt)
+        if log:
+            try:
+                log_query(
+                    self.spark,
+                    self._p("query_log"),
+                    os.path.basename(self.kb_dir),
+                    query_text,
+                    time.time() - t0,
+                    ctx.count(),
+                )
+            except Exception:
+                pass  # logging must never fail the query
+        if context_only:
+            return reference_string
+        return generate_answer(query_text, reference_string)
+
+    # ------------------------------------------------------ ops surface
+    def verify(self) -> dict[str, int]:
+        """verify-indexes equivalent: table row counts + pending work."""
+        out: dict[str, int] = {}
+        chunks = self._read("chunks") if self._exists("chunks") else None
+        out["chunks"] = chunks.count() if chunks is not None else 0
+        out["vectors"] = self._read("vectors").count() if self._exists("vectors") else 0
+        if chunks is not None and self._exists("vectors"):
+            out["pending_embed"] = (
+                chunks.filter(F.length("embedtext") > 0)
+                .join(self._read("vectors").select("id"), "id", "left_anti")
+                .count()
+            )
+        return out

@@ -1,0 +1,123 @@
+"""Answer generation — reference M4 (query/llm.py:92-218) behind a
+provider interface.
+
+The reference calls LiteLLM chat completion with a templated
+{system, user(reference_string, query)} prompt
+(query/prompt_templates.py:8-95). LLM calls are non-deterministic and
+network-bound, so — like embeddings — they live behind a provider
+interface with a DETERMINISTIC EXTRACTIVE STUB as the default (the
+reference mocks its LLM the same way in tests, SURVEY.md §5).
+
+This is a driver-side, per-query step (one call). For batch query
+workloads, `answer_batch` runs the provider inside mapInPandas — one
+Arrow batch of (query, reference_string) rows per call group, the M5
+categorize shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mirrors the reference's default template shape
+# (query/prompt_templates.py:8-35).
+PROMPT_TEMPLATES: dict[str, dict[str, str]] = {
+    "default": {
+        "system": (
+            "You are a helpful assistant. Answer strictly from the "
+            "provided reference material. Cite sources."
+        ),
+        "user": "Reference material:\n{reference_string}\n\nQuestion: {query_text}",
+    },
+    "instructive": {
+        "system": (
+            "Answer the question using ONLY the references. If the "
+            "references are insufficient, say so."
+        ),
+        "user": "{reference_string}\n\nQ: {query_text}\nA:",
+    },
+}
+
+
+def build_prompt(
+    query_text: str, reference_string: str, template: str = "default"
+) -> tuple[str, str]:
+    t = PROMPT_TEMPLATES.get(template, PROMPT_TEMPLATES["default"])
+    return t["system"], t["user"].format(
+        reference_string=reference_string, query_text=query_text
+    )
+
+
+class LLMProvider:
+    """Chat-completion interface (reference query/llm.py:157-218)."""
+
+    name = "base"
+
+    def complete(self, system: str, user: str, max_tokens: int = 512) -> str:
+        raise NotImplementedError
+
+
+class ExtractiveStubLLM(LLMProvider):
+    """Deterministic 'answer': the most query-term-dense reference
+    lines, verbatim. No model, no network — test/CI default."""
+
+    name = "stub-extractive"
+
+    def complete(self, system: str, user: str, max_tokens: int = 512) -> str:
+        # user = "...{reference_string}...Question: {query}" — recover both
+        lines = [ln.strip() for ln in user.splitlines() if ln.strip()]
+        q_terms = set(lines[-1].lower().split()) if lines else set()
+        scored = sorted(
+            (
+                (sum(1 for w in ln.lower().split() if w in q_terms), i, ln)
+                for i, ln in enumerate(lines[:-1])
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        best = [ln for score, _, ln in scored[:3] if score > 0]
+        return " ".join(best) if best else "No relevant reference found."
+
+
+_LLM_PROVIDERS: dict[str, type[LLMProvider]] = {"stub-extractive": ExtractiveStubLLM}
+
+
+def get_llm(name: str = "stub-extractive") -> LLMProvider:
+    return _LLM_PROVIDERS[name]()
+
+
+def generate_answer(
+    query_text: str,
+    reference_string: str,
+    template: str = "default",
+    provider: LLMProvider | None = None,
+) -> str:
+    provider = provider or ExtractiveStubLLM()
+    system, user = build_prompt(query_text, reference_string, template)
+    return provider.complete(system, user)
+
+
+def answer_batch(
+    queries: DataFrame,
+    query_col: str = "query",
+    ref_col: str = "reference_string",
+    template: str = "default",
+    model: str = "stub-extractive",
+) -> DataFrame:
+    """Batch answers via mapInPandas — provider instantiated once per
+    partition, one row per query."""
+    out_schema = f"{queries.schema.simpleString()[7:-1]}, answer string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        provider = get_llm(model)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["answer"] = [
+                generate_answer(q, r, template, provider)
+                for q, r in zip(pdf[query_col], pdf[ref_col])
+            ]
+            yield pdf
+
+    return queries.mapInPandas(run, out_schema)

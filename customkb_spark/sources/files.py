@@ -122,3 +122,46 @@ def read_text_files(
 ) -> DataFrame:
     """Scan + decode in one call — the ingest pipeline's file front end."""
     return decode_text(scan_files(spark, pattern, max_file_size_mb))
+
+
+def convert_files_to_utf8(
+    spark: SparkSession,
+    pattern: str,
+    dry_run: bool = True,
+    backup_suffix: str = ".bak",
+) -> DataFrame:
+    """S9 encoding converter (utils/encoding_converter.py:88-148):
+    rewrite non-utf-8 text files in place as utf-8 (with backup).
+
+    Returns a report DataFrame (path, encoding, converted). With
+    ``dry_run`` nothing is written — the report shows what would
+    change. The rewrite runs in ``foreachPartition`` (each executor
+    writes its partition's files); only files whose detected encoding
+    isn't utf-8 are touched.
+    """
+    decoded = decode_text(scan_files(spark, pattern))
+    report = decoded.select(
+        "path",
+        "encoding",
+        (F.col("encoding") != "utf-8").alias("converted"),
+    )
+    if dry_run:
+        return report
+
+    # materialize the report BEFORE rewriting — the plan is lazy and
+    # would otherwise re-scan the already-converted files
+    report_rows = report.collect()
+
+    def rewrite(rows) -> None:
+        import shutil
+
+        for r in rows:
+            if r["encoding"] in (None, "utf-8") or r["text"] is None:
+                continue
+            path = r["path"].replace("file:", "", 1)
+            shutil.copy2(path, path + backup_suffix)
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(r["text"])
+
+    decoded.foreachPartition(rewrite)
+    return spark.createDataFrame(report_rows, report.schema)

@@ -1,0 +1,75 @@
+"""KnowledgeBase facade: database→embed→query lifecycle, incremental
+ingest, verify stats, answer stub."""
+
+from customkb_spark.config import KBConfig
+from customkb_spark.kb import KnowledgeBase
+from customkb_spark.plans.answer import ExtractiveStubLLM, build_prompt, generate_answer
+
+
+def _kb(spark, tmp_path, documents):
+    kb = KnowledgeBase(spark, str(tmp_path / "kb1"), KBConfig(query_top_k=5))
+    n = kb.database(documents.limit(20))
+    assert n > 0
+    assert kb.embed() > 0
+    return kb
+
+
+def test_lifecycle_and_query(spark, tmp_path, documents):
+    kb = _kb(spark, tmp_path, documents)
+    ctx = kb.query("spark data query table", context_only=True, log=False)
+    assert isinstance(ctx, str) and len(ctx) > 0
+    stats = kb.verify()
+    assert stats["chunks"] > 0 and stats["vectors"] > 0
+    assert stats["pending_embed"] == 0
+
+
+def test_incremental_database_skips_seen(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} about spark", f"file{i}.txt") for i in range(10)],
+        ["doc_id", "text", "source"],
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "kb2"), KBConfig(query_top_k=5))
+    assert kb.database(docs) > 0
+    assert kb.embed() > 0
+    assert kb.database(docs) == 0  # all sources seen
+    assert kb.embed() == 0  # nothing pending
+    more = spark.createDataFrame(
+        [(100, "a brand new document", "file100.txt")], ["doc_id", "text", "source"]
+    )
+    assert kb.database(more) > 0  # new source flows through
+    assert kb.embed() > 0
+
+
+def test_answer_stub_extractive(spark, tmp_path, documents):
+    kb = _kb(spark, tmp_path, documents)
+    ans = kb.query("spark data query", context_only=False, log=False)
+    assert isinstance(ans, str) and len(ans) > 0
+
+
+def test_prompt_template_and_stub_determinism():
+    sys_p, user_p = build_prompt("what is spark", "spark is an engine\nother line")
+    assert "what is spark" in user_p and "spark is an engine" in user_p
+    a1 = generate_answer("what is spark", "spark is an engine\nnoise line")
+    a2 = generate_answer("what is spark", "spark is an engine\nnoise line")
+    assert a1 == a2
+    assert "spark" in a1
+
+
+def test_query_log_written(spark, tmp_path, documents):
+    kb = _kb(spark, tmp_path, documents)
+    kb.query("spark data", log=True)
+    log = spark.read.parquet(str(tmp_path / "kb1" / "query_log"))
+    assert log.count() == 1
+
+
+def test_maintenance_optimize_and_stats(spark, tmp_path, documents):
+    from customkb_spark.plans.maintenance import optimize_chunks, table_stats
+
+    kb = _kb(spark, tmp_path, documents)
+    before = kb.verify()
+    optimize_chunks(spark, str(tmp_path / "kb1" / "chunks"), target_file_mb=64)
+    after = spark.read.parquet(str(tmp_path / "kb1" / "chunks"))
+    assert after.count() == before["chunks"]
+    stats = {r["table"]: r for r in table_stats(spark, str(tmp_path / "kb1")).collect()}
+    assert stats["chunks"]["n_rows"] == before["chunks"]
+    assert stats["vectors"]["n_rows"] == before["vectors"]

@@ -41,3 +41,19 @@ def test_decode_bytes_last_resort():
     text, enc = S._decode_bytes(b"\x81 invalid in utf8 \xff and cp1252")
     assert enc == "latin-1" and text is not None
     assert S._decode_bytes(None) == (None, None)
+
+
+def test_convert_files_to_utf8(spark, tmp_path):
+    d = tmp_path / "conv"
+    d.mkdir()
+    (d / "ok.txt").write_bytes("already utf-8 ✓".encode("utf-8"))
+    (d / "legacy.txt").write_bytes("café legacy".encode("windows-1252"))
+    report = {
+        r["path"].split("/")[-1]: r
+        for r in S.convert_files_to_utf8(spark, str(d), dry_run=False).collect()
+    }
+    assert report["legacy.txt"]["converted"] is True
+    assert report["ok.txt"]["converted"] is False
+    # file rewritten as utf-8, backup kept
+    assert (d / "legacy.txt").read_text(encoding="utf-8") == "café legacy"
+    assert (d / "legacy.txt.bak").exists()
