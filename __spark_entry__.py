@@ -438,6 +438,43 @@ ORDER BY score DESC, id LIMIT 20
 """
 
 
+QUERY2_TERMS = ["merge", "sort", "batch"]
+
+
+def q_bm25_score_batch(spark, sf_dir):
+    """Batch BM25: one postings scan scores a whole query set; per-qid
+    window top-20."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = B.build_postings(docs, "doc_id", "text")
+    n, avgdl = B.corpus_stats(docs, "text")
+    stats = B.build_term_stats(postings, n)
+    qt = spark.createDataFrame(
+        [(0, t) for t in QUERY_TERMS] + [(1, t) for t in QUERY2_TERMS],
+        ["qid", "term"],
+    )
+    return B.bm25_score_batch(postings, stats, qt, avgdl, 1.2, 0.75, 20)
+
+
+SQL_BM25_BATCH = f"""
+WITH qt AS (
+  SELECT * FROM (VALUES {", ".join(f"(0, '{t}')" for t in QUERY_TERMS)},
+                        {", ".join(f"(1, '{t}')" for t in QUERY2_TERMS)}) AS t(qid, term)),
+u AS (SELECT doc_id AS id, {SQL_UTOKS.format(c='text')} AS toks FROM documents),
+post AS (SELECT id, len(toks) AS dl, unnest(toks) AS term FROM u),
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM u),
+scored AS (
+  SELECT qt.qid, post.id,
+         round(sum( ln((c.n - stats.df + 0.5) / (stats.df + 0.5) + 1.0) * (1.2 + 1.0)
+                    / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * post.dl / c.avgdl)) ), 6) AS score
+  FROM post JOIN qt USING (term) JOIN stats USING (term), c
+  GROUP BY qt.qid, post.id
+  HAVING score > 0)
+SELECT CAST(qid AS BIGINT) AS qid, id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) <= 20
+"""
+
+
 # SQL fragments for the fused retrieval pipeline
 _SQL_VEC_SCORES = f"""
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -1091,6 +1128,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cache_probe_misses": q_cache_probe_misses,
     "bm25_term_stats": q_bm25_term_stats,
     "bm25_score": q_bm25_score,
+    "bm25_score_batch": q_bm25_score_batch,
     "vector_topk_cosine": q_vector_topk_cosine,
     "knn_join": q_knn_join,
     "rrf_fusion": q_rrf_fusion,
@@ -1133,6 +1171,7 @@ _ORACLES: dict[str, str] = {
     "cache_probe_misses": SQL_CACHE_MISSES,
     "bm25_term_stats": SQL_TERM_STATS,
     "bm25_score": SQL_BM25,
+    "bm25_score_batch": SQL_BM25_BATCH,
     "vector_topk_cosine": SQL_VEC_TOPK,
     "knn_join": SQL_KNN,
     "rrf_fusion": SQL_RRF,

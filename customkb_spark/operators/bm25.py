@@ -99,3 +99,42 @@ def needs_rebuild(
     trigger; this is the batch/poll equivalent."""
     pending = chunks.filter(~F.col(processed_col)).limit(threshold + 1).count()
     return pending > threshold
+
+
+def bm25_score_batch(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    query_terms: DataFrame,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 1000,
+) -> DataFrame:
+    """Score a whole query SET in one corpus pass.
+
+    ``query_terms``: (qid, term) — one row per unique term per query
+    (small: Q × terms-per-query → broadcast). Returns (qid, id, score),
+    top-``limit`` per query. One postings scan serves every query; the
+    shuffle carries only matching (qid, posting) rows.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(query_terms.select("qid", F.lower("term").alias("term")).distinct())
+    matched = postings.join(q, "term")
+    score_term = (
+        F.col("idf")
+        * (k1 + 1.0)
+        / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        matched.join(term_stats, "term")
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum(score_term), 6).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .drop("_rn")
+    )

@@ -68,3 +68,37 @@ def weighted_fuse(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def _ranked_batch(df: DataFrame, side: str) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return df.select(
+        "qid",
+        "id",
+        F.col("score").alias(f"{side}_score"),
+        F.row_number().over(w).alias(f"{side}_rank"),
+    )
+
+
+def rrf_fuse_batch(
+    vec: DataFrame, kw: DataFrame, k: int = 60, top_k: int = 50
+) -> DataFrame:
+    """Per-query RRF over (qid, id, score) result sets — the batch twin
+    of rrf_fuse; ranks and the final top-k are windows partitioned by
+    qid, so Q queries fuse in one pass with a Q×k-row shuffle."""
+    v, b = _ranked_batch(vec, "vec"), _ranked_batch(kw, "bm25")
+    contrib_v = F.when(
+        F.col("vec_rank").isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col("vec_rank"))
+    ).otherwise(0.0)
+    contrib_b = F.when(
+        F.col("bm25_rank").isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col("bm25_rank"))
+    ).otherwise(0.0)
+    fused = v.join(b, ["qid", "id"], "full_outer").select(
+        "qid", "id", F.round(contrib_v + contrib_b, 6).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )

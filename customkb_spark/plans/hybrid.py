@@ -109,6 +109,89 @@ def retrieve_context(
     )
 
 
+def hybrid_search_batch(
+    index: HybridIndex,
+    queries: DataFrame,
+    cfg: KBConfig | None = None,
+) -> DataFrame:
+    """Fused (qid, id, score) for a whole queries DataFrame
+    (qid, query_text) — ONE corpus scan per ranker serves every query.
+
+    Query embedding runs through the batch embedder (mapInPandas);
+    vector candidates come from the broadcast k-NN join; BM25 scores the
+    exploded (qid, term) set against the postings table; fusion is a
+    per-qid window. At any corpus size the per-query cost is a broadcast
+    row, not a scan — the shape that replaces the reference's per-query
+    process loop.
+    """
+    cfg = cfg or KBConfig()
+    from customkb_spark.embedding.embedder import embed_texts
+    from customkb_spark.operators.topk import knn_join
+
+    qvecs = embed_texts(
+        queries, "qid", "query_text", cfg.vector_model, cfg.vector_dimensions
+    ).select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+    vec_hits = knn_join(
+        qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector"
+    ).select("qid", "id", "score")
+
+    terms = queries.select(
+        "qid",
+        F.explode(
+            F.array_distinct(F.split(F.lower("query_text"), "\\s+"))
+        ).alias("term"),
+    ).filter(F.length("term") >= cfg.bm25_min_token_length)
+    kw_hits = B.bm25_score_batch(
+        index.postings,
+        index.term_stats,
+        terms,
+        index.avgdl,
+        cfg.bm25_k1,
+        cfg.bm25_b,
+        cfg.bm25_max_results,
+    )
+    if not cfg.enable_hybrid_search:
+        return vec_hits
+    return FU.rrf_fuse_batch(vec_hits, kw_hits, cfg.rrf_k, cfg.query_top_k)
+
+
+def query_batch(
+    index: HybridIndex,
+    queries: DataFrame,
+    cfg: KBConfig | None = None,
+) -> DataFrame:
+    """Batch retrieval end-to-end: (qid, query_text) → per-query context
+    rows (qid, sourcedoc, hit_sid, sid, text). The context range join
+    carries qid through, so one broadcast of all hits expands every
+    query's windows in a single chunks scan."""
+    cfg = cfg or KBConfig()
+    fused = hybrid_search_batch(index, queries, cfg)
+    hit_rows = fused.join(index.chunks.select("id", "sourcedoc", "sid"), "id")
+    from customkb_spark.operators.range_join import context_range
+
+    bounds = F.broadcast(
+        context_range(
+            hit_rows, cfg.query_context_scope, cfg.similarity_threshold,
+            cfg.low_similarity_scope_factor,
+        ).select(
+            "qid",
+            F.col("sourcedoc").alias("h_sourcedoc"),
+            F.col("sid").alias("hit_sid"),
+            "lo",
+            "hi",
+        )
+    )
+    chunks = index.chunks
+    joined = chunks.join(
+        bounds,
+        (chunks["sourcedoc"] == bounds["h_sourcedoc"])
+        & chunks["sid"].between(bounds["lo"], bounds["hi"]),
+    )
+    return joined.select(
+        "qid", "sourcedoc", "hit_sid", "sid", F.col("originaltext").alias("text")
+    ).orderBy("qid", "sourcedoc", "hit_sid", "sid")
+
+
 def query(
     index: HybridIndex,
     query_text: str,

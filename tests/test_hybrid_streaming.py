@@ -74,3 +74,34 @@ def test_entry_contract():
 def test_entry_runs(spark):
     df = E.entry(spark)
     assert df.count() > 0
+
+
+def test_batch_query_matches_single_path(spark, documents):
+    idx = _index(spark, documents)
+    cfg = KBConfig(query_top_k=5)
+    texts = ["spark data query table", "window sort merge"]
+    queries = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["qid", "query_text"]
+    )
+    batch = HY.hybrid_search_batch(idx, queries, cfg)
+    got = {
+        qid: {r["id"] for r in rows}
+        for qid, rows in (
+            (q, [x for x in batch.collect() if x["qid"] == q]) for q in (0, 1)
+        )
+    }
+    for qid, text in enumerate(texts):
+        single = {r["id"] for r in HY.hybrid_search(idx, text, cfg=cfg).collect()}
+        assert got[qid] == single
+
+
+def test_query_batch_context_rows(spark, documents):
+    idx = _index(spark, documents)
+    cfg = KBConfig(query_top_k=3)
+    queries = spark.createDataFrame(
+        [(0, "spark data query"), (1, "window sort")], ["qid", "query_text"]
+    )
+    out = HY.query_batch(idx, queries, cfg)
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {0, 1}
+    assert {"qid", "sourcedoc", "hit_sid", "sid", "text"} <= set(out.columns)
