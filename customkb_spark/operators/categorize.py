@@ -108,6 +108,101 @@ def merge_categories(
     )
 
 
+class CategorizeProvider:
+    """LLM classification interface (M5/M6, categorize_manager.py:
+    393-592). Real providers call a chat model with the sampled-chunk
+    prompt; the stub is deterministic for tests/CI."""
+
+    name = "base"
+
+    def classify(self, sample_text: str, n_categories: int) -> list[str]:
+        raise NotImplementedError
+
+
+class TopTokenStubCategorizer(CategorizeProvider):
+    """Deterministic stand-in: the n most frequent non-stopword tokens
+    of the sampled text, alphabetical tiebreak."""
+
+    name = "stub-top-token"
+
+    def classify(self, sample_text: str, n_categories: int) -> list[str]:
+        from collections import Counter
+        import re
+
+        toks = [
+            t
+            for t in re.findall(r"[a-z0-9]+", (sample_text or "").lower())
+            if t not in set(X.ESSENTIAL_STOPWORDS) and len(t) > 2
+        ]
+        counts = Counter(toks)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [t for t, _ in ranked[:n_categories]]
+
+
+def categorize_documents(
+    chunks: DataFrame,
+    doc_col: str = "sourcedoc",
+    sid_col: str = "sid",
+    text_col: str = "originaltext",
+    model: str = "stub-top-token",
+) -> DataFrame:
+    """M5 orchestration: per document, sample top/middle/bottom chunks
+    (T6 positional sampling, categorize_manager.py:371-391), derive the
+    category count from complexity (A8), classify via the provider
+    inside mapInPandas (grouped per document — one provider call per
+    article, Arrow-batched).
+
+    Returns (sourcedoc, primary_category, categories). Deterministic
+    with the stub provider; a real LLM slots in behind the same
+    interface (≤K concurrent calls become partition-level parallelism).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from customkb_spark.operators.windows import positional_sample
+
+    sampled = positional_sample(chunks, doc_col, sid_col)
+    # sort the collected (sid, text) pairs so sample_text is
+    # deterministic under unordered aggregation
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(sid_col), F.col(text_col)))),
+        lambda s: s[text_col],
+    )
+    per_doc = (
+        sampled.groupBy(doc_col)
+        .agg(F.array_join(ordered_texts, "\n").alias("sample_text"))
+        .withColumn("n_categories", complexity_score(F.col("sample_text")))
+        .withColumn(doc_col, F.col(doc_col).cast("string"))
+    )
+
+    schema = (
+        f"{doc_col} string, primary_category string, categories array<string>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        provider = _CATEGORIZERS[model]()
+        for pdf in batches:
+            cats = [
+                provider.classify(t, int(n))
+                for t, n in zip(pdf["sample_text"], pdf["n_categories"])
+            ]
+            yield pd.DataFrame(
+                {
+                    doc_col: pdf[doc_col],
+                    "primary_category": [c[0] if c else None for c in cats],
+                    "categories": cats,
+                }
+            )
+
+    return per_doc.mapInPandas(run, schema)
+
+
+_CATEGORIZERS: dict[str, type[CategorizeProvider]] = {
+    "stub-top-token": TopTokenStubCategorizer
+}
+
+
 def import_categories(
     chunks: DataFrame,
     assignments: DataFrame,

@@ -70,3 +70,15 @@ def positional_sample(
         .filter(F.col("position").isNotNull())
         .drop("_max_sid")
     )
+
+
+def random_sample(
+    df: DataFrame, n: int, seed: int = 42, order_col: str | None = None
+) -> DataFrame:
+    """T6 random sampling (reference ORDER BY RANDOM() LIMIT n,
+    categorize_manager.py:124-143): seeded rand-ordered top-n.
+
+    TakeOrderedAndProject under the hood — no full sort; the seed makes
+    CI/test runs reproducible, unlike SQL RANDOM()."""
+    tiebreak = [F.asc(order_col)] if order_col else []
+    return df.orderBy(F.rand(seed), *tiebreak).limit(n)

@@ -53,3 +53,28 @@ def test_import_categories_basename_match(spark):
     out = {r["id"]: r for r in C.import_categories(chunks, assignments).collect()}
     assert out[1]["primary_category"] == "tech" and out[1]["categories"] == ["tech", "ai"]
     assert out[2]["primary_category"] is None
+
+
+def test_categorize_documents_stub(spark, documents):
+    from customkb_spark.ingest.pipeline import documents_to_chunks
+
+    chunks = documents_to_chunks(documents.limit(10), chunk_size=100)
+    out = C.categorize_documents(
+        chunks, doc_col="sourcedoc", sid_col="sid", text_col="originaltext"
+    )
+    rows = out.collect()
+    assert len(rows) == chunks.select("sourcedoc").distinct().count()
+    for r in rows:
+        assert r["primary_category"] == r["categories"][0]
+        assert 1 <= len(r["categories"]) <= 7
+    # deterministic across runs
+    again = {r["sourcedoc"]: r["categories"] for r in out.collect()}
+    assert all(again[r["sourcedoc"]] == r["categories"] for r in rows)
+
+
+def test_random_sample_seeded(spark, documents):
+    from customkb_spark.operators.windows import random_sample
+
+    a = [r["doc_id"] for r in random_sample(documents, 5, seed=7, order_col="doc_id").collect()]
+    b = [r["doc_id"] for r in random_sample(documents, 5, seed=7, order_col="doc_id").collect()]
+    assert a == b and len(a) == 5
