@@ -57,7 +57,7 @@ def documents_to_chunks(
     out = chunks.join(meta, chunks["doc_id"] == meta["_doc_id"]).drop("_doc_id")
     embed_text = X.clean_text(F.col("chunk_text"))
     toks = X.unique_tokens(F.col("chunk_text"))
-    return out.select(
+    projected = out.select(
         (F.col("doc_id") * 100000 + F.col("sid")).alias("id"),
         F.col("doc_id"),
         F.col("sid"),
@@ -67,8 +67,23 @@ def documents_to_chunks(
         F.lit(False).alias("embedded"),
         F.col("language"),
         toks.alias("bm25_tokens"),
-        F.size(toks).alias("doc_length"),
-        (F.size(toks) > 0).alias("keyphrase_processed"),
         X.char_length(F.col("chunk_text")).alias("char_length"),
         X.word_count(F.col("chunk_text")).alias("word_count"),
+    )
+    # derive from the materialized token array — lambda-bearing exprs
+    # bypass codegen CSE, so repeating `toks` would tokenize 3× per row
+    return projected.select(
+        "id",
+        "doc_id",
+        "sid",
+        "sourcedoc",
+        "originaltext",
+        "embedtext",
+        "embedded",
+        "language",
+        "bm25_tokens",
+        F.size("bm25_tokens").alias("doc_length"),
+        (F.size("bm25_tokens") > 0).alias("keyphrase_processed"),
+        "char_length",
+        "word_count",
     )

@@ -76,13 +76,17 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{K-1}) — computed entirely PER ROW with higher-order
     functions: one pass over the materialized shingle array per hash-
     family member, ZERO shuffle, so at 100 TB it scales with scan
     bandwidth. (min over the shingle array ≡ min over the distinct
-    shingle set.)"""
-    sh = shingle_sets(docs, id_col, text_col, shingle_n)
+    shingle set.) Pass ``shingles_df`` (from shingle_sets) to reuse an
+    already-computed/persisted shingle table."""
+    sh = shingles_df if shingles_df is not None else shingle_sets(
+        docs, id_col, text_col, shingle_n
+    )
     salts = F.array(*[F.lit(f"{k}:") for k in range(num_hashes)])
     sig = F.transform(
         salts,
@@ -157,6 +161,7 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs only.
 
@@ -166,9 +171,10 @@ def jaccard_verify(
     restricts work to bucket collisions; per-pair set intersection is
     linear in document length.
     """
-    sh = shingle_sets(docs, id_col, text_col, shingle_n).select(
-        "id", F.array_distinct("shingles").alias("sh_set")
+    base = shingles_df if shingles_df is not None else shingle_sets(
+        docs, id_col, text_col, shingle_n
     )
+    sh = base.select("id", F.array_distinct("shingles").alias("sh_set"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b"))
     j = (
@@ -196,7 +202,13 @@ def minhash_lsh_duplicates(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end MinHash→LSH→Jaccard-verify near-dup pairs."""
+    """End-to-end MinHash→LSH→Jaccard-verify near-dup pairs.
+
+    The shingle projection is recomputed per branch (scan-fused, cheap)
+    rather than cached: measured, in-memory caching of the wide shingle
+    arrays costs more than the recompute because it breaks whole-stage
+    codegen fusion with the scan. At 100 TB, write shingle_sets() to a
+    table between the two jobs instead and pass it via ``shingles_df``."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     cands = minhash_candidate_pairs(minhash_band_buckets(sigs, num_hashes, bands))
     return jaccard_verify(docs, cands, id_col, text_col, shingle_n, threshold)
