@@ -123,6 +123,89 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → 3-way join → groupBy →
+    top-k by revenue. The customer side is broadcast; lineitem never
+    shuffles before the aggregation's partial pass."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way snowflake join (region→nation→customer/
+    supplier→orders→lineitem) with dims broadcast, one shuffle for the
+    final groupBy."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    dims = F.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_top_orders_by_price(spark, sf_dir):
     """T2/T3 top-k: TakeOrderedAndProject, no full sort."""
     return (
@@ -677,8 +760,12 @@ def q_minhash_lsh_dedup(spark, sf_dir):
 
 
 def _sql_minhash() -> str:
+    from customkb_spark.functions.hashing import MINHASH_PRIME, minhash_perm_params
+
+    params = minhash_perm_params(16)
     minhs = ",\n         ".join(
-        f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(16)
+        f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS mh{k}"
+        for k, (a, b) in enumerate(params)
     )
     bands = "\n  UNION ALL ".join(
         "SELECT id, %d AS band, mh%d || '|' || mh%d || '|' || mh%d || '|' || mh%d AS key FROM mh"
@@ -694,7 +781,8 @@ sh AS (
     ELSE [array_to_string(toks, ' ')] END AS shingles
   FROM tk),
 shx AS (SELECT DISTINCT id, s AS shingle FROM sh, unnest(sh.shingles) AS t(s)),
-mh AS (SELECT id, {minhs} FROM shx GROUP BY id),
+shi AS (SELECT id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS x FROM shx),
+mh AS (SELECT id, {minhs} FROM shi GROUP BY id),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1113,6 +1201,8 @@ def q_hybrid_context_flagship(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
     "top_orders_by_price": q_top_orders_by_price,
     "segment_order_stats": q_segment_order_stats,
     "customers_without_orders": q_customers_without_orders,
@@ -1156,6 +1246,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLES: dict[str, str] = {
     "tpch_q1_pricing_summary": SQL_TPCH_Q1,
+    "tpch_q3_shipping_priority": SQL_TPCH_Q3,
+    "tpch_q5_region_revenue": SQL_TPCH_Q5,
     "top_orders_by_price": SQL_TOP_ORDERS,
     "segment_order_stats": SQL_SEGMENT_STATS,
     "customers_without_orders": SQL_CUST_NO_ORDERS,

@@ -79,13 +79,61 @@ class KnowledgeBase:
         n = chunks.count()
         if n == 0:
             return 0
-        mode = "overwrite" if force else "append"
-        chunks.write.mode(mode).parquet(self._p("chunks"))
-        log = docs.select(
-            F.col("source").alias("file_path"),
-            F.current_timestamp().alias("ingested_at"),
-        ).distinct()
-        log.write.mode(mode).parquet(self._p("ingest_log"))
+        if force and self._exists("chunks"):
+            # reference semantics (db_manager.py:613-615): delete the
+            # re-ingested paths' rows, keep everything else — an
+            # anti-join rewrite here; replaceWhere/MERGE on a
+            # source-partitioned lakehouse table at scale
+            sources = docs.select("source").distinct()
+            old = self._read("chunks")
+            kept = old.join(
+                sources.select(F.col("source").alias("sourcedoc")),
+                "sourcedoc",
+                "left_anti",
+            )
+            if self._exists("vectors"):
+                # drop vectors of the replaced sources' old chunks: ids
+                # are deterministic, so changed text under the same id
+                # must re-embed (the reference resets embedded=0 on
+                # reinsert)
+                replaced_ids = old.join(
+                    sources.select(F.col("source").alias("sourcedoc")), "sourcedoc"
+                ).select("id")
+                kept_vecs = (
+                    self._read("vectors")
+                    .join(replaced_ids, "id", "left_anti")
+                    .localCheckpoint()
+                )
+                kept_vecs.write.mode("overwrite").parquet(self._p("vectors"))
+            merged = kept.unionByName(chunks).localCheckpoint()
+            merged.write.mode("overwrite").parquet(self._p("chunks"))
+            old_log = (
+                self._read("ingest_log")
+                .join(
+                    sources.select(F.col("source").alias("file_path")),
+                    "file_path",
+                    "left_anti",
+                )
+                if self._exists("ingest_log")
+                else None
+            )
+            new_log = docs.select(
+                F.col("source").alias("file_path"),
+                F.current_timestamp().alias("ingested_at"),
+            ).distinct()
+            log = (
+                old_log.unionByName(new_log).localCheckpoint()
+                if old_log is not None
+                else new_log
+            )
+            log.write.mode("overwrite").parquet(self._p("ingest_log"))
+        else:
+            chunks.write.mode("append").parquet(self._p("chunks"))
+            log = docs.select(
+                F.col("source").alias("file_path"),
+                F.current_timestamp().alias("ingested_at"),
+            ).distinct()
+            log.write.mode("append").parquet(self._p("ingest_log"))
         self._index = None
         return n
 

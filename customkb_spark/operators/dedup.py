@@ -79,26 +79,33 @@ def minhash_signatures(
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{K-1}) — computed entirely PER ROW with higher-order
-    functions: one pass over the materialized shingle array per hash-
-    family member, ZERO shuffle, so at 100 TB it scales with scan
-    bandwidth. (min over the shingle array ≡ min over the distinct
-    shingle set.) Pass ``shingles_df`` (from shingle_sets) to reuse an
+    functions, ZERO shuffle, so at 100 TB it scales with scan bandwidth.
+
+    ONE md5 per shingle → int x, then k linear permutations
+    (a_k·x + b_k) mod P (functions/hashing.py): the digest cost is
+    amortized over the whole family — 16× less hashing than a
+    salted-digest family, pure int64 arithmetic after the digest.
+    (min over the shingle array ≡ min over the distinct shingle set.)
+    Pass ``shingles_df`` (from shingle_sets) to reuse an
     already-computed/persisted shingle table."""
     sh = shingles_df if shingles_df is not None else shingle_sets(
         docs, id_col, text_col, shingle_n
     )
-    salts = F.array(*[F.lit(f"{k}:") for k in range(num_hashes)])
-    sig = F.transform(
-        salts,
-        lambda salt: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(salt, s)))
-        ),
-    )
-    with_sig = sh.select("id", sig.alias("sig"))
-    return with_sig.select(
+    # materialize the int array in its own projection (module docstring)
+    xs = sh.select(
         "id",
-        *[F.element_at(F.col("sig"), k + 1).alias(f"mh{k}") for k in range(num_hashes)],
+        F.transform(F.col("shingles"), lambda s: H.shingle_to_int(s)).alias("xs"),
     )
+    params = H.minhash_perm_params(num_hashes)
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % H.MINHASH_PRIME
+            )
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(params)
+    ]
+    return xs.select("id", *cols)
 
 
 def minhash_band_buckets(
@@ -109,7 +116,10 @@ def minhash_band_buckets(
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("band_key"))
         )

@@ -73,3 +73,31 @@ def test_maintenance_optimize_and_stats(spark, tmp_path, documents):
     stats = {r["table"]: r for r in table_stats(spark, str(tmp_path / "kb1")).collect()}
     assert stats["chunks"]["n_rows"] == before["chunks"]
     assert stats["vectors"]["n_rows"] == before["vectors"]
+
+
+def test_force_reingest_replaces_only_target_paths(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "original text one", "f1.txt"), (2, "original text two", "f2.txt")],
+        ["doc_id", "text", "source"],
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "kb3"), KBConfig(query_top_k=5))
+    kb.database(docs)
+    kb.embed()
+    v_before = kb.verify()
+
+    changed = spark.createDataFrame(
+        [(1, "completely rewritten text for doc one", "f1.txt")],
+        ["doc_id", "text", "source"],
+    )
+    assert kb.database(changed, force=True) > 0
+    chunks = spark.read.parquet(str(tmp_path / "kb3" / "chunks"))
+    # f2 untouched, f1 replaced (no duplicate rows for f1)
+    texts = {r["sourcedoc"]: r["originaltext"] for r in chunks.collect()}
+    assert "rewritten" in texts["f1.txt"]
+    assert texts["f2.txt"] == "original text two"
+    assert chunks.filter("sourcedoc = 'f1.txt'").count() == 1
+    # stale vector purged → pending embed for the new text
+    assert kb.verify()["pending_embed"] > 0
+    assert kb.embed() > 0
+    assert kb.verify()["pending_embed"] == 0
+    assert kb.verify()["vectors"] == v_before["vectors"]
