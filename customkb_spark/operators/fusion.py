@@ -46,6 +46,19 @@ def rrf_fuse(vec: DataFrame, kw: DataFrame, k: int = 60, top_k: int = 50) -> Dat
     )
 
 
+def _max_normed(df: DataFrame, out: str, by_qid: bool = False) -> DataFrame:
+    """score / max(score), max via a window — no driver round-trip.
+
+    The inputs are top-k lists (k rows, or Q×k in batch), so the
+    single-partition window is trivially cheap; the reference's
+    ``max or 1.0`` zero/empty guard is preserved."""
+    w = Window.partitionBy("qid") if by_qid else Window.partitionBy()
+    m = F.max("score").over(w)
+    safe_m = F.when(m.isNull() | (m == 0.0), F.lit(1.0)).otherwise(m)
+    keys = ["qid", "id"] if by_qid else ["id"]
+    return df.select(*keys, (F.col("score") / safe_m).alias(out))
+
+
 def weighted_fuse(
     vec: DataFrame,
     kw: DataFrame,
@@ -54,10 +67,8 @@ def weighted_fuse(
 ) -> DataFrame:
     """Max-normalized weighted fusion (reference search.py:350-411)."""
     bm25_weight = 1.0 - vector_weight
-    v_max = vec.agg(F.max("score")).collect()[0][0] or 1.0
-    b_max = kw.agg(F.max("score")).collect()[0][0] or 1.0
-    v = vec.select("id", (F.col("score") / F.lit(float(v_max))).alias("v_norm"))
-    b = kw.select("id", (F.col("score") / F.lit(float(b_max))).alias("b_norm"))
+    v = _max_normed(vec, "v_norm")
+    b = _max_normed(kw, "b_norm")
     fused = (
         F.lit(vector_weight) * F.coalesce(F.col("v_norm"), F.lit(0.0))
         + F.lit(bm25_weight) * F.coalesce(F.col("b_norm"), F.lit(0.0))
@@ -67,6 +78,32 @@ def weighted_fuse(
         .select("id", F.round(fused, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
+    )
+
+
+def weighted_fuse_batch(
+    vec: DataFrame,
+    kw: DataFrame,
+    vector_weight: float = 0.7,
+    top_k: int = 50,
+) -> DataFrame:
+    """Per-query weighted fusion over (qid, id, score) sets — the batch
+    twin: per-qid max-normalization windows, full-outer on (qid, id)."""
+    bm25_weight = 1.0 - vector_weight
+    v = _max_normed(vec, "v_norm", by_qid=True)
+    b = _max_normed(kw, "b_norm", by_qid=True)
+    fused = (
+        F.lit(vector_weight) * F.coalesce(F.col("v_norm"), F.lit(0.0))
+        + F.lit(bm25_weight) * F.coalesce(F.col("b_norm"), F.lit(0.0))
+    )
+    merged = v.join(b, ["qid", "id"], "full_outer").select(
+        "qid", "id", F.round(fused, 6).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
     )
 
 

@@ -152,6 +152,10 @@ def hybrid_search_batch(
     )
     if not cfg.enable_hybrid_search:
         return vec_hits
+    if cfg.hybrid_fusion_method == "weighted":
+        return FU.weighted_fuse_batch(
+            vec_hits, kw_hits, cfg.vector_weight, cfg.query_top_k
+        )
     return FU.rrf_fuse_batch(vec_hits, kw_hits, cfg.rrf_k, cfg.query_top_k)
 
 

@@ -105,3 +105,19 @@ def test_query_batch_context_rows(spark, documents):
     rows = out.collect()
     assert {r["qid"] for r in rows} == {0, 1}
     assert {"qid", "sourcedoc", "hit_sid", "sid", "text"} <= set(out.columns)
+
+
+def test_weighted_batch_matches_single(spark, documents):
+    idx = _index(spark, documents)
+    cfg = KBConfig(query_top_k=5, hybrid_fusion_method="weighted")
+    queries = spark.createDataFrame(
+        [(0, "spark data query table"), (1, "window sort merge")],
+        ["qid", "query_text"],
+    )
+    batch = HY.hybrid_search_batch(idx, queries, cfg).collect()
+    for qid, text in [(0, "spark data query table"), (1, "window sort merge")]:
+        single = {
+            (r["id"], r["score"]) for r in HY.hybrid_search(idx, text, cfg=cfg).collect()
+        }
+        got = {(r["id"], r["score"]) for r in batch if r["qid"] == qid}
+        assert got == single
