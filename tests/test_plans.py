@@ -93,3 +93,20 @@ def test_signature_tokenizer_not_inlined(spark, documents):
 def test_knn_join_broadcasts_queries(spark):
     plan = explain_str(E.q_knn_join(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_partition_pruning(spark, embeddings, tmp_path):
+    """The IVF scale path: vectors written partitioned by cluster_id →
+    an nprobe filter becomes partition pruning, not a data filter."""
+    from customkb_spark.embedding.index import assign_clusters, train_centroids
+
+    cents = train_centroids(embeddings, "embedding", nlist=4)
+    path = str(tmp_path / "vec_part")
+    assign_clusters(embeddings, cents, "embedding").write.partitionBy(
+        "cluster_id"
+    ).parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("cluster_id").isin([0, 1]))
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:120]
+    assert "cluster_id" in seg  # pruning happens at file listing, not scan
