@@ -138,21 +138,59 @@ class KnowledgeBase:
         return n
 
     # ---------------------------------------------------------- embed
-    def embed(self) -> int:
+    def embed(self, use_cache: bool = True) -> int:
         """Embed chunks that have no vector yet (anti-join pending set).
-        Returns the number of new vectors."""
+        Returns the number of new vectors.
+
+        With ``use_cache`` the J5 read-through cache table
+        (<kb_dir>/emb_cache: cache_key, vector) is probed first —
+        texts seen before (any chunk, any re-ingest) skip the provider
+        entirely; misses are embedded and written back. This is the
+        reference's two-tier embedding cache (embedding/cache.py:49-120)
+        as one left join + one append."""
+        from customkb_spark.embedding.cache import split_hits_misses, with_cache_key
+
         chunks = self._read("chunks")
         pending = chunks.filter(F.length("embedtext") > 0)
         if self._exists("vectors"):
             have = self._read("vectors").select("id")
             pending = pending.join(have, "id", "left_anti")
-        vectors = embed_texts(
-            pending,
-            "id",
-            "embedtext",
-            self.cfg.vector_model,
-            self.cfg.vector_dimensions,
-        )
+
+        if not use_cache:
+            vectors = embed_texts(
+                pending, "id", "embedtext",
+                self.cfg.vector_model, self.cfg.vector_dimensions,
+            )
+        else:
+            keyed = with_cache_key(
+                pending.select("id", "embedtext"), F.col("embedtext"), self.cfg.vector_model
+            )
+            cache = (
+                self._read("emb_cache")
+                if self._exists("emb_cache")
+                else self.spark.createDataFrame(
+                    [], "cache_key string, vector array<float>"
+                )
+            )
+            hits, misses = split_hits_misses(keyed, cache)
+            # materialize once — the plan is consumed three times
+            # (write-back, union, count); a real provider must not be
+            # re-invoked per action
+            new_vectors = embed_texts(
+                misses, "id", "embedtext",
+                self.cfg.vector_model, self.cfg.vector_dimensions,
+            ).localCheckpoint()
+            # write-back: one cache row per distinct missed text
+            write_back = (
+                misses.select("id", "cache_key")
+                .join(new_vectors, "id")
+                .select("cache_key", "vector")
+                .dropDuplicates(["cache_key"])
+            )
+            if write_back.limit(1).count():
+                write_back.write.mode("append").parquet(self._p("emb_cache"))
+            vectors = hits.select("id", "vector").unionByName(new_vectors)
+
         n = vectors.count()
         if n:
             vectors.write.mode("append").parquet(self._p("vectors"))

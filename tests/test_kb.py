@@ -101,3 +101,24 @@ def test_force_reingest_replaces_only_target_paths(spark, tmp_path):
     assert kb.embed() > 0
     assert kb.verify()["pending_embed"] == 0
     assert kb.verify()["vectors"] == v_before["vectors"]
+
+
+def test_embed_cache_read_through(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"cached text number {i}", f"c{i}.txt") for i in range(5)],
+        ["doc_id", "text", "source"],
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "kb4"), KBConfig(query_top_k=5))
+    kb.database(docs)
+    assert kb.embed() > 0
+    cache_path = str(tmp_path / "kb4" / "emb_cache")
+    n_cache = spark.read.parquet(cache_path).count()
+    assert n_cache > 0
+
+    # force re-ingest the same docs: vectors purged, but every text is
+    # a cache hit → cache table unchanged, vectors restored
+    kb.database(docs, force=True)
+    assert kb.verify()["pending_embed"] > 0
+    assert kb.embed() > 0
+    assert spark.read.parquet(cache_path).count() == n_cache
+    assert kb.verify()["pending_embed"] == 0
