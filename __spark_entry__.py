@@ -1168,6 +1168,65 @@ WHERE {cos} >= 0.35
 """
 
 
+def q_corpus_filter_pipeline(spark, sf_dir):
+    """Composite training-data curation pass: language gate → quality
+    gate → exact-dedup to canonical docs. The shape every pretraining
+    pipeline runs first; one scan feeds all three predicates, the only
+    shuffle is the dedup groupBy on the content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (X.detect_language_heuristic("text") == "en")
+        & (X.quality_score("text") >= 0.5)
+    )
+    normed = F.md5(F.regexp_replace(F.col("text"), "\\s+", " "))
+    canonical = (
+        gated.select(F.col("doc_id").alias("id"), normed.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("id"), F.count("*").alias("n_copies"))
+    )
+    return canonical.select("id", "text_hash", "n_copies")
+
+
+def _sql_corpus_filter() -> str:
+    toks = SQL_TOKS.format(c="text")
+    sw = ", ".join(f"'{s}'" for s in X.ESSENTIAL_STOPWORDS)
+    lang_scores = {
+        lang: (
+            "len(list_filter(toks, t -> list_contains(["
+            + ", ".join(f"'{m}'" for m in markers)
+            + "], t))) / CAST(greatest(len(toks), 1) AS DOUBLE)"
+        )
+        for lang, markers in X.LANG_MARKERS
+    }
+    case = " ".join(
+        f"WHEN best >= 0.05 AND s_{lang} = best THEN '{lang}'" for lang, _ in X.LANG_MARKERS
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+lang AS (
+  SELECT doc_id, text, toks,
+         {', '.join(f'{e} AS s_{lang}' for lang, e in lang_scores.items())}
+  FROM tk),
+lang2 AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM lang),
+langed AS (SELECT doc_id, text, toks, CASE {case} ELSE 'und' END AS lang_pred FROM lang2),
+q AS (
+  SELECT doc_id, text,
+         round((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                + least((CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, t -> list_contains([{sw}], t))) / len(toks)
+                         ELSE 0.0 END) * 4, 1.0)
+                + (1.0 - least((CASE WHEN length(text) > 0
+                                THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+                                ELSE 0.0 END) * 10, 1.0))) / 3, 6) AS quality
+  FROM langed WHERE lang_pred = 'en')
+SELECT min(doc_id) AS id,
+       md5(regexp_replace(text, '\\s+', ' ', 'g')) AS text_hash,
+       count(*) AS n_copies
+FROM q WHERE quality >= 0.5
+GROUP BY 2
+"""
+
+
 # ----------------------------------------------- non-SQL-expressible ops
 
 
@@ -1240,6 +1299,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_metadata": q_chunk_metadata,
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "lsh_bucketed_near_dups": q_lsh_bucketed_near_dups,
+    "corpus_filter_pipeline": q_corpus_filter_pipeline,
     "ann_ivf_topk": q_ann_ivf_topk,
     "hybrid_context_flagship": q_hybrid_context_flagship,
 }
@@ -1285,6 +1345,7 @@ _ORACLES: dict[str, str] = {
     "chunk_metadata": SQL_CHUNK_METADATA,
     "ngram_jaccard_topk": SQL_NGRAM_JACCARD,
     "lsh_bucketed_near_dups": _sql_lsh_near_dups(),
+    "corpus_filter_pipeline": _sql_corpus_filter(),
     # ann_ivf_topk / hybrid_context_flagship: iterative KMeans + staged
     # pipeline — not SQL-expressible; rows-only check.
 }

@@ -121,3 +121,14 @@ def test_weighted_batch_matches_single(spark, documents):
         }
         got = {(r["id"], r["score"]) for r in batch if r["qid"] == qid}
         assert got == single
+
+
+def test_hybrid_query_with_reranking(spark, documents):
+    idx = _index(spark, documents)
+    base = KBConfig(query_top_k=5)
+    rr = KBConfig(query_top_k=5, enable_reranking=True, reranking_top_k=3)
+    out_base = HY.query(idx, "spark data query table", base)
+    out_rr = HY.query(idx, "spark data query table", rr)
+    # reranking changes ordering/selection but still returns context
+    assert out_rr.count() > 0
+    assert set(out_rr.columns) == set(out_base.columns)
