@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "chunk_documents_fixed",
     "bm25_term_stats",
     "bm25_score",
+    "bm25_score_batch",
+    "corpus_filter_pipeline",
     "vector_topk_cosine",
     "knn_join",
     "rrf_fusion",

@@ -1,0 +1,151 @@
+"""CLI — the reference's command surface (customkb.py:191,545-629) over
+the Spark engine.
+
+    python -m customkb_spark.cli database <kb_dir> --files 'docs/**/*.md'
+    python -m customkb_spark.cli database <kb_dir> --docs-parquet documents.parquet
+    python -m customkb_spark.cli embed <kb_dir>
+    python -m customkb_spark.cli query <kb_dir> "how do i ..." --format markdown
+    python -m customkb_spark.cli verify <kb_dir>
+    python -m customkb_spark.cli optimize <kb_dir>
+
+Config resolution mirrors the reference (env > cfg > defaults,
+config/config_manager.py:17-22): pass ``--config path.cfg`` or set
+``CUSTOMKB_*`` environment variables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from customkb_spark.session import get_spark
+
+    return get_spark("customkb_spark")
+
+
+def _kb(args):
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    cfg = KBConfig.from_file(getattr(args, "config", None))
+    return KnowledgeBase(_spark(), args.kb_dir, cfg)
+
+
+def _docs_from_files(spark, pattern: str):
+    """Text files → documents DataFrame (S1-S5 front end)."""
+    from customkb_spark.sources.files import read_text_files
+
+    files = read_text_files(spark, pattern)
+    # bounded id: the chunk id is doc_id * 100000 + sid, so doc_id must
+    # stay under ~9e13 to avoid int64 overflow
+    return files.select(
+        F.pmod(F.xxhash64("path"), F.lit(10**12)).alias("doc_id"),
+        F.col("text"),
+        F.col("path").alias("source"),
+    )
+
+
+def cmd_database(args) -> int:
+    kb = _kb(args)
+    if args.docs_parquet:
+        docs = kb.spark.read.parquet(args.docs_parquet)
+    elif args.files:
+        docs = _docs_from_files(kb.spark, args.files)
+    else:
+        print("either --docs-parquet or --files is required", file=sys.stderr)
+        return 2
+    n = kb.database(docs, force=args.force)
+    print(f"ingested {n} chunks into {args.kb_dir}")
+    return 0
+
+
+def cmd_embed(args) -> int:
+    kb = _kb(args)
+    n = kb.embed()
+    print(f"embedded {n} vectors")
+    return 0
+
+
+def cmd_query(args) -> int:
+    kb = _kb(args)
+    if args.top_k:
+        kb.cfg.query_top_k = args.top_k
+    out = kb.query(
+        args.question,
+        context_only=args.context_only,
+        fmt=args.format,
+        categories=args.category or None,
+    )
+    print(out)
+    return 0
+
+
+def cmd_verify(args) -> int:
+    kb = _kb(args)
+    print(json.dumps(kb.verify(), indent=2))
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    import os
+
+    from customkb_spark.plans.maintenance import optimize_chunks, table_stats
+
+    spark = _spark()
+    chunks = os.path.join(args.kb_dir, "chunks")
+    if os.path.isdir(chunks):
+        optimize_chunks(spark, chunks)
+    table_stats(spark, args.kb_dir).show(truncate=False)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="customkb_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("kb_dir")
+        sp.add_argument("--config", default=None, help="INI config file")
+
+    d = sub.add_parser("database", help="ingest documents into the KB")
+    common(d)
+    d.add_argument("--files", default=None, help="file glob to ingest")
+    d.add_argument("--docs-parquet", default=None, help="documents parquet path")
+    d.add_argument("--force", action="store_true", help="re-ingest seen sources")
+    d.set_defaults(fn=cmd_database)
+
+    e = sub.add_parser("embed", help="embed pending chunks")
+    common(e)
+    e.set_defaults(fn=cmd_embed)
+
+    q = sub.add_parser("query", help="hybrid retrieval (+ answer)")
+    common(q)
+    q.add_argument("question")
+    q.add_argument("--context-only", action="store_true")
+    q.add_argument("--format", default="plain", choices=["plain", "xml", "json", "markdown"])
+    q.add_argument("--top-k", type=int, default=None)
+    q.add_argument("--category", action="append", help="repeatable category filter")
+    q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("verify", help="table/pending-work stats")
+    common(v)
+    v.set_defaults(fn=cmd_verify)
+
+    o = sub.add_parser("optimize", help="compact + cluster the chunks table")
+    common(o)
+    o.set_defaults(fn=cmd_optimize)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
