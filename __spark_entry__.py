@@ -334,6 +334,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered-funnel: furthest view→click→purchase step per user, each
+    step strictly after the previous (one conditional-agg pass, no
+    self-joins)."""
+    ev = _t(spark, sf_dir, "events")
+    return _longs(
+        S.funnel(ev, ["view", "click", "purchase"], tiebreak_col="event_id")
+    )
+
+
+SQL_FUNNEL = """
+WITH t0 AS (
+  SELECT user_id, min(struct_pack(ts := ts, e := event_id)) AS c
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+t1 AS (
+  SELECT e.user_id, min(struct_pack(ts := e.ts, e := e.event_id)) AS c
+  FROM events e JOIN t0 ON e.user_id = t0.user_id
+  WHERE e.event_type = 'click' AND struct_pack(ts := e.ts, e := e.event_id) > t0.c
+  GROUP BY e.user_id),
+t2 AS (
+  SELECT e.user_id, min(struct_pack(ts := e.ts, e := e.event_id)) AS c
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'purchase' AND struct_pack(ts := e.ts, e := e.event_id) > t1.c
+  GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN t2.c IS NOT NULL THEN 3
+                 WHEN t1.c IS NOT NULL THEN 2
+                 WHEN t0.c IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+       CASE WHEN t2.c IS NOT NULL THEN 'purchase'
+            WHEN t1.c IS NOT NULL THEN 'click'
+            WHEN t0.c IS NOT NULL THEN 'view' END AS furthest_step
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t0 USING (user_id) LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+"""
+
+
 def q_events_consecutive_runs(spark, sf_dir):
     """W3 consecutive-run grouping (the formatter-grouping shape)."""
     ev = _t(spark, sf_dir, "events")
@@ -1269,6 +1305,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "events_sessionize": q_events_sessionize,
     "events_hourly_agg": q_events_hourly_agg,
+    "events_funnel": q_events_funnel,
     "events_consecutive_runs": q_events_consecutive_runs,
     "chunk_documents_fixed": q_chunk_documents_fixed,
     "doc_token_stats": q_doc_token_stats,
@@ -1315,6 +1352,7 @@ _ORACLES: dict[str, str] = {
     "top3_orders_per_customer": SQL_TOP3_PER_CUST,
     "events_sessionize": SQL_SESSIONIZE,
     "events_hourly_agg": SQL_HOURLY,
+    "events_funnel": SQL_FUNNEL,
     "events_consecutive_runs": SQL_RUNS,
     "chunk_documents_fixed": SQL_CHUNKS,
     "doc_token_stats": SQL_TOKEN_STATS,

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Reference per-provider batch caps (embed_manager.py:649-664): gemini
+# hard-caps at 100, openai at 2048, bge-style local models at 64.
+PROVIDER_BATCH_CAPS = {"gemini": 100, "openai": 2048, "bge": 64}
+
+
 class EmbeddingProvider:
     """Provider interface — mirrors litellm_provider.get_embeddings
     (reference embedding/litellm_provider.py:60-119)."""
@@ -34,9 +39,27 @@ class EmbeddingProvider:
     name = "base"
     dimensions = 64
     batch_cap = 2048  # per-call text cap (reference: provider caps)
+    max_retries = 5  # reference: ≤20 with exp backoff (embed_manager.py:314-326)
 
     def get_embeddings(self, texts: list[str]) -> np.ndarray:  # (n, dims) float32
         raise NotImplementedError
+
+    def get_embeddings_with_retry(self, texts: list[str]) -> np.ndarray:
+        """F14: exponential backoff + jitter around the provider call
+        (min(tries², 30) + U(0,1), embed_manager.py:320-326). Composes
+        with Spark's task-level retry: transient provider errors are
+        absorbed here; a task retry only happens on persistent failure."""
+        import random
+        import time
+
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                return self.get_embeddings(texts)
+            except Exception as e:  # provider/transport errors
+                last = e
+                time.sleep(min(attempt**2, 30) + random.random())
+        raise last  # type: ignore[misc]
 
 
 class HashEmbeddingProvider(EmbeddingProvider):
@@ -96,7 +119,7 @@ def embed_texts(
             texts = pdf["text_key"].fillna("").tolist()
             for lo in range(0, len(texts), provider.batch_cap):
                 sub = texts[lo : lo + provider.batch_cap]
-                vecs = provider.get_embeddings(sub)
+                vecs = provider.get_embeddings_with_retry(sub)
                 yield pd.DataFrame(
                     {
                         "text_key": pdf["text_key"].iloc[lo : lo + len(sub)],

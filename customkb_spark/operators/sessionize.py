@@ -67,3 +67,59 @@ def tumbling_window_agg(
             .alias("total"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the furthest step reached with
+    each step strictly after the previous one in event time.
+
+    Returns (user, steps_completed, step_name). One shuffle (partition
+    by user); per-user progress is a min-timestamp cascade — step k's
+    earliest occurrence AFTER step k-1's earliest valid occurrence —
+    computed with conditional aggregation, no UDFs, no self-joins (the
+    naive k-way self-join explodes at scale; this is one pass).
+    """
+    order_cols = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    seq = F.struct(*order_cols)
+    per_user = events.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, seq)).alias(f"_first_{k}")
+            for k, s in enumerate(steps)
+        ],
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col(type_col) == s, seq))
+            ).alias(f"_all_{k}")
+            for k, s in enumerate(steps)
+        ],
+    )
+    # cascade: t0 = first step-0; t_k = earliest step-k occurrence > t_{k-1}.
+    # each _cur_k is materialized in its own select so the filter lambda
+    # references an attribute, not a re-evaluated nested expression
+    cascaded = per_user.withColumn("_cur_0", F.col("_first_0"))
+    for k in range(1, len(steps)):
+        prev = F.col(f"_cur_{k - 1}")
+        cascaded = cascaded.withColumn(
+            f"_cur_{k}",
+            F.array_min(
+                F.filter(F.col(f"_all_{k}"), lambda x: prev.isNotNull() & (x > prev))
+            ),
+        )
+    reached = F.lit(0)
+    for k in range(len(steps)):
+        reached = F.when(F.col(f"_cur_{k}").isNotNull(), k + 1).otherwise(reached)
+    step_name = F.element_at(
+        F.array(*[F.lit(s) for s in steps]), F.greatest(reached, F.lit(1))
+    )
+    return cascaded.select(
+        F.col(user_col),
+        reached.alias("steps_completed"),
+        F.when(reached > 0, step_name).alias("furthest_step"),
+    )

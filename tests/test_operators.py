@@ -144,3 +144,31 @@ def test_query_log_roundtrip(spark, tmp_path):
     stats = QL.query_stats(log).collect()
     assert stats[0]["n_queries"] == 2
     assert abs(stats[0]["avg_elapsed_s"] - 0.23) < 1e-6
+
+
+def test_funnel_cascade_order_matters(spark):
+    import datetime as dt
+
+    from customkb_spark.operators.sessionize import funnel
+
+    b = dt.datetime(2024, 1, 1)
+    m = lambda k: b + dt.timedelta(minutes=k)
+    rows = [
+        # user 1: full ordered funnel
+        (1, m(0), "view"), (1, m(1), "click"), (1, m(2), "purchase"),
+        # user 2: purchase BEFORE click → only 2 steps count
+        (2, m(0), "view"), (2, m(1), "purchase"), (2, m(2), "click"),
+        # user 3: starts mid-funnel → 0 steps (no 'view')
+        (3, m(0), "click"), (3, m(1), "purchase"),
+        # user 4: view only
+        (4, m(0), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: (r["steps_completed"], r["furthest_step"])
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1] == (3, "purchase")
+    assert out[2] == (2, "click")
+    assert out[3] == (0, None)
+    assert out[4] == (1, "view")
