@@ -298,6 +298,52 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 """
 
 
+def q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP subtotals over (returnflag, linestatus): grouped +
+    per-flag + grand-total rows in one pass (partial aggs per grouping
+    set, no re-scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_events_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``; at 100 TB swap for
+    approx_percentile and widen the oracle tolerance)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag + cumsum), 30-minute gap."""
     ev = _t(spark, sf_dir, "events")
@@ -1303,6 +1349,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "customers_with_big_orders": q_customers_with_big_orders,
     "top3_orders_per_customer": q_top3_orders_per_customer,
+    "lineitem_rollup": q_lineitem_rollup,
+    "events_value_percentiles": q_events_value_percentiles,
     "events_sessionize": q_events_sessionize,
     "events_hourly_agg": q_events_hourly_agg,
     "events_funnel": q_events_funnel,
@@ -1350,6 +1398,8 @@ _ORACLES: dict[str, str] = {
     "customers_without_orders": SQL_CUST_NO_ORDERS,
     "customers_with_big_orders": SQL_CUST_BIG_ORDERS,
     "top3_orders_per_customer": SQL_TOP3_PER_CUST,
+    "lineitem_rollup": SQL_ROLLUP,
+    "events_value_percentiles": SQL_PERCENTILES,
     "events_sessionize": SQL_SESSIONIZE,
     "events_hourly_agg": SQL_HOURLY,
     "events_funnel": SQL_FUNNEL,
