@@ -51,6 +51,13 @@ QUERY_TERMS_SQL = "('spark', 'data', 'query', 'table', 'window')"
 # Shared DuckDB fragments (tokenization contract, functions/text.py)
 SQL_TOKS = "regexp_extract_all(lower({c}), '[a-z0-9]+')"
 SQL_UTOKS = "list_sort(list_distinct(regexp_extract_all(lower({c}), '[a-z0-9]+')))"
+# F3 BM25 token set: unique tokens minus single chars (non-digit) and
+# the reference's 14 essential stopwords (text.BM25_STOPWORDS)
+_SQL_BM25_STOPS = "['" + "', '".join(X.BM25_STOPWORDS) + "']"
+SQL_BM25_TOKS = (
+    "list_filter(" + SQL_UTOKS + ", t -> (length(t) > 1 OR regexp_matches(t, '^[0-9]+$'))"
+    " AND NOT list_contains(" + _SQL_BM25_STOPS + ", t))"
+)
 SQL_COS = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
@@ -470,7 +477,7 @@ def q_doc_token_stats(spark, sf_dir):
     return _longs(
         docs.select(
             "doc_id",
-            F.size(X.unique_tokens("text")).alias("doc_length"),
+            F.size(X.bm25_token_set("text")).alias("doc_length"),
             F.size(X.tokens("text")).alias("n_tokens"),
         )
     )
@@ -478,7 +485,7 @@ def q_doc_token_stats(spark, sf_dir):
 
 SQL_TOKEN_STATS = f"""
 SELECT doc_id,
-       CAST(len({SQL_UTOKS.format(c='text')}) AS BIGINT) AS doc_length,
+       CAST(len({SQL_BM25_TOKS.format(c='text')}) AS BIGINT) AS doc_length,
        CAST(len({SQL_TOKS.format(c='text')}) AS BIGINT) AS n_tokens
 FROM documents
 """
@@ -569,7 +576,7 @@ def q_bm25_term_stats(spark, sf_dir):
 
 
 SQL_TERM_STATS = f"""
-WITH u AS (SELECT doc_id, unnest({SQL_UTOKS.format(c='text')}) AS term FROM documents),
+WITH u AS (SELECT doc_id, unnest({SQL_BM25_TOKS.format(c='text')}) AS term FROM documents),
 s AS (SELECT term, count(*) AS df FROM u GROUP BY term)
 SELECT term, df,
        round(ln(((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
@@ -588,7 +595,7 @@ def q_bm25_score(spark, sf_dir):
 
 
 SQL_BM25 = f"""
-WITH u AS (SELECT doc_id AS id, {SQL_UTOKS.format(c='text')} AS toks FROM documents),
+WITH u AS (SELECT doc_id AS id, {SQL_BM25_TOKS.format(c='text')} AS toks FROM documents),
 post AS (SELECT id, len(toks) AS dl, unnest(toks) AS term FROM u),
 stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
 c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM u)
@@ -624,7 +631,7 @@ SQL_BM25_BATCH = f"""
 WITH qt AS (
   SELECT * FROM (VALUES {", ".join(f"(0, '{t}')" for t in QUERY_TERMS)},
                         {", ".join(f"(1, '{t}')" for t in QUERY2_TERMS)}) AS t(qid, term)),
-u AS (SELECT doc_id AS id, {SQL_UTOKS.format(c='text')} AS toks FROM documents),
+u AS (SELECT doc_id AS id, {SQL_BM25_TOKS.format(c='text')} AS toks FROM documents),
 post AS (SELECT id, len(toks) AS dl, unnest(toks) AS term FROM u),
 stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
 c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM u),
@@ -656,7 +663,7 @@ vec_top AS (
 """
 
 _SQL_BM25_TOP = f"""
-u AS (SELECT doc_id AS id, {SQL_UTOKS.format(c='text')} AS toks FROM documents),
+u AS (SELECT doc_id AS id, {SQL_BM25_TOKS.format(c='text')} AS toks FROM documents),
 post AS (SELECT id, len(toks) AS dl, unnest(toks) AS term FROM u),
 stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
 c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM u),

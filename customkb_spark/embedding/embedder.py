@@ -85,7 +85,11 @@ _provider_singleton: EmbeddingProvider | None = None  # per-executor
 
 def get_provider(name: str, dimensions: int) -> EmbeddingProvider:
     global _provider_singleton
-    if _provider_singleton is None or _provider_singleton.name != name:
+    if (
+        _provider_singleton is None
+        or _provider_singleton.name != name
+        or _provider_singleton.dimensions != dimensions
+    ):
         _provider_singleton = _PROVIDERS[name](dimensions)
     return _provider_singleton
 
@@ -111,7 +115,10 @@ def embed_texts(
         ]
     )
 
-    distinct_texts = df.select(F.col(text_col).alias("text_key")).distinct()
+    # NULL-safe key: an equi-join never matches NULL = NULL, so a null
+    # text would silently drop its row — embed it as empty instead
+    safe_text = F.coalesce(F.col(text_col), F.lit(""))
+    distinct_texts = df.select(safe_text.alias("text_key")).distinct()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         provider = get_provider(model, dimensions)
@@ -129,7 +136,7 @@ def embed_texts(
 
     vectors = distinct_texts.mapInPandas(run, schema=schema)
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text_key"))
+        df.select(F.col(id_col).alias("id"), safe_text.alias("text_key"))
         .join(vectors, "text_key")
         .select("id", "vector")
     )

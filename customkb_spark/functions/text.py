@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
 
-# 14 "essential" English stopwords the reference always drops during BM25
-# tokenization (utils/text_utils.py:255-314).
+# The reference's exact "essential" BM25 stopword set — 14 words
+# (utils/text_utils.py:300: {'the','a','an','and','or','but','in','on',
+# 'at','to','for','of','with','by'}); dropped only in the BM25 path.
+BM25_STOPWORDS = "the a an and or but in on at to for of with by".split()
+
+# Broader English stopword list used by the QUALITY/language heuristics
+# (not by BM25 — the reference keeps its BM25 filtering light).
 ESSENTIAL_STOPWORDS = (
     "a an and are as at be by for from has he in is it its of on that the to was were will with"
 ).split()
@@ -33,13 +38,26 @@ def tokens(col: Column | str) -> Column:
 
 
 def unique_tokens(col: Column | str) -> Column:
-    """Distinct tokens, sorted — the BM25 token set (tf ∈ {0,1}).
+    """Distinct tokens, sorted.
 
     The reference preserves first-seen order; we sort instead so the
-    result is canonical under Spark's unordered shuffles. BM25 scores
-    depend only on set membership, so score parity is unaffected.
+    result is canonical under Spark's unordered shuffles. Scores depend
+    only on set membership, so parity is unaffected.
     """
     return F.array_sort(F.array_distinct(tokens(col)))
+
+
+def bm25_token_set(col: Column | str) -> Column:
+    """The F3 BM25 token set (tf ∈ {0,1}), reference
+    tokenize_for_bm25 (utils/text_utils.py:255-314): distinct tokens,
+    minus single chars (unless digits), minus the 14 essential
+    stopwords. ``doc_length`` = size of this set."""
+    stops = F.array(*[F.lit(s) for s in BM25_STOPWORDS])
+    return F.filter(
+        unique_tokens(col),
+        lambda t: ((F.length(t) > 1) | t.rlike("^[0-9]+$"))
+        & ~F.array_contains(stops, t),
+    )
 
 
 def clean_text(col: Column | str) -> Column:

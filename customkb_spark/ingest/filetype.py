@@ -32,6 +32,9 @@ def detect_file_type(path_col: Column | str) -> Column:
 
 
 def sanitize_filename(path_col: Column | str) -> Column:
-    """Replace dangerous shell chars in the basename with underscores."""
+    """Replace dangerous shell chars in the BASENAME with underscores
+    (directories untouched — the lookahead restricts matches to after
+    the last '/'). Produces a display/storage-safe name; callers must
+    keep the ORIGINAL path for filesystem access."""
     p = F.col(path_col) if isinstance(path_col, str) else path_col
-    return F.regexp_replace(p, "[<>|&;`$]", "_")
+    return F.regexp_replace(p, "[<>|&;`$](?=[^/]*$)", "_")

@@ -56,9 +56,13 @@ def documents_to_chunks(
     chunks = chunk_fixed(docs, id_col, text_col, chunk_size, overlap)
     out = chunks.join(meta, chunks["doc_id"] == meta["_doc_id"]).drop("_doc_id")
     embed_text = X.clean_text(F.col("chunk_text"))
-    toks = X.unique_tokens(F.col("chunk_text"))
+    toks = X.bm25_token_set(F.col("chunk_text"))
     projected = out.select(
-        (F.col("doc_id") * 100000 + F.col("sid")).alias("id"),
+        # id = doc_id · 2^22 + sid: 4.2M chunks/doc (a 100 MB file at
+        # 200-char chunks is ~500k) before collision, doc_id < 2^41
+        # (~2.2e12 — the CLI's hashed ids stay under 1e12) before
+        # overflow. Deterministic, unlike monotonically_increasing_id.
+        (F.col("doc_id") * (1 << 22) + F.col("sid")).alias("id"),
         F.col("doc_id"),
         F.col("sid"),
         F.col("sourcedoc"),

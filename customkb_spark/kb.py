@@ -218,6 +218,10 @@ class KnowledgeBase:
         t0 = time.time()
         index = self._build_index()
         ctx = HY.query(index, query_text, self.cfg, categories=categories)
+        if log:
+            # materialize once — formatting and the n_results count
+            # would otherwise each run the whole retrieval DAG
+            ctx = ctx.localCheckpoint()
         reference_string = format_references(ctx, fmt)
         if log:
             try:

@@ -26,9 +26,11 @@ from customkb_spark.functions import text as X
 
 
 def build_postings(chunks: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
-    """postings(id, term, dl): one row per (document, unique term)."""
+    """postings(id, term, dl): one row per (document, BM25 token) —
+    the F3 token set (dedup + single-char/essential-stopword removal,
+    text.bm25_token_set)."""
     toks = chunks.select(
-        F.col(id_col).alias("id"), X.unique_tokens(text_col).alias("toks")
+        F.col(id_col).alias("id"), X.bm25_token_set(text_col).alias("toks")
     )
     return toks.select(
         "id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
@@ -80,8 +82,8 @@ def bm25_score(
 
 
 def corpus_stats(chunks: DataFrame, text_col: str = "text") -> tuple[int, float]:
-    """(corpus_size, avgdl) over unique-token document lengths."""
-    row = chunks.select(X.unique_tokens(text_col).alias("toks")).agg(
+    """(corpus_size, avgdl) over BM25-token-set document lengths."""
+    row = chunks.select(X.bm25_token_set(text_col).alias("toks")).agg(
         F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
     ).collect()[0]
     return int(row["n"]), float(row["avgdl"])
@@ -121,13 +123,18 @@ def bm25_score_batch(
 
     q = F.broadcast(query_terms.select("qid", F.lower("term").alias("term")).distinct())
     matched = postings.join(q, "term")
+    # slice term_stats to the query vocabulary (tiny) and broadcast —
+    # the corpus-wide stats table must never shuffle for a query batch
+    stats_slice = F.broadcast(
+        term_stats.join(q.select("term").distinct(), "term", "left_semi")
+    )
     score_term = (
         F.col("idf")
         * (k1 + 1.0)
         / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl)))
     )
     scored = (
-        matched.join(term_stats, "term")
+        matched.join(stats_slice, "term")
         .groupBy("qid", "id")
         .agg(F.round(F.sum(score_term), 6).alias("score"))
         .filter(F.col("score") > 0)

@@ -28,12 +28,19 @@ def group_consecutive_sections(context_rows: DataFrame) -> DataFrame:
     grouped = rows.withColumn("_new", is_new).withColumn(
         "group_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # collect_list order is NOT guaranteed after a shuffle — collect
+    # (sid, text) structs and sort before joining, so section text is
+    # always in sid order regardless of plan changes
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("sid"), F.col("text")))),
+        lambda s: s["text"],
+    )
     return (
         grouped.groupBy("sourcedoc", "group_id")
         .agg(
             F.min("sid").alias("start_sid"),
             F.max("sid").alias("end_sid"),
-            F.concat_ws("\n", F.collect_list("text")).alias("section_text"),
+            F.array_join(ordered_texts, "\n").alias("section_text"),
         )
         .orderBy("sourcedoc", "start_sid")
     )

@@ -53,6 +53,19 @@ class HybridIndex:
         return cls(chunks, vectors.cache(), postings.cache(), stats.cache(), n, avgdl)
 
 
+def query_terms(query_text: str, min_len: int = 2) -> list[str]:
+    """Query-side twin of the index tokenizer (functions/text.tokens:
+    ``[a-z0-9]+``) — a whitespace split would leave punctuation glued
+    to terms ("spark?") that the postings index can never contain."""
+    import re
+
+    return [
+        t
+        for t in dict.fromkeys(re.findall("[a-z0-9]+", query_text.lower()))
+        if len(t) >= min_len
+    ]
+
+
 def hybrid_search(
     index: HybridIndex,
     query_text: str,
@@ -65,9 +78,7 @@ def hybrid_search(
         provider = get_provider(cfg.vector_model, cfg.vector_dimensions)
         query_vec = provider.get_embeddings([query_text])[0].tolist()
     vec_hits = brute_force_topk(index.vectors, list(map(float, query_vec)), cfg.query_top_k)
-    q_terms = [
-        t for t in dict.fromkeys(query_text.lower().split()) if len(t) >= cfg.bm25_min_token_length
-    ]
+    q_terms = query_terms(query_text, cfg.bm25_min_token_length)
     kw_hits = B.bm25_score(
         index.postings,
         index.term_stats,
@@ -92,14 +103,20 @@ def retrieve_context(
 ) -> DataFrame:
     """Hits → context rows (category filter → range join → ordered)."""
     cfg = cfg or KBConfig()
+    has_cat = "primary_category" in index.chunks.columns
     hit_rows = fused_hits.join(
         index.chunks.select("id", "sourcedoc", "sid", "primary_category")
-        if "primary_category" in index.chunks.columns
+        if has_cat
         else index.chunks.select("id", "sourcedoc", "sid"),
         "id",
     )
-    if categories:
+    if categories and has_cat:
         hit_rows = hit_rows.filter(F.col("primary_category").isin(categories))
+    elif categories:
+        raise ValueError(
+            "category filter requested but the chunks table has no "
+            "primary_category column — run categorize/import first"
+        )
     return context_range_join(
         hit_rows.select("sourcedoc", "sid", "score"),
         index.chunks,
@@ -135,10 +152,13 @@ def hybrid_search_batch(
         qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector"
     ).select("qid", "id", "score")
 
+    # same tokenizer as the postings index — not a whitespace split
     terms = queries.select(
         "qid",
         F.explode(
-            F.array_distinct(F.split(F.lower("query_text"), "\\s+"))
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("query_text"), F.lit("[a-z0-9]+"), 0)
+            )
         ).alias("term"),
     ).filter(F.length("term") >= cfg.bm25_min_token_length)
     kw_hits = B.bm25_score_batch(
@@ -212,7 +232,7 @@ def query(
     if cfg.enable_reranking:
         from customkb_spark.operators.rerank import rerank_hits
 
-        q_terms = [t for t in dict.fromkeys(query_text.lower().split()) if t]
+        q_terms = query_terms(query_text, min_len=1)
         reranked = rerank_hits(
             fused,
             index.chunks,

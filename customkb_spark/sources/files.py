@@ -71,7 +71,11 @@ def scan_files(
     return (
         df.filter(F.col("length") <= int(max_file_size_mb * 1024 * 1024))
         .select(
-            sanitize_filename(F.col("path")).alias("path"),
+            # the REAL path — downstream IO (convert_files_to_utf8)
+            # must address the actual file; the sanitized form is a
+            # separate display/storage column
+            F.col("path"),
+            sanitize_filename(F.col("path")).alias("safe_path"),
             detect_file_type(F.col("path")).alias("file_type"),
             F.col("length"),
             F.col("modificationTime").alias("modification_time"),

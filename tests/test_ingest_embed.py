@@ -51,7 +51,7 @@ def test_documents_to_chunks_schema_and_sid(spark, documents):
     chunks = documents_to_chunks(documents.limit(5), chunk_size=100)
     rows = chunks.orderBy("doc_id", "sid").collect()
     assert rows[0]["sid"] == 0
-    assert all(r["id"] == r["doc_id"] * 100000 + r["sid"] for r in rows)
+    assert all(r["id"] == r["doc_id"] * (1 << 22) + r["sid"] for r in rows)
     assert all(r["doc_length"] == len(r["bm25_tokens"]) for r in rows)
 
 

@@ -38,15 +38,16 @@ def test_knn_join_rank1_is_self(spark, embeddings):
 
 
 def test_bm25_formula_hand_check(spark):
-    # 3 docs; query term 'x' appears in doc1 and doc2 (dedup → tf=1)
+    # 3 docs; query term 'xx' appears in doc1 and doc2 (dedup → tf=1);
+    # tokens are 2 chars because the F3 set drops single non-digit chars
     docs = spark.createDataFrame(
-        [(1, "x y z"), (2, "x x w"), (3, "w y")], ["id", "text"]
+        [(1, "xx yy zz"), (2, "xx xx ww"), (3, "ww yy")], ["id", "text"]
     )
     postings = B.build_postings(docs, "id", "text")
     n, avgdl = B.corpus_stats(docs, "text")
     stats = B.build_term_stats(postings, n)
-    out = {r["id"]: r["score"] for r in B.bm25_score(postings, stats, ["x"], avgdl).collect()}
-    # manual: df(x)=2, N=3 → idf = ln((3-2+0.5)/(2+0.5)+1); dl: doc1=3, doc2=2; avgdl=(3+2+2)/3
+    out = {r["id"]: r["score"] for r in B.bm25_score(postings, stats, ["xx"], avgdl).collect()}
+    # manual: df(xx)=2, N=3 → idf = ln((3-2+0.5)/(2+0.5)+1); dl: doc1=3, doc2=2; avgdl=(3+2+2)/3
     idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
     for doc_id, dl in [(1, 3), (2, 2)]:
         exp = idf * 2.2 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
