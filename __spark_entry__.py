@@ -359,13 +359,13 @@ def q_events_sessionize(spark, sf_dir):
 
 SQL_SESSIONIZE = """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g)
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
@@ -803,16 +803,15 @@ FROM chunks c JOIN bounds b
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: md5 over whitespace-normalized text, hash groups."""
     docs = _t(spark, sf_dir, "documents")
-    normed = F.md5(F.regexp_replace(F.col("text"), "\\s+", " "))
     return (
-        docs.select(F.col("doc_id").alias("id"), normed.alias("text_hash"))
+        docs.select(F.col("doc_id").alias("id"), D.content_hash("text").alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.count("*").alias("n_dups"), F.min("id").alias("canonical_id"))
     )
 
 
-SQL_DEDUP_EXACT = """
-SELECT md5(regexp_replace(text, '\\s+', ' ', 'g')) AS text_hash,
+SQL_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_hash,
        count(*) AS n_dups, min(doc_id) AS canonical_id
 FROM documents GROUP BY 1
 """
@@ -821,7 +820,7 @@ FROM documents GROUP BY 1
 def _augmented_docs(docs: DataFrame) -> DataFrame:
     """documents ∪ 90%-prefix mutations (near-dup planted pairs)."""
     mutated = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + (1 << 40)).alias("doc_id"),
         F.substring(
             F.col("text"), 1, F.floor(F.length("text") * 0.9).cast("int")
         ).alias("text"),
@@ -833,7 +832,7 @@ SQL_AUG = """
 aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id,
+  SELECT doc_id + 1099511627776 AS doc_id,
          substr(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
   FROM documents)
 """
@@ -1012,7 +1011,7 @@ FROM m
 def q_token_counts(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish piece estimate."""
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.col("text"), F.lit("\\S+"), 0)
+    ws = F.regexp_extract_all(F.col("text"), F.lit("[^ \\t\\n\\x0B\\f\\r]+"), 0)
     return _longs(
         docs.select(
             "doc_id",
@@ -1023,7 +1022,7 @@ def q_token_counts(spark, sf_dir):
 
 
 SQL_TOKEN_COUNTS = r"""
-WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS pieces FROM documents)
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS pieces FROM documents)
 SELECT doc_id,
        CAST(len(pieces) AS BIGINT) AS n_ws_tokens,
        CAST(coalesce(list_sum([greatest(CAST(ceil(length(p) / 4.0) AS BIGINT), 1) FOR p IN pieces]), 0) AS BIGINT) AS n_bpe_approx
@@ -1182,7 +1181,7 @@ SELECT doc_id,
             WHEN regexp_matches(lower(text), 'references|bibliography|citations') THEN 'references'
             ELSE 'body' END AS document_section,
        CAST(length(text) AS BIGINT) AS char_length,
-       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS word_count,
+       CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS word_count,
        list_sort(list_distinct(regexp_extract_all(substr(text, 1, 500),
            '\b[A-Z][a-z]+(?: [A-Z][a-z]+){0,2}\b'))) AS entities
 FROM documents
@@ -1267,9 +1266,8 @@ def q_corpus_filter_pipeline(spark, sf_dir):
         (X.detect_language_heuristic("text") == "en")
         & (X.quality_score("text") >= 0.5)
     )
-    normed = F.md5(F.regexp_replace(F.col("text"), "\\s+", " "))
     canonical = (
-        gated.select(F.col("doc_id").alias("id"), normed.alias("text_hash"))
+        gated.select(F.col("doc_id").alias("id"), D.content_hash("text").alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min("id").alias("id"), F.count("*").alias("n_copies"))
     )
@@ -1309,7 +1307,7 @@ q AS (
                                 ELSE 0.0 END) * 10, 1.0))) / 3, 6) AS quality
   FROM langed WHERE lang_pred = 'en')
 SELECT min(doc_id) AS id,
-       md5(regexp_replace(text, '\\s+', ' ', 'g')) AS text_hash,
+       md5(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_hash,
        count(*) AS n_copies
 FROM q WHERE quality >= 0.5
 GROUP BY 2

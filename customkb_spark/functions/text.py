@@ -153,7 +153,8 @@ def token_count_bpe_ish(col: Column | str) -> Column:
     back to words × 1.3, database/chunking.py:24-60): count word pieces
     by splitting on whitespace and adding ceil(chars/4) for long words."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.regexp_extract_all(c, F.lit("\\S+"), 0)
+    # explicit class — Java \S and RE2 \S disagree on \x0B
+    pieces = F.regexp_extract_all(c, F.lit("[^ \\t\\n\\x0B\\f\\r]+"), 0)
     per_word = F.transform(
         pieces, lambda w: F.greatest(F.ceil(F.length(w) / F.lit(4.0)), F.lit(1))
     )

@@ -90,7 +90,8 @@ def chunk_metadata(text_col: Column | str) -> Column:
         section_type(c).alias("section_type"),
         document_section(c).alias("document_section"),
         F.length(c).alias("char_length"),
-        F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0)).alias("word_count"),
+        # explicit class — Java \S and RE2 \S disagree on \x0B
+        F.size(F.regexp_extract_all(c, F.lit("[^ \\t\\n\\x0B\\f\\r]+"), 0)).alias("word_count"),
         extract_entities(c).alias("entities"),
     )
 

@@ -36,6 +36,20 @@ from customkb_spark.functions import text as X
 from customkb_spark.functions import vector as V
 
 
+# Explicit whitespace class: Java's \s includes \x0B but RE2's (DuckDB)
+# does not — the oracle-mirrored content hash must use the same set of
+# characters in both engines.
+WHITESPACE_RE = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def content_hash(text_col) -> "F.Column":
+    """Canonical whitespace-collapsed md5 of a text column — THE dedup
+    identity; every exact-dedup path (and its SQL oracle) must use this
+    one definition."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(c, WHITESPACE_RE, " "))
+
+
 def exact_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -44,7 +58,7 @@ def exact_duplicates(
     Returns (text_hash, n_dups, canonical_id, dup_ids) for groups with
     more than one member. Normalization = collapse whitespace.
     """
-    normed = F.md5(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    normed = content_hash(text_col)
     return (
         docs.select(F.col(id_col).alias("id"), normed.alias("text_hash"))
         .groupBy("text_hash")

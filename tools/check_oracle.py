@@ -17,7 +17,9 @@ import traceback
 
 import duckdb
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from customkb_spark.session import get_spark  # noqa: E402
@@ -34,7 +36,7 @@ def canon_cell(v) -> str:
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)  # +0.0 folds -0.0 into 0.0
     if isinstance(v, decimal.Decimal):
         return repr(round(float(v), 9))
     if isinstance(v, datetime.datetime):
@@ -52,7 +54,11 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check_oracle", cpus=16)
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+    spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
