@@ -423,6 +423,28 @@ LEFT JOIN t0 USING (user_id) LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (us
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest view at
+    or before it (union-scan implementation, one shuffle — checked
+    against DuckDB's native ASOF JOIN)."""
+    from customkb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return _longs(asof_join(purchases, views, ["user_id"]))
+
+
+SQL_ASOF = """
+SELECT p.user_id, p.ts, p.event_id, v.ts AS ts_right
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 def q_events_consecutive_runs(spark, sf_dir):
     """W3 consecutive-run grouping (the formatter-grouping shape)."""
     ev = _t(spark, sf_dir, "events")
@@ -1359,6 +1381,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_hourly_agg": q_events_hourly_agg,
     "events_funnel": q_events_funnel,
+    "events_asof_join": q_events_asof_join,
     "events_consecutive_runs": q_events_consecutive_runs,
     "chunk_documents_fixed": q_chunk_documents_fixed,
     "doc_token_stats": q_doc_token_stats,
@@ -1408,6 +1431,7 @@ _ORACLES: dict[str, str] = {
     "events_sessionize": SQL_SESSIONIZE,
     "events_hourly_agg": SQL_HOURLY,
     "events_funnel": SQL_FUNNEL,
+    "events_asof_join": SQL_ASOF,
     "events_consecutive_runs": SQL_RUNS,
     "chunk_documents_fixed": SQL_CHUNKS,
     "doc_token_stats": SQL_TOKEN_STATS,
