@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "segment_order_stats",
     "events_sessionize",
     "events_hourly_agg",
+    "events_funnel",
+    "events_asof_join",
     "chunk_documents_fixed",
     "bm25_term_stats",
     "bm25_score",
