@@ -361,7 +361,7 @@ SQL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,

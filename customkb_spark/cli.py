@@ -41,10 +41,12 @@ def _docs_from_files(spark, pattern: str):
     from customkb_spark.sources.files import read_text_files
 
     files = read_text_files(spark, pattern)
-    # bounded id: the chunk id is doc_id * 100000 + sid, so doc_id must
-    # stay under ~9e13 to avoid int64 overflow
+    # doc_id < 2^41 keeps the chunk-id derivation (doc_id · 2^22 + sid,
+    # ingest/pipeline.py) inside int64. Collision odds at this width are
+    # ~N²/2^42 (≈0.2 expected collisions at 1M files); beyond that,
+    # assign ids from an ingestion-log sequence instead of a path hash.
     return files.select(
-        F.pmod(F.xxhash64("path"), F.lit(10**12)).alias("doc_id"),
+        F.pmod(F.xxhash64("path"), F.lit(1 << 41)).alias("doc_id"),
         F.col("text"),
         F.col("path").alias("source"),
     )
@@ -73,7 +75,7 @@ def cmd_embed(args) -> int:
 
 def cmd_query(args) -> int:
     kb = _kb(args)
-    if args.top_k:
+    if args.top_k is not None:
         kb.cfg.query_top_k = args.top_k
     out = kb.query(
         args.question,

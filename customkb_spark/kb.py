@@ -134,7 +134,7 @@ class KnowledgeBase:
                 F.current_timestamp().alias("ingested_at"),
             ).distinct()
             log.write.mode("append").parquet(self._p("ingest_log"))
-        self._index = None
+        self._invalidate()
         return n
 
     # ---------------------------------------------------------- embed
@@ -194,14 +194,34 @@ class KnowledgeBase:
         n = vectors.count()
         if n:
             vectors.write.mode("append").parquet(self._p("vectors"))
-            self._index = None
+            self._invalidate()
         return n
 
     # ---------------------------------------------------------- query
+    def _invalidate(self) -> None:
+        """Drop the cached index after a write — unpersisting the old
+        cached DataFrames so repeated database/embed/query cycles in a
+        long-lived session don't leak executor memory."""
+        if self._index is not None:
+            for df in (
+                getattr(self, "_cached_chunks", None),
+                self._index.vectors,
+                self._index.postings,
+                self._index.term_stats,
+            ):
+                if df is not None:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+        self._cached_chunks = None
+        self._index = None
+
     def _build_index(self) -> HY.HybridIndex:
         if self._index is None:
+            self._cached_chunks = self._read("chunks").cache()
             self._index = HY.HybridIndex.build(
-                self._read("chunks").cache(), self._read("vectors")
+                self._cached_chunks, self._read("vectors")
             )
         return self._index
 
@@ -246,10 +266,12 @@ class KnowledgeBase:
         chunks = self._read("chunks") if self._exists("chunks") else None
         out["chunks"] = chunks.count() if chunks is not None else 0
         out["vectors"] = self._read("vectors").count() if self._exists("vectors") else 0
-        if chunks is not None and self._exists("vectors"):
-            out["pending_embed"] = (
-                chunks.filter(F.length("embedtext") > 0)
-                .join(self._read("vectors").select("id"), "id", "left_anti")
-                .count()
-            )
+        if chunks is not None:
+            pending = chunks.filter(F.length("embedtext") > 0)
+            if self._exists("vectors"):
+                pending = pending.join(
+                    self._read("vectors").select("id"), "id", "left_anti"
+                )
+            # no vectors table yet ⇒ EVERY embeddable chunk is pending
+            out["pending_embed"] = pending.count()
         return out

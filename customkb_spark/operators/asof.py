@@ -69,10 +69,19 @@ def asof_join(
     matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
         F.col("_side") == 1
     )
+    # JOIN semantics: NULL keys never match (Window.partitionBy would
+    # group them together — null out their matches)
+    null_key = None
+    for k in key_cols:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    matched = matched.withColumn("_m", F.when(~null_key, F.col("_m")))
     if tolerance_seconds is not None:
+        # double-epoch keeps sub-second precision (unix_timestamp
+        # truncates to whole seconds)
         fresh = (
-            F.unix_timestamp(F.col("_ts"))
-            - F.unix_timestamp(F.col("_m")[f"{ts_col}{suffix}"])
+            F.col("_ts").cast("double")
+            - F.col("_m")[f"{ts_col}{suffix}"].cast("double")
         ) <= tolerance_seconds
         matched = matched.withColumn("_m", F.when(fresh, F.col("_m")))
     out_cols = [F.col(c) for c in key_cols]

@@ -30,7 +30,9 @@ def sessionize(
     order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     prev = F.lag(ts_col).over(w)
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+    # double-epoch: unix_timestamp truncates to whole seconds, merging
+    # events gap+0.5s apart; mirrored by epoch() in the SQL oracle
+    gap = F.col(ts_col).cast("double") - prev.cast("double")
     is_new = F.when(prev.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     with_sess = events.withColumn("_new", is_new).withColumn(
         "session_id",
@@ -97,7 +99,10 @@ def funnel(
             F.array_sort(
                 F.collect_list(F.when(F.col(type_col) == s, seq))
             ).alias(f"_all_{k}")
+            # step 0 only needs its min — never collect the (typically
+            # highest-volume) first step's full event list
             for k, s in enumerate(steps)
+            if k >= 1
         ],
     )
     # cascade: t0 = first step-0; t_k = earliest step-k occurrence > t_{k-1}.

@@ -22,10 +22,12 @@ _MERGEABLE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
-    """Uniform int salt derived from a cheap per-row hash (seeded rand
-    is also fine; a hash keeps rows deterministic for tests)."""
+    """Uniform int salt from a per-row counter (monotonically_increasing_id):
+    spreads even fully-duplicate rows — a row-content hash would send
+    every copy of a hot duplicate row to the same reducer, which is
+    exactly the case salting exists for."""
     return df.withColumn(
-        col_name, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        col_name, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
 
 
@@ -48,7 +50,13 @@ def salted_agg(
     salted = with_salt(df, n_salts)
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
-            (F.count("*") if fn == "count" else getattr(F, fn)(col)).alias(out)
+            (
+                F.count("*")
+                if fn == "count" and col == "*"
+                else F.count(col)
+                if fn == "count"
+                else getattr(F, fn)(col)
+            ).alias(out)
             for out, (fn, col) in aggs.items()
         ]
     )
@@ -69,11 +77,7 @@ def salted_join_skewed_left(
     broadcast threshold; with a broadcastable small side just use
     F.broadcast instead.
     """
-    b = big.withColumn("_salt", F.pmod(F.hash(F.col(key)), F.lit(n_salts)))
-    # hot keys hash to ONE salt — add row-level entropy so they spread
-    b = b.withColumn(
-        "_salt", F.pmod(F.col("_salt") + F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)), F.lit(n_salts))
-    )
+    b = with_salt(big, n_salts)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -25,14 +25,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("session_start", T.TimestampType(), True),
-        T.StructField("session_end", T.TimestampType(), True),
-        T.StructField("n_events", T.LongType(), False),
-    ]
-)
+def session_schema(key_name: str = "user_id", key_type: T.DataType | None = None) -> T.StructType:
+    """Output schema parameterized by the session key (name AND type
+    must match the grouping column or Arrow conversion fails)."""
+    return T.StructType(
+        [
+            T.StructField(key_name, key_type or T.LongType(), False),
+            T.StructField("session_start", T.TimestampType(), True),
+            T.StructField("session_end", T.TimestampType(), True),
+            T.StructField("n_events", T.LongType(), False),
+        ]
+    )
+
+
+SESSION_SCHEMA = session_schema()
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -89,14 +95,14 @@ def streaming_sessionize(
     def handle(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        user_id = key[0]
+        user_key = key[0]
         if state.hasTimedOut:
             if state.exists:
                 start_ms, end_ms, n = state.get
                 state.remove()
                 yield pd.DataFrame(
                     {
-                        "user_id": [user_id],
+                        user_col: [user_key],
                         "session_start": [pd.Timestamp(start_ms, unit="ms")],
                         "session_end": [pd.Timestamp(end_ms, unit="ms")],
                         "n_events": [n],
@@ -115,7 +121,11 @@ def streaming_sessionize(
             if cur_start is None:
                 cur_start, cur_end, cur_n = t, t, 1
             elif t - cur_end <= gap_ms:
-                cur_end, cur_n = t, cur_n + 1
+                # extend; late (out-of-order) events must never shrink
+                # the open session's bounds
+                cur_start = min(cur_start, t)
+                cur_end = max(cur_end, t)
+                cur_n += 1
             else:
                 closed.append((cur_start, cur_end, cur_n))
                 cur_start, cur_end, cur_n = t, t, 1
@@ -124,16 +134,17 @@ def streaming_sessionize(
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(closed),
+                    user_col: [user_key] * len(closed),
                     "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
                     "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
                     "n_events": [n for _, _, n in closed],
                 }
             )
 
+    out_schema = session_schema(user_col, events.schema[user_col].dataType)
     return events.select(user_col, ts_col).groupBy(user_col).applyInPandasWithState(
         handle,
-        outputStructType=SESSION_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
