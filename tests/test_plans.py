@@ -110,3 +110,33 @@ def test_ivf_partition_pruning(spark, embeddings, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:120]
     assert "cluster_id" in seg  # pruning happens at file listing, not scan
+
+
+def test_bm25_batch_broadcasts_stats_slice(spark, documents):
+    from customkb_spark.operators import bm25 as B
+
+    postings = B.build_postings(documents, "doc_id", "text")
+    stats = B.build_term_stats(postings, documents.count())
+    qt = spark.createDataFrame([(0, "spark"), (1, "data")], ["qid", "term"])
+    plan = explain_str(B.bm25_score_batch(postings, stats, qt, 10.0), "simple")
+    # both the query terms and the stats slice join as broadcasts; the
+    # corpus-wide stats table is never shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_asof_join_single_shuffle(spark):
+    import datetime as dt
+
+    from customkb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a")], ["k", "ts", "v"]
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 9.0)], ["k", "ts", "price"]
+    )
+    plan = explain_str(asof_join(left, right, ["k"]), "simple")
+    # union-scan form: exactly one Exchange (the window partitioning),
+    # no join operator at all — the L×R blowup shape never appears
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
