@@ -1182,7 +1182,9 @@ def q_chunk_metadata(spark, sf_dir):
             F.col("m.document_section").alias("document_section"),
             F.col("m.char_length").alias("char_length"),
             F.col("m.word_count").alias("word_count"),
-            F.col("m.entities").alias("entities"),
+            # joined to a scalar string: the driver's canonicalizer
+            # sorts with pandas, which can't hash ndarray cells
+            F.array_join(F.col("m.entities"), "|").alias("entities"),
         )
     )
 
@@ -1204,8 +1206,8 @@ SELECT doc_id,
             ELSE 'body' END AS document_section,
        CAST(length(text) AS BIGINT) AS char_length,
        CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS word_count,
-       list_sort(list_distinct(regexp_extract_all(substr(text, 1, 500),
-           '\b[A-Z][a-z]+(?: [A-Z][a-z]+){0,2}\b'))) AS entities
+       coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(substr(text, 1, 500),
+           '\b[A-Z][a-z]+(?: [A-Z][a-z]+){0,2}\b'))), '|'), '') AS entities
 FROM documents
 """
 
