@@ -51,12 +51,19 @@ QUERY_TERMS_SQL = "('spark', 'data', 'query', 'table', 'window')"
 # Shared DuckDB fragments (tokenization contract, functions/text.py)
 SQL_TOKS = "regexp_extract_all(lower({c}), '[a-z0-9]+')"
 SQL_UTOKS = "list_sort(list_distinct(regexp_extract_all(lower({c}), '[a-z0-9]+')))"
-# F3 BM25 token set: unique tokens minus single chars (non-digit) and
-# the reference's 14 essential stopwords (text.BM25_STOPWORDS)
+# F3 BM25 token set, mirroring text.bm25_token_set / the reference's
+# tokenize_for_bm25 fallback: keep \w - . inside tokens, whitespace
+# split, drop single non-digit chars, drop the 14 en stopwords, dedupe.
+# Whitespace classes are explicit because RE2 \s excludes \x0B.
 _SQL_BM25_STOPS = "['" + "', '".join(X.BM25_STOPWORDS) + "']"
+_SQL_BM25_RAW = (
+    r"regexp_extract_all(regexp_replace(lower({c}), "
+    r"'[^\w \t\n\x0B\f\r.-]', ' ', 'g'), '[^ \t\n\x0B\f\r]+')"
+)
 SQL_BM25_TOKS = (
-    "list_filter(" + SQL_UTOKS + ", t -> (length(t) > 1 OR regexp_matches(t, '^[0-9]+$'))"
-    " AND NOT list_contains(" + _SQL_BM25_STOPS + ", t))"
+    "list_sort(list_distinct(list_filter(" + _SQL_BM25_RAW
+    + ", t -> (length(t) > 1 OR regexp_matches(t, '^[0-9]+$'))"
+    " AND NOT list_contains(" + _SQL_BM25_STOPS + ", t))))"
 )
 SQL_COS = (
     "round(list_dot_product({a}, {b}) / "

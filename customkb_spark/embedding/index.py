@@ -37,14 +37,21 @@ def train_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd's k-means on a driver-side sample (FAISS trains on ≤10k
-    sampled embeddings too, embed_manager.py:694-715)."""
-    sample = np.array(
-        vectors.select(vec_col)
-        .limit(sample_size)
-        .rdd.map(lambda r: r[0])
-        .collect(),
-        dtype=np.float64,
-    )
+    sampled embeddings too, embed_manager.py:694-715).
+
+    The sample is a seeded *uniform* Bernoulli sample over the whole
+    table — ``limit(n)`` would take the first partitions only, which
+    on an ingest-ordered corpus trains centroids on one corner of the
+    distribution and silently degrades recall at scale.
+    """
+    proj = vectors.select(vec_col)
+    n_rows = proj.count()
+    if n_rows > sample_size:
+        # oversample 20% so the Bernoulli draw rarely undershoots,
+        # then trim deterministically
+        fraction = min(1.0, 1.2 * sample_size / n_rows)
+        proj = proj.sample(fraction=fraction, seed=seed).limit(sample_size)
+    sample = np.array([r[0] for r in proj.collect()], dtype=np.float64)
     rng = np.random.default_rng(seed)
     nlist = min(nlist, len(sample))
     centroids = sample[rng.choice(len(sample), nlist, replace=False)]

@@ -71,6 +71,22 @@ def lsh_near_duplicates(
     )
 
 
+def multiprobe_buckets(qbits: str, hamming: int) -> set[str]:
+    """All bucket keys within ``hamming`` bit flips of ``qbits``:
+    flip every size-≤d combination of positions —
+    sum_{j<=d} C(nbits, j) probes total."""
+    from itertools import combinations
+
+    probes = {qbits}
+    for d in range(1, min(hamming, len(qbits)) + 1):
+        for idxs in combinations(range(len(qbits)), d):
+            flipped = list(qbits)
+            for i in idxs:
+                flipped[i] = "0" if flipped[i] == "1" else "1"
+            probes.add("".join(flipped))
+    return probes
+
+
 def lsh_search(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -86,13 +102,8 @@ def lsh_search(
     With the table bucketed by ``lsh_bucket`` the isin filter is
     partition pruning, mirroring the IVF nprobe pattern."""
     q = np.asarray(query_vec, dtype=np.float64)
-    qbits = ["1" if float(p @ q) >= 0 else "0" for p in planes]
-    probes = {"".join(qbits)}
-    if multiprobe_hamming >= 1:
-        for i in range(len(qbits)):
-            flipped = list(qbits)
-            flipped[i] = "0" if flipped[i] == "1" else "1"
-            probes.add("".join(flipped))
+    qbits = "".join("1" if float(p @ q) >= 0 else "0" for p in planes)
+    probes = multiprobe_buckets(qbits, multiprobe_hamming)
     bucketed = assign_lsh_buckets(embeddings, planes, vec_col)
     pruned = bucketed.filter(F.col("lsh_bucket").isin(sorted(probes)))
     from customkb_spark.operators.topk import brute_force_topk

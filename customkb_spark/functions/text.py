@@ -5,12 +5,14 @@ whole-stage-codegen) — no Python UDFs. The reference implements these
 as per-row Python (utils/text_utils.py); at 100 TB the regex/array
 forms here run inside Tungsten.
 
-Tokenization contract (used by BM25, shingles, dedup, language ID):
-``tokens(col) = regexp_extract_all(lower(col), '[a-z0-9]+')``.
-The reference's tokenize_for_bm25 (utils/text_utils.py:255-314)
-additionally DEDUPLICATES tokens per document — BM25 term frequency is
-0/1 — which `unique_tokens` reproduces; that quirk is load-bearing for
-score parity (SURVEY.md §2.7 F3).
+Tokenization contracts:
+- General (shingles, dedup, language ID, quality):
+  ``tokens(col) = regexp_extract_all(lower(col), '[a-z0-9]+')``.
+- BM25 (``bm25_token_set``): the reference's tokenize_for_bm25
+  pipeline (utils/text_utils.py:255-314) — keeps ``- . _`` inside
+  tokens, en-gated stopword removal, and DEDUPLICATES tokens per
+  document (BM25 term frequency is 0/1); that quirk is load-bearing
+  for score parity (SURVEY.md §2.7 F3).
 """
 
 from __future__ import annotations
@@ -47,17 +49,30 @@ def unique_tokens(col: Column | str) -> Column:
     return F.array_sort(F.array_distinct(tokens(col)))
 
 
-def bm25_token_set(col: Column | str) -> Column:
-    """The F3 BM25 token set (tf ∈ {0,1}), reference
-    tokenize_for_bm25 (utils/text_utils.py:255-314): distinct tokens,
-    minus single chars (unless digits), minus the 14 essential
-    stopwords. ``doc_length`` = size of this set."""
-    stops = F.array(*[F.lit(s) for s in BM25_STOPWORDS])
-    return F.filter(
-        unique_tokens(col),
-        lambda t: ((F.length(t) > 1) | t.rlike("^[0-9]+$"))
-        & ~F.array_contains(stops, t),
-    )
+def bm25_token_set(col: Column | str, language: str = "en") -> Column:
+    """The F3 BM25 token set (tf ∈ {0,1}), reference tokenize_for_bm25
+    (utils/text_utils.py:255-314), mirroring its deterministic fallback
+    path exactly:
+
+      lowercase → strip ``[^\\w\\s\\-.]`` to spaces (hyphens, periods
+      and underscores survive inside tokens: ``state-of-the-art``,
+      ``3.14``, ``foo_bar``) → whitespace split → drop single chars
+      unless digits → drop the 14 essential stopwords ONLY for
+      ``language='en'`` → dedupe.
+
+    We sort the set (the reference keeps first-seen order) so results
+    are canonical under Spark's unordered shuffles; BM25 scores depend
+    only on membership. ``\\w`` here is ASCII (Java/RE2) vs the
+    reference's unicode-aware Python ``\\w`` — divergent only on
+    non-ASCII word chars. ``doc_length`` = size of this set."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, "[^\\w\\s.-]", " ")
+    toks = F.regexp_extract_all(c, F.lit("[^ \\t\\n\\x0B\\f\\r]+"), 0)
+    toks = F.filter(toks, lambda t: (F.length(t) > 1) | t.rlike("^[0-9]+$"))
+    if language == "en":
+        stops = F.array(*[F.lit(s) for s in BM25_STOPWORDS])
+        toks = F.filter(toks, lambda t: ~F.array_contains(stops, t))
+    return F.array_sort(F.array_distinct(toks))
 
 
 def clean_text(col: Column | str) -> Column:

@@ -30,6 +30,7 @@ def asof_join(
     right_value_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    right_tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: left rows + the latest right row with
     ``right.ts <= left.ts`` on the same key.
@@ -37,6 +38,12 @@ def asof_join(
     Right rows at exactly the same timestamp DO match (<=). Left rows
     with no prior right row keep NULLs (left-outer semantics; filter
     the joined ts column for inner). Right value columns are suffixed.
+
+    ``right_tiebreak_col``: when several right rows share the same
+    (key, ts), the one with the GREATEST tiebreak value wins,
+    deterministically. Without it, which of the tied right payloads a
+    left row matches is undefined run-to-run (the window order over
+    tied rows is unspecified).
     """
     rvals = right_value_cols or [
         c for c in right.columns if c not in key_cols and c != ts_col
@@ -46,10 +53,16 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in rvals],
     )
     lvals = [c for c in left.columns if c not in key_cols and c != ts_col]
+    tb_right = (
+        F.col(right_tiebreak_col)
+        if right_tiebreak_col is not None
+        else F.lit(0)
+    )
     r = right.select(
         *key_cols,
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_side"),  # right sorts BEFORE left at equal ts → <= matches
+        tb_right.alias("_tb"),
         payload.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lvals],
     )
@@ -57,13 +70,17 @@ def asof_join(
         *key_cols,
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
         *[F.col(c) for c in lvals],
     )
+    l = l.withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType)).select(r.columns)
     unioned = r.unionByName(l)
+    # ascending _tb → among right rows tied on (key, ts) the running
+    # last_value sees the greatest tiebreak LAST, so it wins; left rows
+    # carry NULL _tb, which is irrelevant (side 1 sorts after side 0)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_tb")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(

@@ -103,9 +103,13 @@ def rerank_hits(
         if scorer is not None
         else overlap_score(query_terms, F.col("_text"))
     )
+    # LEFT join: the reference only ever REORDERS the head, never drops
+    # a hit — a head id missing from the docs table passes through with
+    # rerank_score 0.0 (sorts to the bottom of the head, id tiebreak)
+    # instead of vanishing from the output.
     scored_head = (
-        head.join(texts, "id")  # head is ≤ top_k rows → broadcastable
-        .withColumn("rerank_score", score_expr)
+        head.join(texts, "id", "left")  # head is ≤ top_k rows → broadcastable
+        .withColumn("rerank_score", F.coalesce(score_expr, F.lit(0.0)))
         .drop("_text")
     )
     hw = Window.orderBy(F.desc("rerank_score"), F.asc("id"))

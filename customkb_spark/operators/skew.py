@@ -21,11 +21,32 @@ from pyspark.sql import functions as F
 _MERGEABLE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
-def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
-    """Uniform int salt from a per-row counter (monotonically_increasing_id):
-    spreads even fully-duplicate rows — a row-content hash would send
-    every copy of a hot duplicate row to the same reducer, which is
-    exactly the case salting exists for."""
+def with_salt(
+    df: DataFrame,
+    n_salts: int = 16,
+    col_name: str = "_salt",
+    deterministic: bool = True,
+) -> DataFrame:
+    """Uniform int salt for two-phase aggregation.
+
+    ``deterministic=True`` (default): salt = xxhash64 over every input
+    column — recompute-safe. A shuffle-fetch failure that re-runs part
+    of the map stage re-derives identical salts, so no row is counted
+    twice or lost (monotonically_increasing_id is NOT safe here: its
+    value depends on partition/row order, the same indeterminacy class
+    as Spark's repartition correctness issue). Caveat: rows that are
+    byte-identical across ALL columns share a salt, so a hot key whose
+    rows are *literal duplicates* still lands on one reducer.
+
+    ``deterministic=False``: salt from a per-row counter — spreads even
+    fully-duplicate rows, but the input must be recompute-stable
+    (checkpointed / freshly-scanned parquet, no upstream wide shuffle)
+    or partial-stage retries can double-count.
+    """
+    if deterministic:
+        return df.withColumn(
+            col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        )
     return df.withColumn(
         col_name, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )

@@ -47,6 +47,48 @@ def test_ivf_recall_monotone_in_nprobe(spark, embeddings):
     ]
 
 
+def test_training_sample_is_uniform_on_sorted_corpus(spark):
+    """Regression for the round-1 `.limit()` sampling bias: a corpus
+    sorted by cluster (the ingest-ordered normal case) must still train
+    centroids that see every mode.  With first-N sampling, a
+    sample_size smaller than the first cluster would collapse all
+    centroids onto that cluster and nprobe=1 recall on the far cluster
+    would be garbage."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 3 well-separated modes, written in sorted order: all of mode 0,
+    # then mode 1, then mode 2 — 400 rows each
+    for mode in range(3):
+        center = np.zeros(8)
+        center[mode] = 50.0
+        for i in range(400):
+            v = center + rng.normal(0, 0.5, 8)
+            rows.append((mode * 400 + i, [float(x) for x in v]))
+    df = (
+        spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        .coalesce(4)
+        .cache()
+    )
+    # sample_size=300 < one mode's 400 rows: first-N sampling would
+    # only ever see mode 0
+    cents = train_centroids(df, "embedding", nlist=6, sample_size=300, seed=1)
+    # every mode must own at least one centroid (argmax coordinate)
+    modes_covered = {int(np.argmax(c)) for c in cents}
+    assert modes_covered == {0, 1, 2}
+    indexed = assign_clusters(df, cents, "embedding").cache()
+    # probing 2 of 6 clusters for a query in the LAST mode must find
+    # its true neighbors
+    q = [float(x) for x in df.filter("vec_id = 1100").first()["embedding"]]
+    exact = [r["id"] for r in brute_force_topk(df, q, 10, "vec_id", "embedding").collect()]
+    ids = [
+        r["id"]
+        for r in ivf_search(indexed, cents, q, k=10, nprobe=2, id_col="vec_id", vec_col="embedding").collect()
+    ]
+    assert _recall(ids, exact) >= 0.9
+
+
 def test_cluster_assignment_covers_all(spark, embeddings):
     cents = train_centroids(embeddings, "embedding", nlist=4)
     indexed = assign_clusters(embeddings, cents, "embedding")

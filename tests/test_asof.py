@@ -75,3 +75,26 @@ def test_asof_matches_duckdb_semantics(spark, sf_dir):
     ).fetchall()
     expected = {(u, e): ts for u, e, ts in expected_rows}
     assert got == expected
+
+
+def test_asof_tiebreak_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10", "L1")], ["user_id", "ts", "lv"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # three right rows at the SAME (key, ts): tiebreak must pick seq=3
+    right = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:05", 1, "A"),
+            ("k", "2024-01-01 00:00:05", 3, "C"),
+            ("k", "2024-01-01 00:00:05", 2, "B"),
+        ],
+        ["user_id", "ts", "seq", "rv"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for _ in range(3):  # stable run-to-run
+        rows = asof_join(
+            left, right, ["user_id"], right_tiebreak_col="seq"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["rv_right"] == "C" and rows[0]["seq_right"] == 3

@@ -36,3 +36,16 @@ def test_lsh_search_recall_vs_exact(spark, embeddings):
     # plus a reasonable share of true neighbors
     assert 0 in approx
     assert len(set(exact) & set(approx)) >= 3
+
+
+def test_multiprobe_hamming_generates_all_combinations(spark):
+    # 1 + C(4,1) + C(4,2) = 11 buckets at hamming<=2
+    probes = L.multiprobe_buckets("1010", 2)
+    assert "1010" in probes
+    assert len(probes) == 11
+    assert all(sum(a != b for a, b in zip(p, "1010")) <= 2 for p in probes)
+    # hamming=1 keeps the old behavior; hamming=0 is just the home bucket
+    assert len(L.multiprobe_buckets("1010", 1)) == 5
+    assert L.multiprobe_buckets("1010", 0) == {"1010"}
+    # capped at nbits: full flip enumerates the whole 2^4 keyspace
+    assert len(L.multiprobe_buckets("1010", 99)) == 16

@@ -52,3 +52,22 @@ def test_crossencoder_raises_without_model(spark):
     scored = R.crossencoder_rerank(pairs)
     with pytest.raises(Exception, match="(?i)cross-encoder|NotImplemented"):
         scored.collect()
+
+
+def test_rerank_never_drops_missing_text_hits(spark):
+    from pyspark.sql import functions as F
+
+    from customkb_spark.operators.rerank import rerank_hits
+
+    hits = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (99, 0.7)], ["id", "score"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "spark query engine"), (2, "data table window")], ["doc_id", "text"]
+    )  # id 99 missing from docs
+    out = rerank_hits(hits, docs, ["spark"], rerank_top_k=3).collect()
+    ids = {r["id"] for r in out}
+    assert ids == {1, 2, 99}  # reorder only — never drop
+    r99 = next(r for r in out if r["id"] == 99)
+    assert r99["rerank_score"] == 0.0  # unscored → bottom of head
+    assert r99["final_rank"] == 3

@@ -54,3 +54,30 @@ def test_salted_agg_rejects_non_mergeable(spark):
 
     with pytest.raises(ValueError):
         SK.salted_agg(_skewed(spark), ["k"], {"a": ("avg", "v")})
+
+
+def test_salt_is_deterministic_across_recompute(spark):
+    df = _skewed(spark)
+    a = SK.with_salt(df, 8)
+    b = SK.with_salt(df, 8)  # fresh lineage — same salts required
+    joined = (
+        a.withColumnRenamed("_salt", "s1")
+        .join(b.withColumnRenamed("_salt", "s2"), ["k", "v"], "inner")
+        .filter("s1 <> s2")
+    )
+    assert joined.count() == 0
+
+
+def test_salted_agg_exact_with_deterministic_salt(spark):
+    from pyspark.sql import functions as F
+
+    df = _skewed(spark)
+    plain = {
+        (r["k"],): (r["n"], r["total"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("total")).collect()
+    }
+    salted = {
+        (r["k"],): (r["n"], r["total"])
+        for r in SK.salted_agg(df, ["k"], {"n": ("count", "*"), "total": ("sum", "v")}).collect()
+    }
+    assert plain == salted
