@@ -500,6 +500,44 @@ FROM documents d,
 """
 
 
+def q_chunk_documents_merged(spark, sf_dir):
+    """§2.10 chunk post-pass: merge_small_chunks over the fixed chunks
+    (reference database/chunking.py:342-389). 80-char chunks under a
+    100-char minimum exercise the fold: consecutive small chunks merge
+    until the accumulated text reaches the minimum."""
+    from customkb_spark.ingest.chunker import merge_small_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_fixed(docs, "doc_id", "text", 80)
+    return _longs(merge_small_chunks(chunks, min_size=100))
+
+
+# DuckDB mirror of the merge fold: appending '\n' merges into the
+# accumulator's LAST \x1e-separated segment; appending '\x1e' starts a
+# new chunk — identical single-pass semantics to the Spark F.aggregate.
+SQL_CHUNKS_MERGED = """
+WITH chunks AS (
+  SELECT d.doc_id, CAST(s.sid AS BIGINT) AS sid,
+         substr(d.text, CAST(s.sid * 80 + 1 AS INT), 80) AS chunk_text
+  FROM documents d,
+       unnest(generate_series(0, greatest(CAST(ceil(length(d.text) / 80.0) AS BIGINT), 1) - 1)) s(sid)),
+folded AS (
+  SELECT doc_id,
+         string_split(
+           list_reduce(list(chunk_text ORDER BY sid),
+             (acc, x) -> CASE WHEN length(list_extract(string_split(acc, chr(30)), -1)) < 100
+                               AND length(x) < 100
+                         THEN acc || chr(10) || x
+                         ELSE acc || chr(30) || x END),
+           chr(30)) AS merged
+  FROM chunks GROUP BY doc_id)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS sid, merged[i] AS chunk_text,
+       CAST(length(merged[i]) AS BIGINT) AS char_count,
+       CAST(len(merged) AS BIGINT) AS total_chunks
+FROM folded, unnest(generate_series(1, len(merged))) t(i)
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """F3 tokenization contract: unique-token doc_length (BM25 dl)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1393,6 +1431,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_consecutive_runs": q_events_consecutive_runs,
     "chunk_documents_fixed": q_chunk_documents_fixed,
+    "chunk_documents_merged": q_chunk_documents_merged,
     "doc_token_stats": q_doc_token_stats,
     "incremental_ingest_missing": q_incremental_ingest_missing,
     "positional_sample": q_positional_sample,
@@ -1443,6 +1482,7 @@ _ORACLES: dict[str, str] = {
     "events_asof_join": SQL_ASOF,
     "events_consecutive_runs": SQL_RUNS,
     "chunk_documents_fixed": SQL_CHUNKS,
+    "chunk_documents_merged": SQL_CHUNKS_MERGED,
     "doc_token_stats": SQL_TOKEN_STATS,
     "incremental_ingest_missing": SQL_INCREMENTAL,
     "positional_sample": SQL_POSITIONAL,
