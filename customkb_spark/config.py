@@ -42,6 +42,7 @@ class KBConfig:
     # [LIMITS]/[PERFORMANCE] — only the semantics-relevant subset
     query_top_k: int = 50
     query_context_scope: int = 4
+    query_cache_ttl_days: float = 7.0  # reference query/embedding.py:95
     max_file_size_mb: int = 100
     embedding_batch_size: int = 100
 

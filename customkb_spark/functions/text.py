@@ -75,6 +75,22 @@ def bm25_token_set(col: Column | str, language: str = "en") -> Column:
     return F.array_sort(F.array_distinct(toks))
 
 
+def bm25_tokenize_py(text: str, language: str = "en") -> list[str]:
+    """Driver-side Python twin of ``bm25_token_set`` — same pipeline,
+    used for single-query tokenization so query terms always agree with
+    the postings index. Keeps the reference's first-seen order
+    (utils/text_utils.py:306-313); order is irrelevant to scoring."""
+    import re
+
+    t = re.sub(r"[^\w \t\n\x0b\f\r.-]", " ", text.lower(), flags=re.ASCII)
+    toks = [x for x in re.split(r"[ \t\n\x0b\f\r]+", t) if x]
+    toks = [x for x in toks if len(x) > 1 or x.isdigit()]
+    if language == "en":
+        stops = set(BM25_STOPWORDS)
+        toks = [x for x in toks if x not in stops]
+    return list(dict.fromkeys(toks))
+
+
 def clean_text(col: Column | str) -> Column:
     """Reference clean_text (utils/text_utils.py:77-102): lowercase,
     strip HTML tags, collapse non-word runs to single spaces."""

@@ -237,7 +237,29 @@ class KnowledgeBase:
         search → context assembly → format → (stub) LLM answer."""
         t0 = time.time()
         index = self._build_index()
-        ctx = HY.query(index, query_text, self.cfg, categories=categories)
+        rerank_cache = None
+        rerank_sink = None
+        if self.cfg.enable_reranking:
+            rerank_cache = (
+                self._read("rerank_cache") if self._exists("rerank_cache") else None
+            )
+
+            def rerank_sink(entries: DataFrame) -> None:
+                # materialize first: the entries plan embeds the scorer;
+                # appending must not re-run it when ctx is also consumed
+                rows = entries.localCheckpoint()
+                if rows.limit(1).count():
+                    rows.write.mode("append").parquet(self._p("rerank_cache"))
+
+        ctx = HY.query(
+            index,
+            query_text,
+            self.cfg,
+            categories=categories,
+            query_cache_path=self._p("query_emb_cache"),
+            rerank_cache=rerank_cache,
+            rerank_cache_sink=rerank_sink,
+        )
         if log:
             # materialize once — formatting and the n_results count
             # would otherwise each run the whole retrieval DAG

@@ -125,6 +125,87 @@ def rerank_hits(
     return head_out.unionByName(tail_out).orderBy("final_rank")
 
 
+def rerank_pair_key(query_col, text_col) -> "F.Column":
+    """Reference rerank cache key (rerank_manager.py:28-46):
+    md5(f'{query}|||{document}')."""
+    return F.md5(F.concat(query_col, F.lit("|||"), text_col))
+
+
+RERANK_CACHE_SCHEMA = "pair_key string, rerank_score double"
+
+
+def rerank_hits_cached(
+    hits: DataFrame,
+    docs: DataFrame,
+    query_text: str,
+    query_terms: list[str],
+    cache: DataFrame | None,
+    rerank_top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scorer=None,
+) -> tuple[DataFrame, DataFrame]:
+    """``rerank_hits`` with a read-through score cache — the reference's
+    two-tier (query, document) score cache (rerank_manager.py:48-119) as
+    a keyed table + left join.
+
+    ``cache``: (pair_key, rerank_score) or None. Returns (result,
+    new_entries): result is identical in shape to ``rerank_hits``;
+    new_entries are the freshly-scored (pair_key, rerank_score) rows for
+    the caller to append back to the cache table. The scorer is applied
+    ONLY to the cache-miss branch, so a fully-cached head invokes no
+    scorer work at all (the pandas-UDF path sees zero batches). If the
+    scorer is expensive, localCheckpoint the result before consuming
+    both outputs, or the miss branch re-scores once per action.
+    """
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    ranked = hits.select("id", "score", F.row_number().over(w).alias("orig_rank"))
+    head = ranked.filter(F.col("orig_rank") <= rerank_top_k)
+    tail = ranked.filter(F.col("orig_rank") > rerank_top_k)
+
+    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    head_t = head.join(texts, "id", "left").withColumn(
+        "_pk", rerank_pair_key(F.lit(query_text), F.coalesce(F.col("_text"), F.lit("")))
+    )
+    if cache is None:
+        cache = head_t.sparkSession.createDataFrame([], RERANK_CACHE_SCHEMA)
+    joined = head_t.join(
+        F.broadcast(
+            cache.select(
+                F.col("pair_key").alias("_pk"), F.col("rerank_score").alias("_cached")
+            )
+        ),
+        "_pk",
+        "left",
+    )
+    score_expr = (
+        scorer(query_terms, F.col("_text"))
+        if scorer is not None
+        else overlap_score(query_terms, F.col("_text"))
+    )
+    misses = joined.filter(F.col("_cached").isNull()).withColumn(
+        "rerank_score", F.coalesce(score_expr, F.lit(0.0))
+    )
+    cached_rows = joined.filter(F.col("_cached").isNotNull()).withColumn(
+        "rerank_score", F.col("_cached")
+    )
+    scored_head = cached_rows.unionByName(misses)
+    new_entries = misses.select(
+        F.col("_pk").alias("pair_key"), "rerank_score"
+    ).dropDuplicates(["pair_key"])
+    hw = Window.orderBy(F.desc("rerank_score"), F.asc("id"))
+    head_out = scored_head.select(
+        "id", "score", "rerank_score", F.row_number().over(hw).alias("final_rank")
+    )
+    tail_out = tail.select(
+        "id",
+        "score",
+        F.lit(None).cast("double").alias("rerank_score"),
+        F.col("orig_rank").alias("final_rank"),
+    )
+    return head_out.unionByName(tail_out).orderBy("final_rank"), new_entries
+
+
 def crossencoder_rerank(
     pairs: DataFrame,
     query_col: str = "query",

@@ -54,16 +54,10 @@ class HybridIndex:
 
 
 def query_terms(query_text: str, min_len: int = 2) -> list[str]:
-    """Query-side twin of the index tokenizer (functions/text.tokens:
-    ``[a-z0-9]+``) — a whitespace split would leave punctuation glued
-    to terms ("spark?") that the postings index can never contain."""
-    import re
-
-    return [
-        t
-        for t in dict.fromkeys(re.findall("[a-z0-9]+", query_text.lower()))
-        if len(t) >= min_len
-    ]
+    """Query-side twin of the index tokenizer (text.bm25_token_set) —
+    the query MUST tokenize identically to the postings index or
+    compound terms ('state-of-the-art', '3.14') would never match."""
+    return [t for t in X.bm25_tokenize_py(query_text) if len(t) >= min_len]
 
 
 def hybrid_search(
@@ -71,12 +65,32 @@ def hybrid_search(
     query_text: str,
     query_vec: list[float] | None = None,
     cfg: KBConfig | None = None,
+    query_cache_path: str | None = None,
 ) -> DataFrame:
-    """Fused (id, score) top-k for one query."""
+    """Fused (id, score) top-k for one query.
+
+    With ``query_cache_path`` the query-embedding TTL cache (reference
+    query/embedding.py:76-141) is probed before the provider call; a
+    repeated query within the TTL never reaches the provider."""
     cfg = cfg or KBConfig()
     if query_vec is None:
-        provider = get_provider(cfg.vector_model, cfg.vector_dimensions)
-        query_vec = provider.get_embeddings([query_text])[0].tolist()
+        spark = index.vectors.sparkSession
+        if query_cache_path:
+            from customkb_spark.embedding.query_cache import probe_query_embedding
+
+            query_vec = probe_query_embedding(
+                spark, query_cache_path, query_text,
+                cfg.vector_model, cfg.query_cache_ttl_days,
+            )
+        if query_vec is None:
+            provider = get_provider(cfg.vector_model, cfg.vector_dimensions)
+            query_vec = provider.get_embeddings([query_text])[0].tolist()
+            if query_cache_path:
+                from customkb_spark.embedding.query_cache import save_query_embedding
+
+                save_query_embedding(
+                    spark, query_cache_path, query_text, cfg.vector_model, query_vec
+                )
     vec_hits = brute_force_topk(index.vectors, list(map(float, query_vec)), cfg.query_top_k)
     q_terms = query_terms(query_text, cfg.bm25_min_token_length)
     kw_hits = B.bm25_score(
@@ -152,14 +166,10 @@ def hybrid_search_batch(
         qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector"
     ).select("qid", "id", "score")
 
-    # same tokenizer as the postings index — not a whitespace split
+    # same tokenizer as the postings index (text.bm25_token_set)
     terms = queries.select(
         "qid",
-        F.explode(
-            F.array_distinct(
-                F.regexp_extract_all(F.lower("query_text"), F.lit("[a-z0-9]+"), 0)
-            )
-        ).alias("term"),
+        F.explode(X.bm25_token_set("query_text")).alias("term"),
     ).filter(F.length("term") >= cfg.bm25_min_token_length)
     kw_hits = B.bm25_score_batch(
         index.postings,
@@ -222,25 +232,45 @@ def query(
     cfg: KBConfig | None = None,
     query_vec: list[float] | None = None,
     categories: list[str] | None = None,
+    query_cache_path: str | None = None,
+    rerank_cache: DataFrame | None = None,
+    rerank_cache_sink=None,
 ) -> DataFrame:
     """Full pipeline: text in → ordered context rows out
     (the reference's --context-only semantics, processing.py:262-264).
     With cfg.enable_reranking the fused head is re-ordered by the
-    rerank stage (M3/T4) before context retrieval."""
-    fused = hybrid_search(index, query_text, query_vec, cfg)
+    rerank stage (M3/T4) before context retrieval; ``rerank_cache``
+    (pair_key, rerank_score) short-circuits already-scored pairs and
+    ``rerank_cache_sink(new_entries_df)`` receives the write-back rows
+    (reference rerank_manager.py:48-119)."""
+    fused = hybrid_search(index, query_text, query_vec, cfg, query_cache_path)
     cfg = cfg or KBConfig()
     if cfg.enable_reranking:
-        from customkb_spark.operators.rerank import rerank_hits
+        from customkb_spark.operators.rerank import rerank_hits, rerank_hits_cached
 
         q_terms = query_terms(query_text, min_len=1)
-        reranked = rerank_hits(
-            fused,
-            index.chunks,
-            q_terms,
-            cfg.reranking_top_k,
-            id_col="id",
-            text_col="originaltext",
-        )
+        if rerank_cache is not None or rerank_cache_sink is not None:
+            reranked, new_entries = rerank_hits_cached(
+                fused,
+                index.chunks,
+                query_text,
+                q_terms,
+                rerank_cache,
+                cfg.reranking_top_k,
+                id_col="id",
+                text_col="originaltext",
+            )
+            if rerank_cache_sink is not None:
+                rerank_cache_sink(new_entries)
+        else:
+            reranked = rerank_hits(
+                fused,
+                index.chunks,
+                q_terms,
+                cfg.reranking_top_k,
+                id_col="id",
+                text_col="originaltext",
+            )
         fused = (
             reranked.orderBy("final_rank")
             .limit(cfg.query_top_k)
