@@ -1399,6 +1399,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_search(indexed, cents, qv, k=10, nprobe=4, id_col="vec_id", vec_col="embedding")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """IVFPQ ANN top-10: residual product-quantization codes, ADC
+    scoring (JVM zip_with over broadcast LUTs), exact refine of the
+    ADC head (reference embed_manager.py:199-213's large-corpus tier).
+    KMeans training isn't SQL-expressible → rows-only; recall vs exact
+    asserted in tests/test_pq.py."""
+    from customkb_spark.embedding.index import train_centroids
+    from customkb_spark.embedding.pq import encode_pq, pq_topk, train_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, "embedding", nlist=16)
+    model = train_pq(emb, "embedding", m=8, nbits=6, centroids=cents)
+    codes = encode_pq(emb, model, "vec_id", "embedding")
+    qv = _query_vec(spark, sf_dir, 0)
+    return pq_topk(
+        codes, model, qv, k=10, nprobe=8, metric="ip",
+        id_col="vec_id", vectors=emb, vec_col="embedding",
+    )
+
+
 def q_hybrid_context_flagship(spark, sf_dir):
     """Flagship end-to-end RAG retrieval: documents → chunks → stub
     embeddings → hybrid (vector+BM25, RRF) → context range join.
@@ -1462,6 +1482,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_bucketed_near_dups": q_lsh_bucketed_near_dups,
     "corpus_filter_pipeline": q_corpus_filter_pipeline,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "hybrid_context_flagship": q_hybrid_context_flagship,
 }
 

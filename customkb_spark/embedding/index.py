@@ -28,6 +28,41 @@ from customkb_spark.functions import vector as V
 from customkb_spark.operators.topk import brute_force_topk
 
 
+def sample_vectors(
+    vectors: DataFrame, vec_col: str, sample_size: int, seed: int
+) -> np.ndarray:
+    """Seeded *uniform* Bernoulli sample collected to the driver —
+    ``limit(n)`` would take the first partitions only, which on an
+    ingest-ordered corpus trains on one corner of the distribution and
+    silently degrades recall at scale."""
+    proj = vectors.select(vec_col)
+    n_rows = proj.count()
+    if n_rows > sample_size:
+        # oversample 20% so the Bernoulli draw rarely undershoots,
+        # then trim deterministically
+        fraction = min(1.0, 1.2 * sample_size / n_rows)
+        proj = proj.sample(fraction=fraction, seed=seed).limit(sample_size)
+    return np.array([r[0] for r in proj.collect()], dtype=np.float64)
+
+
+def lloyd_kmeans(
+    sample: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Plain Lloyd's on an in-memory sample (driver-side, same as FAISS
+    training on a ≤10k sample, embed_manager.py:694-715)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), k, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
 def train_centroids(
     vectors: DataFrame,
     vec_col: str = "vector",
@@ -36,33 +71,10 @@ def train_centroids(
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """Lloyd's k-means on a driver-side sample (FAISS trains on ≤10k
-    sampled embeddings too, embed_manager.py:694-715).
-
-    The sample is a seeded *uniform* Bernoulli sample over the whole
-    table — ``limit(n)`` would take the first partitions only, which
-    on an ingest-ordered corpus trains centroids on one corner of the
-    distribution and silently degrades recall at scale.
-    """
-    proj = vectors.select(vec_col)
-    n_rows = proj.count()
-    if n_rows > sample_size:
-        # oversample 20% so the Bernoulli draw rarely undershoots,
-        # then trim deterministically
-        fraction = min(1.0, 1.2 * sample_size / n_rows)
-        proj = proj.sample(fraction=fraction, seed=seed).limit(sample_size)
-    sample = np.array([r[0] for r in proj.collect()], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    nlist = min(nlist, len(sample))
-    centroids = sample[rng.choice(len(sample), nlist, replace=False)]
-    for _ in range(iters):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(nlist):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    return centroids
+    """Lloyd's k-means on a seeded uniform driver-side sample."""
+    return lloyd_kmeans(
+        sample_vectors(vectors, vec_col, sample_size, seed), nlist, iters, seed
+    )
 
 
 def assign_clusters(

@@ -1,0 +1,218 @@
+"""Product quantization — the reference's IVFPQ tier for large corpora
+(embed_manager.py:199-213: IVF + 8-bit PQ with ≤16 subquantizers once
+the corpus passes medium_dataset_threshold).
+
+Why this exists at 100 TB: a float32×1024-dim vector is 4 KB/row; PQ
+codes at m=16 subquantizers are 16 bytes — a 256× storage/scan
+reduction, which is the difference between the vector table fitting in
+the page cache or not. The Spark shapes:
+
+  train:  seeded uniform sample → per-subvector k-means codebooks
+          (driver/NumPy, exactly like FAISS PQ training on a sample)
+  encode: one Arrow-batched pandas UDF pass adds ``pq_code``
+          (array<smallint>, m entries) — vectorized argmin over each
+          sub-block; with IVF centroids given, codes encode the
+          RESIDUAL (vec - centroid) like FAISS IVFPQ
+  search: asymmetric distance (ADC) — the query builds per-probed-
+          cluster lookup tables driver-side (m×2^nbits floats, tiny),
+          broadcast-joined on cluster_id; scoring is a JVM-side
+          zip_with + aggregate over the code array: NO Python, no
+          shuffle, reads only probed clusters (partition pruning when
+          the table is written partitioned by cluster_id)
+  refine: optional exact re-scoring of the ADC top (k×refine_factor)
+          against the full vectors — the standard PQ re-rank that
+          recovers near-exact recall while scanning full vectors for only
+          a few hundred rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from customkb_spark.embedding.index import lloyd_kmeans, nearest_clusters, sample_vectors
+
+
+@dataclass
+class PQModel:
+    """Trained codebooks: (m, 2^nbits, dsub). ``centroids`` non-None ⇒
+    codes are residuals vs the IVF centroid (FAISS IVFPQ semantics)."""
+
+    codebooks: np.ndarray
+    centroids: np.ndarray | None = None
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def train_pq(
+    vectors: DataFrame,
+    vec_col: str = "vector",
+    m: int = 8,
+    nbits: int = 8,
+    centroids: np.ndarray | None = None,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> PQModel:
+    """Per-subvector codebooks from a seeded uniform sample.
+
+    ``m`` must divide the dimension (reference caps m at dims//64 for
+    the same reason, embed_manager.py:209). With ``centroids`` the
+    training sample is converted to residuals first (IVFPQ)."""
+    sample = sample_vectors(vectors, vec_col, sample_size, seed)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if centroids is not None:
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        sample = sample - centroids[d2.argmin(axis=1)]
+    dsub = dim // m
+    ksub = 1 << nbits
+    books = np.stack(
+        [
+            lloyd_kmeans(sample[:, j * dsub : (j + 1) * dsub], ksub, iters, seed + j)
+            for j in range(m)
+        ]
+    )
+    return PQModel(books, centroids)
+
+
+def encode_pq(
+    vectors: DataFrame,
+    model: PQModel,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(id[, cluster_id], pq_code): one vectorized Arrow pass.
+
+    Residual mode derives ``cluster_id`` inside the same pass (no
+    separate assignment job). Output drops the full vector — the point
+    is that downstream search scans codes, not floats; keep the
+    original table around for the refine step."""
+    books = model.codebooks
+    cents = model.centroids
+    m, dsub = model.m, model.dsub
+    fields = [T.StructField(id_col, vectors.schema[id_col].dataType)]
+    if cents is not None:
+        fields.append(T.StructField("cluster_id", T.IntegerType()))
+    fields.append(T.StructField("pq_code", T.ArrayType(T.ShortType())))
+    schema = T.StructType(fields)
+    src = vectors.select(id_col, vec_col)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col]
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out = {id_col: ids}
+            if cents is not None:
+                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                out["cluster_id"] = assign.astype(np.int32)
+                x = x - cents[assign]
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                d2s = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2s.argmin(axis=1).astype(np.int16)
+            out["pq_code"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(enc, schema=schema)
+
+
+def _adc_lut(model: PQModel, query: np.ndarray, metric: str) -> list[list[float]]:
+    """(m, ksub) lookup table: distance/similarity contribution of each
+    sub-centroid to the query's matching subvector."""
+    m, dsub = model.m, model.dsub
+    lut = []
+    for j in range(m):
+        qs = query[j * dsub : (j + 1) * dsub]
+        if metric == "ip":
+            lut.append((model.codebooks[j] @ qs).tolist())
+        else:  # l2
+            lut.append((((model.codebooks[j] - qs) ** 2).sum(axis=1)).tolist())
+    return lut
+
+
+def pq_topk(
+    encoded: DataFrame,
+    model: PQModel,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    metric: str = "ip",
+    id_col: str = "id",
+    vectors: DataFrame | None = None,
+    vec_col: str = "vector",
+    refine_factor: int = 4,
+) -> DataFrame:
+    """ADC top-k over PQ codes; optional exact refine.
+
+    ``metric='ip'`` returns highest inner product (cosine if both sides
+    are L2-normalized); ``'l2'`` lowest squared distance. With
+    ``vectors`` given, the ADC top ``k*refine_factor`` candidates are
+    re-scored exactly (one broadcast-semi-joined scan of the full
+    vectors) — the FAISS-style re-rank that makes PQ recall near-exact.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    asc = metric != "ip"
+    if model.centroids is not None:
+        probes = nearest_clusters(query_vec, model.centroids, nprobe)
+        luts = [
+            (int(c), _adc_lut(model, q - model.centroids[c], metric)) for c in probes
+        ]
+        spark = encoded.sparkSession
+        lut_df = F.broadcast(
+            spark.createDataFrame(
+                luts, "cluster_id int, _lut array<array<double>>"
+            )
+        )
+        # inner join = the nprobe pruning filter AND the LUT lookup
+        scored_src = encoded.join(lut_df, "cluster_id")
+        lut_col = F.col("_lut")
+    else:
+        lut_col = F.lit(_adc_lut(model, q, metric))
+        scored_src = encoded
+    contrib = F.zip_with(
+        F.col("pq_code"),
+        lut_col,
+        lambda c, row: F.element_at(row, c.cast("int") + 1),
+    )
+    score = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    scored = scored_src.select(
+        F.col(id_col).alias("id"), F.round(score, 6).alias("adc_score")
+    )
+    ordered = scored.orderBy(
+        F.asc("adc_score") if asc else F.desc("adc_score"), F.asc("id")
+    )
+    if vectors is None:
+        return ordered.limit(k)
+    cands = F.broadcast(ordered.limit(k * refine_factor).select("id"))
+    from customkb_spark.operators.topk import brute_force_topk
+
+    exact_src = vectors.join(cands, vectors[id_col] == cands["id"]).select(
+        vectors[id_col].alias(id_col), vec_col
+    )
+    return brute_force_topk(exact_src, query_vec, k, id_col, vec_col, metric)
