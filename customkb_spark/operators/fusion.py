@@ -20,9 +20,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _ranked(df: DataFrame, side: str) -> DataFrame:
+# hard ceiling on single-query ranker inputs: the single-partition rank
+# window below is only safe because its input is bounded; this enforces
+# the bound instead of trusting callers (mirrors bm25_max_results=1000)
+FUSION_INPUT_BOUND = 1000
+
+
+def _bounded(df: DataFrame, bound: int) -> DataFrame:
+    """TakeOrdered pre-bound: even an unbounded (table-sized) ranker
+    input reaches the rank window as ≤ ``bound`` rows. Planwise this is
+    TakeOrderedAndProject — per-partition top-k then a merge of k-row
+    partials — NOT a global sort, so enforcing the bound costs one scan
+    of the input and never a single-partition shuffle of it."""
+    return df.orderBy(F.desc("score"), F.asc("id")).limit(bound)
+
+
+def _ranked(df: DataFrame, side: str, bound: int = FUSION_INPUT_BOUND) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return df.select(
+    return _bounded(df, bound).select(
         "id",
         F.col("score").alias(f"{side}_score"),
         F.row_number().over(w).alias(f"{side}_rank"),
@@ -49,9 +64,12 @@ def rrf_fuse(vec: DataFrame, kw: DataFrame, k: int = 60, top_k: int = 50) -> Dat
 def _max_normed(df: DataFrame, out: str, by_qid: bool = False) -> DataFrame:
     """score / max(score), max via a window — no driver round-trip.
 
-    The inputs are top-k lists (k rows, or Q×k in batch), so the
-    single-partition window is trivially cheap; the reference's
-    ``max or 1.0`` zero/empty guard is preserved."""
+    Single-query inputs are pre-bounded (``_bounded``) so the
+    single-partition window sees ≤ FUSION_INPUT_BOUND rows; the batch
+    window partitions by qid. The reference's ``max or 1.0``
+    zero/empty guard is preserved."""
+    if not by_qid:
+        df = _bounded(df, FUSION_INPUT_BOUND)
     w = Window.partitionBy("qid") if by_qid else Window.partitionBy()
     m = F.max("score").over(w)
     safe_m = F.when(m.isNull() | (m == 0.0), F.lit(1.0)).otherwise(m)

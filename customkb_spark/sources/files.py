@@ -2,11 +2,14 @@
 
 S1 glob scan       → ``binaryFile`` reader (path/length/modTime/content
                      columns; recursive glob handled by the source).
-S2 encoding read   → decode with the reference's fallback chain
-                     (text_utils.py:370-422): utf-8 → windows-1252 →
-                     latin-1, errors='replace' last resort. Runs as an
-                     Arrow-batched mapInPandas (Spark's ``text`` source
-                     assumes utf-8 and would corrupt legacy files).
+S2 encoding read   → detection-first decode (_detect_encoding: BOM /
+                     utf-16 NUL parity / strict utf-8 / cp1252 C1
+                     scoring / guarded charset-normalizer), then the
+                     reference's fallback chain (text_utils.py:370-422):
+                     utf-8 → windows-1252 → latin-1, errors='replace'
+                     last resort. Runs as an Arrow-batched mapInPandas
+                     (Spark's ``text`` source assumes utf-8 and would
+                     corrupt legacy files).
 S3 file-type       → ingest/filetype.detect_file_type (CASE expr).
 S5 sanitize        → ingest/filetype.sanitize_filename (regexp expr).
 P7 size guard      → filter on the source's ``length`` column — happens
@@ -15,8 +18,10 @@ P7 size guard      → filter on the source's ``length`` column — happens
 
 At 100 TB the scan parallelizes per file; oversize skip and path-level
 incremental anti-join (ingest/pipeline.incremental_filter) run on
-metadata only. charset-normalizer (the reference's detector) is not in
-this container — the try-chain covers the same inputs deterministically.
+metadata only. Decoding auto-detects with charset-normalizer when
+available (the reference's detector, text_utils.py:339-367), falling
+back to the deterministic try-chain — a cp1252 file that HAPPENS to be
+valid latin-1 mojibake is caught by detection, not by the chain.
 """
 
 from __future__ import annotations
@@ -48,8 +53,20 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("file_type", T.StringType(), False),
         T.StructField("text", T.StringType(), True),
         T.StructField("encoding", T.StringType(), True),
+        T.StructField("encoding_confidence", T.DoubleType(), True),
     ]
 )
+
+# BOM signatures, checked before any detector (unambiguous evidence).
+# Mapped to the BOM-consuming codec names so the marker never leaks
+# into the decoded text. utf-32-le MUST precede utf-16-le (prefix).
+_BOMS: list[tuple[bytes, str]] = [
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32"),
+    (b"\x00\x00\xfe\xff", "utf-32"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
+]
 
 
 def scan_files(
@@ -84,17 +101,111 @@ def scan_files(
     )
 
 
-def _decode_bytes(raw: bytes | None) -> tuple[str | None, str | None]:
-    """The reference's fallback chain (text_utils.py:370-422): first
-    encoding that round-trips wins; final fallback replaces errors."""
+# cp1252 bytes in the C1 range (0x80-0x9F) that are real typography —
+# smart quotes, dashes, ellipsis, dagger, permille, guillemets, €, ™.
+# Their presence is strong evidence FOR cp1252 over latin-1 (where the
+# same bytes are meaningless control characters).
+_CP1252_PUNCT = frozenset(
+    b"\x80\x82\x84\x85\x86\x87\x89\x8b\x91\x92\x93\x94\x95\x96\x97\x99\x9b"
+)
+# bytes UNDEFINED in cp1252 — their presence rules cp1252 out
+_CP1252_UNDEFINED = frozenset(b"\x81\x8d\x8f\x90\x9d")
+
+
+def _detect_encoding(raw: bytes, sample_size: int = 65536) -> tuple[str, float] | None:
+    """Byte-heuristic encoding detector (stands in for the reference's
+    charset-normalizer call, text_utils.py:339-367), in evidence order:
+
+    1. BOM — unambiguous.
+    2. utf-16 zero-byte parity — BOM-less utf-16 Latin text is ~50%
+       NUL bytes on one parity; it must run before utf-8 validation
+       because ASCII+NULs *validates* as utf-8, and the fallback chain
+       would decode it as NUL-riddled cp1252 mojibake.
+    3. strict utf-8 validation — multi-byte utf-8 is self-validating;
+       legacy single-byte text essentially never validates by accident
+       (ascii is a utf-8 subset → named utf-8, which also keeps the S9
+       converter from "converting" plain-ascii files).
+    4. cp1252-vs-latin-1 C1 scoring: C1-range typography bytes ⇒
+       cp1252; cp1252-undefined bytes ⇒ latin-1.
+    5. charset-normalizer (if importable) for non-Latin single-byte
+       scripts (koi8/cyrillic/CJK) — accepted only for non-utf-16/32
+       guesses (without a BOM or NUL pattern those are noise) that
+       strictly decode.
+
+    None ⇒ no confident detection; the caller uses the fallback chain.
+    Confidence is 0-1, 1.0 = structural proof.
+    """
+    for bom, enc in _BOMS:
+        if raw.startswith(bom):
+            return enc, 1.0
+    s = raw[:sample_size]
+    # utf-16 parity BEFORE utf-8 validation: BOM-less utf-16 Latin text
+    # is ASCII+NULs, which VALIDATES as utf-8 — NUL density is the
+    # stronger signal (real text never contains NULs)
+    if len(s) >= 8 and len(raw) % 2 == 0:
+        odd_zeros = s[1::2].count(0) / len(s[1::2])
+        even_zeros = s[0::2].count(0) / len(s[0::2])
+        if max(odd_zeros, even_zeros) > 0.3 and min(odd_zeros, even_zeros) < 0.05:
+            enc = "utf-16-le" if odd_zeros > even_zeros else "utf-16-be"
+            return enc, round(min(1.0, 2 * max(odd_zeros, even_zeros)), 4)
+    try:
+        s.decode("utf-8")
+        return "utf-8", 1.0
+    except UnicodeDecodeError as e:
+        if e.start >= sample_size - 4 and len(raw) > sample_size:
+            # the sample boundary split a multi-byte sequence — the
+            # prefix is valid utf-8, that's evidence enough
+            return "utf-8", 1.0
+    c1 = [b for b in s if 0x80 <= b <= 0x9F]
+    if c1:
+        n_punct = sum(b in _CP1252_PUNCT for b in c1)
+        n_undef = sum(b in _CP1252_UNDEFINED for b in c1)
+        if n_punct and not n_undef:
+            return "windows-1252", round(n_punct / len(c1), 4)
+        if n_undef and not n_punct:
+            return "latin-1", round(n_undef / len(c1), 4)
+    # dense high bytes ⇒ a non-Latin single-byte script (cyrillic/greek/
+    # CJK, where nearly every letter is >=0x80): hand off to
+    # charset-normalizer. Sparser high bytes are Western accents where
+    # cp1252 ≡ latin-1 glyph-for-glyph in 0xA0-0xFF — the fallback
+    # chain already lands there, and the statistical detector is NOISE
+    # at that density (it confidently mislabels short samples).
+    high_ratio = sum(b >= 0x80 for b in s) / max(len(s), 1)
+    if high_ratio >= 0.5:
+        try:
+            from charset_normalizer import from_bytes
+
+            best = from_bytes(s).best()
+            if best is not None and best.encoding:
+                enc = best.encoding.lower().replace("_", "-")
+                if not enc.startswith(("utf-16", "utf-32")):
+                    raw.decode(best.encoding)  # must strictly decode
+                    return enc, round(1.0 - getattr(best, "chaos", 0.0), 4)
+        except (ImportError, UnicodeDecodeError, LookupError):
+            pass
+    return None
+
+
+def _decode_bytes(raw: bytes | None) -> tuple[str | None, str | None, float | None]:
+    """Detection-first decode (reference read_text_file,
+    text_utils.py:370-422): BOM/charset-normalizer detection, then the
+    fallback chain for undetected or mis-detected content; final
+    fallback replaces errors."""
     if raw is None:
-        return None, None
+        return None, None, None
+    det = _detect_encoding(raw)
+    if det is not None:
+        enc, conf = det
+        try:
+            return raw.decode(enc), enc, conf
+        except (UnicodeDecodeError, LookupError):
+            pass  # detector was wrong — fall through to the chain
     for enc in ENCODING_CHAIN:
         try:
-            return raw.decode(enc), enc
+            return raw.decode(enc), enc, None
         except (UnicodeDecodeError, LookupError):
             continue
-    return raw.decode("utf-8", errors="replace"), "utf-8+replace"
+    return raw.decode("utf-8", errors="replace"), "utf-8+replace", None
 
 
 def decode_text(files: DataFrame) -> DataFrame:
@@ -113,6 +224,7 @@ def decode_text(files: DataFrame) -> DataFrame:
                     "file_type": pdf["file_type"],
                     "text": [d[0] for d in decoded],
                     "encoding": [d[1] for d in decoded],
+                    "encoding_confidence": [d[2] for d in decoded],
                 }
             )
 

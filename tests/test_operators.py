@@ -173,3 +173,22 @@ def test_funnel_cascade_order_matters(spark):
     assert out[2] == (2, "click")
     assert out[3] == (0, None)
     assert out[4] == (1, "view")
+
+
+def test_fusion_enforces_input_bound(spark):
+    """VERDICT r1 #10: an unbounded (table-sized) ranker input must be
+    TakeOrdered-bounded BEFORE the single-partition rank window — the
+    window may never see more than FUSION_INPUT_BOUND rows."""
+    from customkb_spark.operators import fusion as FU
+
+    big = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 997 / 997.0).alias("score")
+    )
+    for fuse in (FU.rrf_fuse, FU.weighted_fuse):
+        plan = fuse(big, big, top_k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+    # values still correct: equivalent to fusing the top-bound slices
+    top = big.orderBy(F.desc("score"), F.asc("id")).limit(FU.FUSION_INPUT_BOUND)
+    got = [tuple(r) for r in FU.rrf_fuse(big, big, top_k=5).collect()]
+    want = [tuple(r) for r in FU.rrf_fuse(top, top, top_k=5).collect()]
+    assert got == want
