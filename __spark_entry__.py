@@ -52,14 +52,11 @@ QUERY_TERMS_SQL = "('spark', 'data', 'query', 'table', 'window')"
 SQL_TOKS = "regexp_extract_all(lower({c}), '[a-z0-9]+')"
 SQL_UTOKS = "list_sort(list_distinct(regexp_extract_all(lower({c}), '[a-z0-9]+')))"
 # F3 BM25 token set, mirroring text.bm25_token_set / the reference's
-# tokenize_for_bm25 fallback: keep \w - . inside tokens, whitespace
-# split, drop single non-digit chars, drop the 14 en stopwords, dedupe.
-# Whitespace classes are explicit because RE2 \s excludes \x0B.
+# tokenize_for_bm25 fallback: keep \w - . inside tokens (maximal
+# [\w.-]+ runs ≡ replace-non-[\w\s.-]-then-whitespace-split), drop
+# single non-digit chars, drop the 14 en stopwords, dedupe.
 _SQL_BM25_STOPS = "['" + "', '".join(X.BM25_STOPWORDS) + "']"
-_SQL_BM25_RAW = (
-    r"regexp_extract_all(regexp_replace(lower({c}), "
-    r"'[^\w \t\n\x0B\f\r.-]', ' ', 'g'), '[^ \t\n\x0B\f\r]+')"
-)
+_SQL_BM25_RAW = r"regexp_extract_all(lower({c}), '[\w.-]+')"
 SQL_BM25_TOKS = (
     "list_sort(list_distinct(list_filter(" + _SQL_BM25_RAW
     + ", t -> (length(t) > 1 OR regexp_matches(t, '^[0-9]+$'))"
@@ -74,10 +71,17 @@ SQL_COS = (
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong); values are
-        # micro-precision so the div-1000 conversion is lossless.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long (nanosAsLong); values are
+            # micro-precision so the div-1000 conversion is lossless.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # rewritten tables (tools/make_sf.py via DuckDB) come back
+            # as NTZ; operators cast ts to double epoch, which NTZ
+            # forbids — normalize to the session-tz timestamp type
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

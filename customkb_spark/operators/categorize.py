@@ -203,6 +203,99 @@ _CATEGORIZERS: dict[str, type[CategorizeProvider]] = {
 }
 
 
+def load_or_generate_categories(
+    spark,
+    kb_dir: str,
+    chunks: DataFrame | None = None,
+    kb_name: str = "",
+    model: str = "stub-top-token",
+    sample_docs: int = 50,
+) -> list[str]:
+    """Category-file persistence (reference _load_or_generate_categories,
+    categorize_manager.py:303-325): load ``<kb_dir>/cats/categories.yaml``
+    if present, else bootstrap the vocabulary from a document sample and
+    persist it in the reference's exact YAML shape
+    ({categories, generated_at, kb_name})."""
+    import datetime
+    import os
+
+    import yaml
+
+    cats_dir = os.path.join(kb_dir, "cats")
+    path = os.path.join(cats_dir, "categories.yaml")
+    if os.path.exists(path):
+        with open(path) as f:
+            return (yaml.safe_load(f) or {}).get("categories", [])
+    if chunks is None:
+        return []
+    # bootstrap (M6): categorize a bounded sample, union the vocab
+    sample = chunks.select("sourcedoc").distinct().orderBy("sourcedoc").limit(sample_docs)
+    assigned = categorize_documents(chunks.join(sample, "sourcedoc"), model=model)
+    categories = sorted(
+        r["c"]
+        for r in assigned.select(F.explode("categories").alias("c")).distinct().collect()
+        if r["c"]
+    )
+    os.makedirs(cats_dir, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.dump(
+            {
+                "categories": categories,
+                "generated_at": datetime.datetime.now().isoformat(),
+                "kb_name": kb_name,
+            },
+            f,
+        )
+    return categories
+
+
+def categorize_with_resume(
+    chunks: DataFrame,
+    assignments_path: str,
+    doc_col: str = "sourcedoc",
+    text_col: str = "originaltext",
+    model: str = "stub-top-token",
+    batch_docs: int = 100,
+) -> int:
+    """Checkpointed categorize orchestration (reference checkpoint-
+    every-10 resume, categorize_manager.py:585-605) in lakehouse form:
+    already-assigned documents are skipped via an anti-join against the
+    persisted assignments table, and work proceeds in per-batch appends
+    — an interruption loses at most one batch, and a re-run continues
+    where the last one stopped. Returns the number of NEWLY categorized
+    documents.
+
+    The reference checkpoints a JSON list every 10 articles because its
+    loop is a single process; here the append-only parquet table IS the
+    checkpoint (each batch commit is durable), and the anti-join is the
+    resume read."""
+    import os
+
+    spark = chunks.sparkSession
+    pending = chunks.select(doc_col).distinct()
+    if os.path.isdir(assignments_path):
+        done = spark.read.parquet(assignments_path).select(
+            F.col(doc_col).cast(dict(pending.dtypes)[doc_col])
+        )
+        pending = pending.join(done, doc_col, "left_anti")
+    doc_ids = [r[0] for r in pending.orderBy(doc_col).collect()]
+    total = 0
+    for i in range(0, len(doc_ids), batch_docs):
+        batch = doc_ids[i : i + batch_docs]
+        batch_df = spark.createDataFrame(
+            [(d,) for d in batch], f"{doc_col} {dict(chunks.dtypes)[doc_col]}"
+        )
+        assigned = categorize_documents(
+            chunks.join(F.broadcast(batch_df), doc_col),
+            doc_col=doc_col,
+            text_col=text_col,
+            model=model,
+        ).localCheckpoint()  # one provider pass per batch, then durable append
+        assigned.write.mode("append").parquet(assignments_path)
+        total += assigned.count()
+    return total
+
+
 def import_categories(
     chunks: DataFrame,
     assignments: DataFrame,

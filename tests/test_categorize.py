@@ -78,3 +78,55 @@ def test_random_sample_seeded(spark, documents):
     a = [r["doc_id"] for r in random_sample(documents, 5, seed=7, order_col="doc_id").collect()]
     b = [r["doc_id"] for r in random_sample(documents, 5, seed=7, order_col="doc_id").collect()]
     assert a == b and len(a) == 5
+
+
+def test_load_or_generate_categories_persists_yaml(spark, tmp_path):
+    import yaml
+
+    from customkb_spark.operators.categorize import load_or_generate_categories
+
+    chunks = spark.createDataFrame(
+        [(f"/d/{i}.md", s, f"spark data engine document {i} chunk {s} " * 3)
+         for i in range(4) for s in range(3)],
+        ["sourcedoc", "sid", "originaltext"],
+    )
+    kb_dir = str(tmp_path / "kb")
+    cats = load_or_generate_categories(spark, kb_dir, chunks, kb_name="t")
+    assert cats and cats == sorted(cats)
+    # the reference's YAML shape on disk
+    with open(f"{kb_dir}/cats/categories.yaml") as f:
+        data = yaml.safe_load(f)
+    assert data["categories"] == cats and data["kb_name"] == "t"
+    assert "generated_at" in data
+    # second call loads the file, no regeneration (chunks not needed)
+    assert load_or_generate_categories(spark, kb_dir, None) == cats
+
+
+def test_categorize_with_resume_skips_done(spark, tmp_path):
+    from customkb_spark.operators.categorize import categorize_with_resume
+
+    chunks = spark.createDataFrame(
+        [(f"/d/{i}.md", s, f"spark data engine document {i} chunk {s} " * 3)
+         for i in range(7) for s in range(3)],
+        ["sourcedoc", "sid", "originaltext"],
+    )
+    path = str(tmp_path / "assignments")
+    # batch of 3 over 7 docs: 3 appends, all docs covered
+    n1 = categorize_with_resume(chunks, path, batch_docs=3)
+    assert n1 == 7
+    table = spark.read.parquet(path)
+    assert table.count() == 7
+    assert table.select("sourcedoc").distinct().count() == 7
+    assert table.filter(F.col("primary_category").isNull()).count() == 0
+    # re-run: everything already assigned -> zero new work, no dup rows
+    n2 = categorize_with_resume(chunks, path, batch_docs=3)
+    assert n2 == 0
+    assert spark.read.parquet(path).count() == 7
+    # partial resume: two extra docs appear -> only they are processed
+    more = spark.createDataFrame(
+        [(f"/d/new{i}.md", 0, f"fresh document {i} text " * 4) for i in range(2)],
+        ["sourcedoc", "sid", "originaltext"],
+    )
+    n3 = categorize_with_resume(chunks.unionByName(more), path, batch_docs=3)
+    assert n3 == 2
+    assert spark.read.parquet(path).count() == 9

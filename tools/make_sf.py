@@ -1,0 +1,74 @@
+"""Deterministic scale-up of the driver's test tables.
+
+Produces an sfN directory from sf0.1 by replicating fact tables
+``factor`` times with disjoint key ranges (referential integrity
+preserved: orders.o_custkey follows customer keys, lineitem.l_orderkey
+follows order keys). Dimensions (region/nation/supplier/part) stay
+fixed — TPC-H-style join selectivity is preserved while fact volume
+scales linearly. Values are unchanged, so per-replica distributions
+(and therefore plan shapes) match the source exactly.
+
+Used by bench.py to add a data-bound scale point: at sf0.1 most queries
+are overhead-bound (BASELINE.md); at 10× the scan/shuffle/agg cost
+dominates and per-query scaling ratios become meaningful.
+
+    python tools/make_sf.py [src_dir] [dst_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# per-replica key offsets, all far above source max keys; doc offset is
+# 2^41 so replica ids never collide with the +2^40 augmented near-dup
+# ids some queries plant
+OFFSETS = {
+    "customer": {"c_custkey": 1 << 24},
+    "orders": {"o_orderkey": 1 << 24, "o_custkey": 1 << 24},
+    "lineitem": {"l_orderkey": 1 << 24},
+    "events": {"event_id": 1 << 24, "user_id": 1 << 24},
+    "documents": {"doc_id": 1 << 41},
+    "embeddings": {"vec_id": 1 << 24},
+}
+DIMS = ["region", "nation", "supplier", "part"]
+
+
+def make_sf(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t, offs in OFFSETS.items():
+        cols = [
+            c[0]
+            for c in con.execute(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()
+        ]
+        selects = []
+        for r in range(factor):
+            exprs = ", ".join(
+                f"{c} + {r * off} AS {c}"
+                if (off := offs.get(c)) and r
+                else c
+                for c in cols
+            )
+            selects.append(f"SELECT {exprs} FROM '{src}/{t}.parquet'")
+        union = " UNION ALL ".join(selects)
+        con.execute(f"COPY ({union}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    make_sf(src, dst, factor)
+    print(f"wrote {dst} ({factor}x {src})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
