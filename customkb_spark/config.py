@@ -46,6 +46,18 @@ class KBConfig:
     max_file_size_mb: int = 100
     embedding_batch_size: int = 100
 
+    # Index-tier auto-selection (reference get_optimal_faiss_index,
+    # embed_manager.py:163-213: Flat < small_dataset_threshold ≤ IVF <
+    # medium_dataset_threshold ≤ IVFPQ); ann_index="auto" applies it,
+    # or force "flat" | "ivf" | "ivfpq"
+    ann_index: str = "auto"
+    small_dataset_threshold: int = 1000
+    medium_dataset_threshold: int = 100_000
+    ivf_centroid_multiplier: int = 4
+    max_centroids: int = 256
+    pq_m: int = 8
+    pq_nbits: int = 8
+
     # Spark-scale additions (not in the reference)
     shuffle_partitions: int = 32
     ann_nlist: int = 64  # IVF centroid count for the pruned ANN path

@@ -203,11 +203,13 @@ class KnowledgeBase:
         cached DataFrames so repeated database/embed/query cycles in a
         long-lived session don't leak executor memory."""
         if self._index is not None:
+            vindex = getattr(self._index, "vindex", None)
             for df in (
                 getattr(self, "_cached_chunks", None),
                 self._index.vectors,
                 self._index.postings,
                 self._index.term_stats,
+                getattr(vindex, "indexed", None),
             ):
                 if df is not None:
                     try:
@@ -221,7 +223,7 @@ class KnowledgeBase:
         if self._index is None:
             self._cached_chunks = self._read("chunks").cache()
             self._index = HY.HybridIndex.build(
-                self._cached_chunks, self._read("vectors")
+                self._cached_chunks, self._read("vectors"), cfg=self.cfg
             )
         return self._index
 

@@ -41,16 +41,32 @@ class HybridIndex:
     term_stats: DataFrame  # (term, df, idf)
     corpus_size: int
     avgdl: float
+    vindex: object | None = None  # VectorIndexTier (embedding/auto.py)
 
     @classmethod
     def build(
-        cls, chunks: DataFrame, vectors: DataFrame, text_col: str = "originaltext"
+        cls,
+        chunks: DataFrame,
+        vectors: DataFrame,
+        text_col: str = "originaltext",
+        cfg: KBConfig | None = None,
     ) -> "HybridIndex":
+        """With ``cfg`` the vector side gets the reference's index-tier
+        auto-selection (flat/IVF/IVFPQ by corpus size,
+        embed_manager.py:163-213) via embedding/auto.build_vector_index;
+        without it, exact scan (flat) — the prior behavior."""
         postings = B.build_postings(chunks, "id", text_col)
         n, avgdl = B.corpus_stats(chunks, text_col)
         stats = B.build_term_stats(postings, n)
+        vindex = None
+        if cfg is not None:
+            from customkb_spark.embedding.auto import build_vector_index
+
+            vindex = build_vector_index(vectors, cfg, n=n)
         # Hot derived tables are reused by every query → cache them.
-        return cls(chunks, vectors.cache(), postings.cache(), stats.cache(), n, avgdl)
+        return cls(
+            chunks, vectors.cache(), postings.cache(), stats.cache(), n, avgdl, vindex
+        )
 
 
 def query_terms(query_text: str, min_len: int = 2) -> list[str]:
@@ -91,7 +107,11 @@ def hybrid_search(
                 save_query_embedding(
                     spark, query_cache_path, query_text, cfg.vector_model, query_vec
                 )
-    vec_hits = brute_force_topk(index.vectors, list(map(float, query_vec)), cfg.query_top_k)
+    qv = list(map(float, query_vec))
+    if index.vindex is not None:
+        vec_hits = index.vindex.topk(qv, cfg.query_top_k, cfg.faiss_nprobe)
+    else:
+        vec_hits = brute_force_topk(index.vectors, qv, cfg.query_top_k)
     q_terms = query_terms(query_text, cfg.bm25_min_token_length)
     kw_hits = B.bm25_score(
         index.postings,

@@ -1,0 +1,90 @@
+"""Index-tier auto-selection (reference get_optimal_faiss_index,
+embed_manager.py:163-213): size policy, tier search correctness,
+hybrid integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from customkb_spark.config import KBConfig
+from customkb_spark.embedding.auto import (
+    VectorIndexTier,
+    _n_centroids,
+    _pq_m,
+    build_vector_index,
+    select_index_kind,
+)
+from customkb_spark.operators.topk import brute_force_topk
+
+
+def test_size_policy_matches_reference():
+    cfg = KBConfig()
+    assert select_index_kind(500, 64, cfg) == "flat"       # < small threshold
+    assert select_index_kind(50_000, 64, cfg) == "ivf"     # medium
+    assert select_index_kind(500_000, 64, cfg) == "ivfpq"  # large
+    # high-dim stays flat regardless of size (embed_manager.py:179-182)
+    assert select_index_kind(500_000, 2048, cfg) == "flat"
+    # explicit override wins
+    assert select_index_kind(10, 64, KBConfig(ann_index="ivfpq")) == "ivfpq"
+
+
+def test_centroid_and_pq_params():
+    cfg = KBConfig()
+    # min(4 * sqrt(n), cap, n/39): 4*sqrt(10000)=400 > 256 cap
+    assert _n_centroids(10_000, cfg, large=False) == 256
+    assert _n_centroids(10_000, cfg, large=True) == 256   # n/39 clamp binds
+    assert _n_centroids(100, cfg, large=False) == 2       # n/39 clamp
+    assert _n_centroids(500_000, cfg, large=True) == 512
+    # pq m: ~8-dim subvectors, capped by cfg, clamped to a divisor
+    assert _pq_m(1024, cfg) == 8
+    assert _pq_m(64, cfg) == 8
+    assert _pq_m(96, KBConfig(pq_m=16)) == 12  # 96//8=12, divides
+    assert _pq_m(100, KBConfig(pq_m=16)) == 10  # 12→ not divisor →10
+
+
+def test_each_tier_searches_correctly(spark, embeddings):
+    emb = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).cache()
+    q = [float(x) for x in emb.filter("id = 5").first()["vector"]]
+    exact = [r["id"] for r in brute_force_topk(emb, q, 10).collect()]
+    # flat and ivf (nprobe >= nlist) are EXACT
+    for kind in ("flat", "ivf"):
+        tier = build_vector_index(emb, KBConfig(ann_index=kind))
+        assert tier.kind == kind
+        got = [r["id"] for r in tier.topk(q, 10, nprobe=512).collect()]
+        assert got == exact
+    # ivfpq is lossy — and the synthetic near-orthogonal vectors are an
+    # adversarial case for it (the cosine top-10 differ by angular
+    # noise PQ codes can't resolve; real embedding corpora cluster and
+    # recall is far higher — see test_pq for the IP-objective bound).
+    # Require the structural guarantees: the query's own vector always
+    # survives (its code is its own nearest), plus nonzero neighborhood
+    # overlap, deterministic results, and exact-cosine scores on the
+    # refined output.
+    tier = build_vector_index(emb, KBConfig(ann_index="ivfpq", pq_nbits=6))
+    rows = tier.topk(q, 10, nprobe=512).collect()
+    got = [r["id"] for r in rows]
+    assert got[0] == 5  # self-hit ranks first under exact refine
+    assert len(set(got) & set(exact)) >= 2
+    assert got == [r["id"] for r in tier.topk(q, 10, nprobe=512).collect()]
+    # refined scores are exact cosine (match brute force for shared ids)
+    bf = {r["id"]: r["score"] for r in brute_force_topk(emb, q, 500).collect()}
+    for r in rows:
+        assert abs(r["score"] - bf[r["id"]]) < 1e-6
+
+
+def test_hybrid_index_uses_tier(spark, embeddings):
+    from customkb_spark.plans import hybrid as HY
+
+    chunks = spark.createDataFrame(
+        [(i, i, 0, f"spark doc {i}", f"spark doc {i}") for i in range(20)],
+        ["id", "sourcedoc", "sid", "originaltext", "embedtext"],
+    )
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).filter("id < 20")
+    cfg = KBConfig(ann_index="ivf", vector_dimensions=64)
+    index = HY.HybridIndex.build(chunks, vecs, cfg=cfg)
+    assert index.vindex is not None and index.vindex.kind == "ivf"
+    # no cfg → flat fallback, prior behavior
+    assert HY.HybridIndex.build(chunks, vecs).vindex is None
