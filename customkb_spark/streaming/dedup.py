@@ -1,0 +1,123 @@
+"""Streaming deduplication + incremental BM25 index maintenance.
+
+Two streaming forms a training-data pipeline needs beyond batch dedup
+(operators/dedup.py):
+
+- ``streaming_dedup_exact``: drop documents whose content hash was
+  already seen, state-bounded by a watermark
+  (``dropDuplicatesWithinWatermark`` — exact dedup that doesn't grow
+  state forever; duplicates arriving after the lateness horizon are the
+  documented trade for bounded state at 100 TB/day).
+
+- ``incremental_bm25_stats``: keep the BM25 term_stats table fresh as
+  documents stream in. Document frequency is an algebraic aggregate
+  (df counts ADD across batches), so each micro-batch computes its own
+  per-term df map-side and ``foreachBatch`` merges it into the stats
+  table — the reference's rebuild-the-NPZ-file step
+  (bm25_manager.py, SURVEY §2.1 S8) becomes a running merge instead of
+  a periodic full rebuild. idf is derived at read time from (df, N) so
+  the merge stays a pure sum.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from customkb_spark.functions import text as X
+from customkb_spark.operators.dedup import content_hash
+
+
+def streaming_dedup_exact(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming dedup: first occurrence of each whitespace-
+    normalized content hash wins; state expires past the watermark."""
+    hashed = docs_stream.withColumn("_text_hash", content_hash(F.col(text_col)))
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_text_hash"])
+        .drop("_text_hash")
+    )
+
+
+def _merge_term_stats(spark: SparkSession, batch_stats: DataFrame, stats_path: str) -> None:
+    """(term, df, n_docs) += batch — an idempotent-enough running merge:
+    read current, add, overwrite. At warehouse scale this is a MERGE
+    INTO on a lakehouse table; plain parquet needs the rewrite."""
+    if os.path.isdir(stats_path):
+        current = spark.read.parquet(stats_path)
+        merged = (
+            current.unionByName(batch_stats)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("n_docs").alias("n_docs"))
+        )
+    else:
+        merged = batch_stats
+    merged.localCheckpoint().write.mode("overwrite").parquet(stats_path)
+
+
+def incremental_bm25_stats(
+    docs_stream: DataFrame,
+    stats_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Maintain (term, df, n_docs) as documents stream in.
+
+    Per micro-batch: tokenize (same F3 contract as the batch index),
+    count per-term document frequency map-side, merge into the running
+    table. ``n_docs`` rides along per row so N = sum is recoverable;
+    ``read_term_stats`` derives idf exactly like the batch builder.
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = batch_df.select(
+            F.col(id_col).alias("id"), X.bm25_token_set(text_col).alias("toks")
+        )
+        n_batch = toks.count()
+        if not n_batch:
+            return
+        batch_stats = (
+            toks.select(F.explode("toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .withColumn("n_docs", F.lit(0).cast("long"))
+        )
+        # one synthetic row carries the batch's document count so N
+        # merges by the same sum as df
+        n_row = spark.createDataFrame(
+            [("__N__", 0, n_batch)], "term string, df long, n_docs long"
+        )
+        _merge_term_stats(spark, batch_stats.unionByName(n_row), stats_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_term_stats(spark: SparkSession, stats_path: str) -> tuple[DataFrame, int]:
+    """(term, df, idf) + corpus size N from the maintained table —
+    BM25's idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1), the same formula
+    as the batch builder (operators/bm25.build_term_stats)."""
+    raw = spark.read.parquet(stats_path)
+    n = raw.filter(F.col("term") == "__N__").agg(F.sum("n_docs")).first()[0] or 0
+    stats = raw.filter(F.col("term") != "__N__").select(
+        "term",
+        "df",
+        F.round(
+            F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+        ).alias("idf"),
+    )
+    return stats, int(n)

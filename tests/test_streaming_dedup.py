@@ -1,0 +1,73 @@
+"""Streaming dedup + incremental BM25 stats: streaming results match
+their batch twins; second-wave merge equals full rebuild."""
+
+from pyspark.sql import functions as F
+
+from customkb_spark.operators import bm25 as B
+from customkb_spark.streaming import dedup as SD
+
+
+def _docs(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, ts_s: string")
+    return df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_streaming_dedup_exact_drops_repeats(spark, tmp_path):
+    rows = [
+        (1, "alpha beta gamma", "2024-01-01 00:00:01"),
+        (2, "alpha   beta\tgamma", "2024-01-01 00:05:00"),  # ws-normalized dup of 1
+        (3, "unique text here", "2024-01-01 00:10:00"),
+        (4, "alpha beta gamma", "2024-01-01 00:20:00"),     # exact dup of 1
+    ]
+    src = str(tmp_path / "src")
+    _docs(spark, rows).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        SD.streaming_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    # one survivor per distinct normalized text: {1-or-2-or-4} and {3}
+    assert len(kept) == 2 and 3 in kept
+
+
+def test_incremental_bm25_stats_matches_batch(spark, sf_dir, tmp_path):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "docs_src")
+    stats_path = str(tmp_path / "term_stats")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1 lands, stream catches up
+    wave1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    SD.incremental_bm25_stats(stream, stats_path, ckpt).awaitTermination(120)
+    stats1, n1 = SD.read_term_stats(spark, stats_path)
+    assert n1 == wave1.count()
+
+    # wave 2 lands, the SAME checkpoint processes only the new files
+    wave2.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    SD.incremental_bm25_stats(stream, stats_path, ckpt).awaitTermination(120)
+    stats2, n2 = SD.read_term_stats(spark, stats_path)
+    assert n2 == docs.count()
+
+    # merged incremental stats == batch rebuild over the full corpus
+    postings = B.build_postings(docs, "doc_id", "text")
+    batch = {
+        r["term"]: (r["df"], round(r["idf"], 6))
+        for r in B.build_term_stats(postings, docs.count()).collect()
+    }
+    got = {r["term"]: (r["df"], round(r["idf"], 6)) for r in stats2.collect()}
+    assert got == batch
