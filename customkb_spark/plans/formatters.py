@@ -46,6 +46,80 @@ def group_consecutive_sections(context_rows: DataFrame) -> DataFrame:
     )
 
 
+def _xml_escape(c: "F.Column") -> "F.Column":
+    """xml.sax.saxutils.escape as column algebra (& first, then < >)."""
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def format_references_batch(
+    context_rows: DataFrame, fmt: str = "plain", qid_col: str = "qid"
+) -> DataFrame:
+    """(qid, reference_string): the batch twin of ``format_references``
+    — grouping, section rendering, escaping, and string assembly all
+    run as column algebra, so a million queries format in one shuffle
+    with nothing on the driver. Feeds ``answer_batch`` directly (the
+    full batch RAG pipeline stays distributed end to end).
+
+    ``fmt='json'`` produces compact JSON (``to_json``) with the same
+    fields as the driver formatter's indented output — parse-equal, not
+    byte-equal.
+    """
+    rows = context_rows.dropDuplicates([qid_col, "sourcedoc", "sid"])
+    w = Window.partitionBy(qid_col, "sourcedoc").orderBy("sid")
+    is_new = F.when(
+        F.lag("sid").over(w).isNull() | (F.lag("sid").over(w) != F.col("sid") - 1), 1
+    ).otherwise(0)
+    grouped = rows.withColumn("_new", is_new).withColumn(
+        "group_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("sid"), F.col("text")))),
+        lambda s: s["text"],
+    )
+    sections = grouped.groupBy(qid_col, "sourcedoc", "group_id").agg(
+        F.min("sid").alias("start_sid"),
+        F.max("sid").alias("end_sid"),
+        F.array_join(ordered_texts, "\n").alias("section_text"),
+    )
+    doc, s, e, txt = (
+        F.col("sourcedoc"), F.col("start_sid"), F.col("end_sid"), F.col("section_text"),
+    )
+    if fmt == "xml":
+        rendered = F.concat(
+            F.lit('  <reference source="'), _xml_escape(doc),
+            F.lit('" start="'), s.cast("string"),
+            F.lit('" end="'), e.cast("string"), F.lit('">'),
+            _xml_escape(txt), F.lit("</reference>"),
+        )
+        sep, prefix, suffix = "\n", "<references>\n", "\n</references>"
+    elif fmt == "json":
+        rendered = F.to_json(
+            F.struct(
+                doc.alias("source"), s.alias("start_sid"),
+                e.alias("end_sid"), txt.alias("text"),
+            )
+        )
+        sep, prefix, suffix = ",", "[", "]"
+    elif fmt == "markdown":
+        rendered = F.format_string("### %s [%d-%d]\n%s", doc, s, e, txt)
+        sep, prefix, suffix = "\n\n", "", ""
+    else:
+        rendered = F.format_string("%s [%d-%d]\n%s", doc, s, e, txt)
+        sep, prefix, suffix = "\n\n", "", ""
+    ordered_sections = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("sourcedoc"), F.col("start_sid"), rendered.alias("r")))
+        ),
+        lambda x: x["r"],
+    )
+    assembled = F.concat(
+        F.lit(prefix), F.array_join(ordered_sections, sep), F.lit(suffix)
+    )
+    return sections.groupBy(qid_col).agg(assembled.alias("reference_string"))
+
+
 def format_references(context_rows: DataFrame, fmt: str = "plain") -> str:
     sections = group_consecutive_sections(context_rows).collect()
     if fmt == "xml":

@@ -246,6 +246,34 @@ def query_batch(
     ).orderBy("qid", "sourcedoc", "hit_sid", "sid")
 
 
+def rag_batch(
+    index: HybridIndex,
+    queries: DataFrame,
+    cfg: KBConfig | None = None,
+    fmt: str = "plain",
+    model: str = "stub-extractive",
+) -> DataFrame:
+    """Fully-distributed batch RAG: (qid, query_text) → retrieval →
+    per-qid reference strings → provider answers, with NO driver-side
+    per-query work — retrieval is one corpus scan per ranker
+    (hybrid_search_batch), formatting is one shuffle
+    (format_references_batch), answering is one mapInPandas
+    (answer_batch). Returns (qid, query_text, reference_string,
+    answer). Queries with no context rows answer from an empty
+    reference (the reference's no-results path)."""
+    from customkb_spark.plans.answer import answer_batch
+    from customkb_spark.plans.formatters import format_references_batch
+
+    ctx = query_batch(index, queries, cfg)
+    refs = format_references_batch(ctx, fmt)
+    pairs = queries.join(refs, "qid", "left").select(
+        "qid",
+        "query_text",
+        F.coalesce(F.col("reference_string"), F.lit("")).alias("reference_string"),
+    )
+    return answer_batch(pairs, query_col="query_text")
+
+
 def query(
     index: HybridIndex,
     query_text: str,
