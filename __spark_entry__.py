@@ -1261,6 +1261,57 @@ FROM documents
 """
 
 
+def q_batch_reference_strings(spark, sf_dir):
+    """Distributed batch reference formatting (format_references_batch):
+    per-qid consecutive-sid section grouping + plain-format string
+    assembly, all column algebra. Context rows are deterministic chunk
+    windows (qid q → sids q..q+2 of every doc < 10)."""
+    from customkb_spark.plans.formatters import format_references_batch
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    chunks = chunk_fixed(docs, "doc_id", "text", 80)
+    qids = spark.range(1, 3).select(F.col("id").alias("qid"))
+    ctx = (
+        chunks.crossJoin(F.broadcast(qids))
+        .filter(F.col("sid").between(F.col("qid"), F.col("qid") + 2))
+        .select("qid", F.col("doc_id").alias("sourcedoc"), "sid", F.col("chunk_text").alias("text"))
+    )
+    return format_references_batch(ctx, "plain")
+
+
+SQL_BATCH_REFS = """
+WITH chunks AS (
+  SELECT d.doc_id, CAST(s.sid AS BIGINT) AS sid,
+         substr(d.text, CAST(s.sid * 80 + 1 AS INT), 80) AS chunk_text
+  FROM documents d,
+       unnest(generate_series(0, greatest(CAST(ceil(length(d.text) / 80.0) AS BIGINT), 1) - 1)) s(sid)
+  WHERE d.doc_id < 10),
+ctx AS (
+  SELECT q.qid, doc_id AS sourcedoc, sid, chunk_text AS text
+  FROM chunks CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS qid) q
+  WHERE sid BETWEEN q.qid AND q.qid + 2),
+d AS (SELECT DISTINCT qid, sourcedoc, sid, text FROM ctx),
+g AS (
+  SELECT *, CASE WHEN lag(sid) OVER w IS NULL OR lag(sid) OVER w <> sid - 1
+                 THEN 1 ELSE 0 END AS is_new
+  FROM d WINDOW w AS (PARTITION BY qid, sourcedoc ORDER BY sid)),
+r AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY qid, sourcedoc ORDER BY sid
+                              ROWS UNBOUNDED PRECEDING) AS gid
+  FROM g),
+sec AS (
+  SELECT qid, sourcedoc, gid, min(sid) AS s, max(sid) AS e,
+         string_agg(text, chr(10) ORDER BY sid) AS st
+  FROM r GROUP BY qid, sourcedoc, gid),
+rend AS (
+  SELECT qid, sourcedoc, s,
+         CAST(sourcedoc AS VARCHAR) || ' [' || s || '-' || e || ']' || chr(10) || st AS rr
+  FROM sec)
+SELECT qid, string_agg(rr, chr(10) || chr(10) ORDER BY sourcedoc, s) AS reference_string
+FROM rend GROUP BY qid
+"""
+
+
 def q_ngram_jaccard_topk(spark, sf_dir):
     """n-gram Jaccard similarity scan: 3-gram shingle-set Jaccard of
     every document vs probe doc 0, top 10."""
@@ -1482,6 +1533,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
     "chunk_metadata": q_chunk_metadata,
+    "batch_reference_strings": q_batch_reference_strings,
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "lsh_bucketed_near_dups": q_lsh_bucketed_near_dups,
     "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -1534,6 +1586,7 @@ _ORACLES: dict[str, str] = {
     "multimodal_metadata": SQL_MM_META,
     "multimodal_decode": SQL_MM_DECODE,
     "chunk_metadata": SQL_CHUNK_METADATA,
+    "batch_reference_strings": SQL_BATCH_REFS,
     "ngram_jaccard_topk": SQL_NGRAM_JACCARD,
     "lsh_bucketed_near_dups": _sql_lsh_near_dups(),
     "corpus_filter_pipeline": _sql_corpus_filter(),
