@@ -127,6 +127,48 @@ def enhance_queries(
     return queries.withColumn(out_col, _enhance(F.col(query_col)))
 
 
+ENHANCE_CACHE_SCHEMA = "cache_key string, enhanced string, created_at double"
+
+
+def enhance_query_cached(
+    spark,
+    path: str,
+    q: str,
+    ttl_days: float = 7,
+    now: float | None = None,
+    **kwargs,
+) -> str:
+    """Reference enhancement cache (query/enhancement.py:335, the same
+    TTL-file pattern as the query-embedding cache): probe the keyed
+    table before enhancing, append on miss. The stub enhancer is cheap;
+    the cache matters when the spell/synonym path calls real
+    WordNet/TextBlob-class dependencies."""
+    import hashlib
+    import os
+    import time as _time
+
+    now = _time.time() if now is None else now
+    key = hashlib.sha256(q.encode()).hexdigest()
+    if os.path.isdir(path):
+        rows = (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("cache_key") == key)
+                & (F.col("created_at") > F.lit(now - ttl_days * 86400.0))
+            )
+            .orderBy(F.desc("created_at"))
+            .limit(1)
+            .collect()
+        )
+        if rows:
+            return rows[0]["enhanced"]
+    out = enhance_query(q, **kwargs)
+    spark.createDataFrame(
+        [(key, out, float(now))], ENHANCE_CACHE_SCHEMA
+    ).write.mode("append").parquet(path)
+    return out
+
+
 def expanded_terms(q: str) -> list[str]:
     """Flat unique term list from an enhanced query — what the BM25
     scorer consumes (OR-groups flatten to their members)."""

@@ -283,6 +283,29 @@ class KnowledgeBase:
             return reference_string
         return generate_answer(query_text, reference_string)
 
+    def query_batch(
+        self,
+        queries: DataFrame,
+        context_only: bool = True,
+        fmt: str = "plain",
+    ) -> DataFrame:
+        """Batch query surface: (qid, query_text) → per-query results,
+        fully distributed (one corpus scan per ranker serves every
+        query; formatting and answering never touch the driver).
+
+        ``context_only=True`` → (qid, reference_string); else
+        (qid, query_text, reference_string, answer) via the provider.
+        The reference processes queries one at a time in an asyncio
+        loop — this is the shape that replaces it at cluster scale.
+        """
+        index = self._build_index()
+        if context_only:
+            from customkb_spark.plans.formatters import format_references_batch
+
+            ctx = HY.query_batch(index, queries, self.cfg)
+            return format_references_batch(ctx, fmt)
+        return HY.rag_batch(index, queries, self.cfg, fmt)
+
     # ------------------------------------------------------ ops surface
     def verify(self) -> dict[str, int]:
         """verify-indexes equivalent: table row counts + pending work."""

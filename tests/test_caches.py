@@ -182,3 +182,19 @@ def test_kb_query_populates_and_reuses_rerank_cache(spark, tmp_path):
     # and the query-embedding cache has exactly one row for the query
     assert os.path.isdir(os.path.join(kb_dir, "query_emb_cache"))
     assert spark.read.parquet(os.path.join(kb_dir, "query_emb_cache")).count() == 1
+
+
+def test_enhance_query_cached(spark, tmp_path):
+    from customkb_spark.functions.enhance import enhance_query, enhance_query_cached
+
+    path = str(tmp_path / "enh")
+    q = "runing  querys"
+    want = enhance_query(q)
+    got = enhance_query_cached(spark, path, q, now=1000.0)
+    assert got == want
+    # hit path returns the stored value without re-enhancing
+    assert enhance_query_cached(spark, path, q, now=2000.0) == want
+    assert spark.read.parquet(path).count() == 1
+    # expired → recompute + second row appended
+    assert enhance_query_cached(spark, path, q, ttl_days=1, now=1000.0 + 90000) == want
+    assert spark.read.parquet(path).count() == 2

@@ -122,3 +122,26 @@ def test_embed_cache_read_through(spark, tmp_path):
     assert kb.embed() > 0
     assert spark.read.parquet(cache_path).count() == n_cache
     assert kb.verify()["pending_embed"] == 0
+
+
+def test_kb_query_batch_surface(spark, tmp_path):
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    kb = KnowledgeBase(
+        spark, str(tmp_path / "kbq"), KBConfig(vector_dimensions=8, query_top_k=4)
+    )
+    docs = spark.createDataFrame(
+        [(i, f"spark data document {i} retrieval text " * 4, f"/s/{i}.md") for i in range(6)],
+        ["doc_id", "text", "source"],
+    )
+    kb.database(docs)
+    kb.embed()
+    queries = spark.createDataFrame(
+        [(1, "spark data"), (2, "retrieval text")], ["qid", "query_text"]
+    )
+    ctx = kb.query_batch(queries, context_only=True, fmt="markdown").collect()
+    assert {r["qid"] for r in ctx} == {1, 2}
+    assert all(r["reference_string"].startswith("### ") for r in ctx)
+    full = kb.query_batch(queries, context_only=False).collect()
+    assert all(r["answer"] for r in full)
