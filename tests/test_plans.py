@@ -140,3 +140,53 @@ def test_asof_join_single_shuffle(spark):
     # no join operator at all — the L×R blowup shape never appears
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_merge_small_chunks_single_shuffle_no_window(spark, documents):
+    from customkb_spark.ingest.chunker import chunk_fixed, merge_small_chunks
+
+    chunks = chunk_fixed(documents, "doc_id", "text", 80)
+    plan = explain_str(merge_small_chunks(chunks, 100), "simple")
+    # the per-doc fold is ONE groupBy exchange; no window, no Python
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_pq_adc_scoring_is_jvm_side(spark, embeddings):
+    from customkb_spark.config import KBConfig
+    from customkb_spark.embedding.auto import build_vector_index
+
+    tier = build_vector_index(
+        embeddings.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+        ),
+        KBConfig(ann_index="ivfpq", pq_nbits=6),
+    )
+    q = [0.1] * 64
+    # ADC top-k over the (cached) encoded table: zip_with/aggregate
+    # scoring plus the broadcast LUT join must introduce NO Python —
+    # the only Arrow stage allowed is the cached encode itself
+    from customkb_spark.embedding.pq import pq_topk
+
+    plan = explain_str(pq_topk(tier.indexed, tier.pq, q, 10, 4, "ip"), "simple")
+    after_cache = plan.split("InMemoryTableScan", 1)[0]
+    assert "EvalPython" not in after_cache
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_batch_formatting_windows_are_partitioned(spark, documents):
+    from customkb_spark.ingest.chunker import chunk_fixed
+    from customkb_spark.plans.formatters import format_references_batch
+
+    chunks = chunk_fixed(documents, "doc_id", "text", 80)
+    ctx = chunks.select(
+        F.lit(1).alias("qid"),
+        F.col("doc_id").alias("sourcedoc"),
+        "sid",
+        F.col("chunk_text").alias("text"),
+    )
+    plan = explain_str(format_references_batch(ctx, "plain"), "formatted")
+    # every window/sort partitions by (qid, sourcedoc) — nothing lands
+    # on a single unpartitioned reducer
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
