@@ -108,6 +108,133 @@ def merge_categories(
     )
 
 
+# ---- 4-way fuzzy similarity (reference category_deduplicator.py) ----
+
+# reference ignore_words (category_deduplicator.py:47)
+CATEGORY_IGNORE_WORDS = frozenset(
+    {"and", "of", "the", "in", "on", "for", "with", "a", "an"}
+)
+
+
+def normalize_category(
+    name: str, case_sensitive: bool = False, ignore_words: frozenset = CATEGORY_IGNORE_WORDS
+) -> str:
+    """Reference _normalize_category (category_deduplicator.py:50-73):
+    casefold + drop ignore words; fall back to the (lowered) original
+    if everything was ignored."""
+    normalized = name if case_sensitive else name.lower()
+    words = [w for w in normalized.split() if w.lower() not in ignore_words]
+    return " ".join(words) if words else normalized
+
+
+def _indel_ratio(a: str, b: str) -> float:
+    """rapidfuzz fuzz.ratio semantics: normalized InDel similarity
+    100·(2·LCS/(|a|+|b|)) — substitution-free edit distance."""
+    if not a and not b:
+        return 100.0
+    if not a or not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = prev[j - 1] + 1 if ai == b[j - 1] else max(prev[j], cur[j - 1])
+        prev = cur
+    return 100.0 * (2.0 * prev[lb]) / (la + lb)
+
+
+def _partial_ratio(a: str, b: str) -> float:
+    """rapidfuzz fuzz.partial_ratio semantics: best InDel ratio of the
+    shorter string against every same-length window of the longer
+    (exhaustive slide — category names are short)."""
+    s, l = (a, b) if len(a) <= len(b) else (b, a)
+    if not s:
+        return 100.0 if not l else 0.0
+    best = 0.0
+    for start in range(0, len(l) - len(s) + 1):
+        best = max(best, _indel_ratio(s, l[start : start + len(s)]))
+        if best == 100.0:
+            return best
+    return best
+
+
+def four_way_similarity(a: str, b: str) -> float:
+    """max(ratio, partial_ratio, token_sort_ratio, token_set_ratio) —
+    the reference's merge criterion (category_deduplicator.py:111-117),
+    re-implemented from the public rapidfuzz metric definitions (the
+    library isn't in this container). 0-100."""
+    scores = [_indel_ratio(a, b), _partial_ratio(a, b)]
+    ta, tb = sorted(a.split()), sorted(b.split())
+    scores.append(_indel_ratio(" ".join(ta), " ".join(tb)))
+    sa, sb = set(ta), set(tb)
+    inter = " ".join(sorted(sa & sb))
+    t1 = (inter + " " + " ".join(sorted(sa - sb))).strip()
+    t2 = (inter + " " + " ".join(sorted(sb - sa))).strip()
+    scores += [_indel_ratio(inter, t1), _indel_ratio(inter, t2), _indel_ratio(t1, t2)]
+    return max(scores)
+
+
+def find_merge_groups(
+    categories: list[str],
+    similarity_threshold: float = 85.0,
+    case_sensitive: bool = False,
+    ignore_words: frozenset = CATEGORY_IGNORE_WORDS,
+) -> list[dict]:
+    """Reference find_duplicates (category_deduplicator.py:75-130):
+    greedy grouping over length-sorted names — shorter names become
+    primaries; each unprocessed longer name joins the first primary
+    whose 4-way score clears the threshold. Driver-side by design: the
+    category vocabulary is small (the distributed prefilter for large
+    vocabularies is ``fuzzy_category_pairs``).
+
+    Returns [{primary, aliases: {name: score}}, ...] for groups with
+    at least one alias.
+    """
+    if not categories:
+        return []
+    processed: set[str] = set()
+    groups: list[dict] = []
+    sorted_cats = sorted(categories, key=len)
+    for i, cat1 in enumerate(sorted_cats):
+        if cat1 in processed:
+            continue
+        norm1 = normalize_category(cat1, case_sensitive, ignore_words)
+        aliases: dict[str, float] = {}
+        for cat2 in sorted_cats[i + 1 :]:
+            if cat2 in processed:
+                continue
+            norm2 = normalize_category(cat2, case_sensitive, ignore_words)
+            score = four_way_similarity(norm1, norm2)
+            if score >= similarity_threshold:
+                aliases[cat2] = score
+                processed.add(cat2)
+        if aliases:
+            groups.append({"primary": cat1, "aliases": aliases})
+            processed.add(cat1)
+    return groups
+
+
+def apply_merge_groups(
+    docs: DataFrame, groups: list[dict], cat_col: str = "primary_category"
+) -> DataFrame:
+    """Rewrite alias categories to their primary (reference
+    apply_to_results / merge_category_counts) — a broadcast-map join."""
+    mapping = [(alias, g["primary"]) for g in groups for alias in g["aliases"]]
+    if not mapping:
+        return docs
+    spark = docs.sparkSession
+    mdf = F.broadcast(
+        spark.createDataFrame(mapping, "alias string, _primary string")
+    )
+    return (
+        docs.join(mdf, docs[cat_col] == mdf["alias"], "left")
+        .withColumn(cat_col, F.coalesce(F.col("_primary"), F.col(cat_col)))
+        .drop("alias", "_primary")
+    )
+
+
 class CategorizeProvider:
     """LLM classification interface (M5/M6, categorize_manager.py:
     393-592). Real providers call a chat model with the sampled-chunk

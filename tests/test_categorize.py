@@ -130,3 +130,66 @@ def test_categorize_with_resume_skips_done(spark, tmp_path):
     n3 = categorize_with_resume(chunks.unionByName(more), path, batch_docs=3)
     assert n3 == 2
     assert spark.read.parquet(path).count() == 9
+
+
+def test_normalize_category_reference_parity():
+    from customkb_spark.operators.categorize import normalize_category
+
+    assert normalize_category("Machine Learning") == "machine learning"
+    assert normalize_category("MACHINE LEARNING") == "machine learning"
+    assert normalize_category("Machine Learning", case_sensitive=True) == "Machine Learning"
+    assert normalize_category("Machine Learning and AI") == "machine learning ai"
+    assert normalize_category("History of the World") == "history world"
+    # all-ignore-words falls back to the lowered original
+    assert normalize_category("The And Of") == "the and of"
+
+
+def test_four_way_similarity_metrics():
+    from customkb_spark.operators.categorize import four_way_similarity, _indel_ratio
+
+    assert four_way_similarity("machine learning", "machine learning") == 100.0
+    # token reorder: plain ratio low, token_sort catches it
+    assert four_way_similarity("learning machine", "machine learning") == 100.0
+    # substring: partial_ratio catches it
+    assert four_way_similarity("machine", "machine learning systems") == 100.0
+    # token_set: shared core with extra tokens on one side
+    assert four_way_similarity("machine learning", "machine learning advanced topics") == 100.0
+    assert four_way_similarity("machine learning", "quantum chemistry") < 60.0
+    # indel ratio is the documented rapidfuzz formula
+    assert _indel_ratio("abcd", "abcd") == 100.0
+    assert _indel_ratio("abcd", "abce") == 75.0  # LCS 3 → 2*3/8
+    assert _indel_ratio("", "") == 100.0 and _indel_ratio("a", "") == 0.0
+
+
+def test_find_merge_groups_reference_invariants():
+    from customkb_spark.operators.categorize import find_merge_groups
+
+    assert find_merge_groups([]) == []
+    # exact case-fold duplicates merge; shorter-or-equal name is primary
+    groups = find_merge_groups(["Machine Learning", "machine learning"])
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["primary"] in ("Machine Learning", "machine learning")
+    assert len(g["aliases"]) == 1 and list(g["aliases"].values())[0] >= 95.0
+    # shorter name preferred as primary
+    groups = find_merge_groups(
+        ["Machine Learning and Artificial Intelligence", "Machine Learning"],
+        similarity_threshold=85.0,
+    )
+    if groups:
+        assert len(groups[0]["primary"]) <= len(next(iter(groups[0]["aliases"])))
+    # unrelated categories never group
+    assert find_merge_groups(["Biology", "Quantum Computing"], 85.0) == []
+
+
+def test_apply_merge_groups(spark):
+    from customkb_spark.operators.categorize import apply_merge_groups, find_merge_groups
+
+    docs = spark.createDataFrame(
+        [(1, "Machine Learning"), (2, "machine learning"), (3, "Biology")],
+        ["doc_id", "primary_category"],
+    )
+    groups = find_merge_groups(["Machine Learning", "machine learning", "Biology"])
+    out = {r["doc_id"]: r["primary_category"] for r in apply_merge_groups(docs, groups).collect()}
+    assert len(set(out.values())) == 2  # ML variants collapsed, Biology kept
+    assert out[3] == "Biology" and out[1] == out[2]
