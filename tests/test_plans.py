@@ -190,3 +190,38 @@ def test_batch_formatting_windows_are_partitioned(spark, documents):
     # on a single unpartitioned reducer
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_cobucketed_join_has_no_exchange(spark, documents):
+    """The 100 TB layout story: chunks and vectors written BUCKETED BY
+    the join key join with NO Exchange on either side — the shuffle
+    was paid once at write time."""
+    from customkb_spark.plans.bucketing import cobucketed_join, write_bucketed
+
+    chunks = documents.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("originaltext")
+    )
+    vectors = documents.select(
+        F.col("doc_id").alias("id"), F.array(F.lit(0.1), F.lit(0.2)).alias("vector")
+    )
+    import shutil
+
+    for t in ("t_chunks_b", "t_vectors_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a previously-failed run can leave the managed location behind
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(f"{loc.removeprefix('file:')}/{t}", ignore_errors=True)
+    write_bucketed(chunks, "t_chunks_b", "id", n_buckets=8)
+    write_bucketed(vectors, "t_vectors_b", "id", n_buckets=8)
+    # the test tables are tiny enough to auto-broadcast, which would
+    # hide the bucketed shape — at real scale neither side broadcasts
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(spark, "t_chunks_b", "t_vectors_b", "id")
+        plan = explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert joined.count() == documents.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
