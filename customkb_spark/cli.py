@@ -96,13 +96,21 @@ def cmd_verify(args) -> int:
 def cmd_optimize(args) -> int:
     import os
 
-    from customkb_spark.plans.maintenance import optimize_chunks, table_stats
+    from customkb_spark.plans.maintenance import (
+        optimize_chunks,
+        suggest_tuning,
+        table_stats,
+    )
 
     spark = _spark()
     chunks = os.path.join(args.kb_dir, "chunks")
     if os.path.isdir(chunks):
         optimize_chunks(spark, chunks)
     table_stats(spark, args.kb_dir).show(truncate=False)
+    # the reference's memory-tier auto-config report (advisory; Spark
+    # confs print so cluster deployment can apply them)
+    mem_gb = float(os.environ.get("CUSTOMKB_TOTAL_MEMORY_GB", "64"))
+    print(json.dumps(suggest_tuning(mem_gb), indent=2))
     return 0
 
 

@@ -54,6 +54,48 @@ def optimize_chunks(
     shutil.move(tmp, chunks_path)
 
 
+MEMORY_TIERS = [
+    # (max_gb, tier, factors {memory, thread, batch}) — reference
+    # optimization_manager.py:91-128 tiers (<16 / 16-64 / 64-128 / >128)
+    (16, "low", 0.25, 0.5, 0.5),
+    (64, "medium", 0.5, 0.75, 0.75),
+    (128, "high", 0.75, 1.0, 1.0),
+    (float("inf"), "very_high", 1.0, 1.5, 1.5),
+]
+
+
+def suggest_tuning(total_memory_gb: float, cpus: int = 32) -> dict:
+    """The reference's memory-tier auto-config
+    (optimization_manager.py:88-173) translated to the knobs this
+    engine actually has: Spark confs + KBConfig batch sizes. The
+    reference tunes SQLite caches and asyncio pools; the Spark
+    equivalents are shuffle partitions, broadcast threshold, partition
+    target size, and the Arrow/provider batch sizes.
+
+    Returns {"tier", "spark_conf": {...}, "kb_config": {...}} —
+    advisory (callers apply what they can set)."""
+    for max_gb, tier, mem_f, thread_f, batch_f in MEMORY_TIERS:
+        if total_memory_gb < max_gb:
+            break
+    return {
+        "tier": tier,
+        "spark_conf": {
+            # more memory → bigger partitions (fewer, fatter tasks)
+            "spark.sql.shuffle.partitions": str(max(cpus, int(cpus * 2 * thread_f))),
+            "spark.sql.files.maxPartitionBytes": str(int(128 * 1024 * 1024 * (0.5 + mem_f))),
+            "spark.sql.autoBroadcastJoinThreshold": str(int(10 * 1024 * 1024 * (1 + 3 * mem_f))),
+            "spark.sql.adaptive.enabled": "true",
+        },
+        "kb_config": {
+            # reference embedding_batch = 750·batch_factor (scaled to
+            # this engine's per-call default of 100)
+            "embedding_batch_size": max(25, int(100 * batch_f)),
+            "bm25_max_results": int(1000 * batch_f) or 1000,
+            "reranking_top_k": max(10, int(20 * batch_f)),
+        },
+    }
+
+
 def table_stats(spark: SparkSession, kb_dir: str) -> DataFrame:
     """verify-indexes equivalent: rows / files / bytes per KB table."""
     rows = []

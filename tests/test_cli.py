@@ -32,3 +32,22 @@ def test_cli_lifecycle(spark, tmp_path, capsys):
 
 def test_cli_database_requires_source(spark, tmp_path, capsys):
     assert cli.main(["database", str(tmp_path / "kbx")]) == 2
+
+
+def test_suggest_tuning_tiers():
+    from customkb_spark.plans.maintenance import suggest_tuning
+
+    low = suggest_tuning(8)
+    high = suggest_tuning(256)
+    assert low["tier"] == "low" and high["tier"] == "very_high"
+    assert suggest_tuning(32)["tier"] == "medium"
+    assert suggest_tuning(100)["tier"] == "high"
+    # more memory -> larger batches, bigger broadcast threshold
+    assert (
+        high["kb_config"]["embedding_batch_size"]
+        > low["kb_config"]["embedding_batch_size"]
+    )
+    assert int(high["spark_conf"]["spark.sql.autoBroadcastJoinThreshold"]) > int(
+        low["spark_conf"]["spark.sql.autoBroadcastJoinThreshold"]
+    )
+    assert low["spark_conf"]["spark.sql.adaptive.enabled"] == "true"
