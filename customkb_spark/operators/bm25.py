@@ -32,8 +32,17 @@ def build_postings(chunks: DataFrame, id_col: str = "id", text_col: str = "text"
     toks = chunks.select(
         F.col(id_col).alias("id"), X.bm25_token_set(text_col).alias("toks")
     )
-    return toks.select(
-        "id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    # explode_OUTER, not explode: for a plain explode Catalyst infers
+    # `isnotnull(toks) AND size(toks) > 0` and pushes it below the
+    # projection into the scan filter — where the entire tokenizer
+    # expression re-evaluates, doubling the dominant cost of the index
+    # build (measured at sf1). Outer generate infers no such filter;
+    # empty docs yield one NULL term dropped by a cheap per-row filter.
+    return (
+        toks.select(
+            "id", F.size("toks").alias("dl"), F.explode_outer("toks").alias("term")
+        )
+        .filter(F.col("term").isNotNull())
     )
 
 

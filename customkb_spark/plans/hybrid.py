@@ -186,10 +186,12 @@ def hybrid_search_batch(
         qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector"
     ).select("qid", "id", "score")
 
-    # same tokenizer as the postings index (text.bm25_token_set)
+    # same tokenizer as the postings index (text.bm25_token_set);
+    # explode_outer avoids the inferred not-empty filter re-evaluating
+    # the tokenizer (see bm25.build_postings)
     terms = queries.select(
         "qid",
-        F.explode(X.bm25_token_set("query_text")).alias("term"),
+        F.explode_outer(X.bm25_token_set("query_text")).alias("term"),
     ).filter(F.length("term") >= cfg.bm25_min_token_length)
     kw_hits = B.bm25_score_batch(
         index.postings,

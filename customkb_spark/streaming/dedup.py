@@ -87,7 +87,10 @@ def incremental_bm25_stats(
         if not n_batch:
             return
         batch_stats = (
-            toks.select(F.explode("toks").alias("term"))
+            # explode_outer: plain explode re-evaluates the tokenizer
+            # in an inferred not-empty filter (see bm25.build_postings)
+            toks.select(F.explode_outer("toks").alias("term"))
+            .filter(F.col("term").isNotNull())
             .groupBy("term")
             .agg(F.count("*").alias("df"))
             .withColumn("n_docs", F.lit(0).cast("long"))

@@ -225,3 +225,14 @@ def test_cobucketed_join_has_no_exchange(spark, documents):
         assert joined.count() == documents.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_postings_tokenizer_single_eval(spark, documents):
+    """Regression: plain explode makes Catalyst infer a not-empty
+    filter below the tokenizer projection, re-evaluating the whole
+    tokenizer per row (2x the index build cost at sf1). explode_outer
+    keeps exactly ONE eval in the plan."""
+    from customkb_spark.operators.bm25 import build_postings
+
+    plan = explain_str(build_postings(documents, "doc_id", "text"), "formatted")
+    assert plan.count("regexp_extract_all(lower") == 1
