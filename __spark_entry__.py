@@ -32,6 +32,7 @@ from customkb_spark.ingest.pipeline import documents_to_chunks, incremental_filt
 from customkb_spark.embedding import lsh as LSH
 from customkb_spark.operators import bm25 as B
 from customkb_spark.operators import categorize as CAT
+from customkb_spark.operators import curation as CU
 from customkb_spark.operators import dedup as D
 from customkb_spark.operators import fusion as FU
 from customkb_spark.operators import multimodal as MM
@@ -1438,6 +1439,149 @@ GROUP BY 2
 """
 
 
+def q_decontaminate_overlap(spark, sf_dir):
+    """Train-test decontamination (GPT-3 appendix C shape): flag docs
+    sharing any word 5-gram with a benchmark set (here: every 41st doc,
+    a stand-in eval suite). Benchmark n-grams broadcast; corpus side
+    explodes map-side; the only shuffle is the per-doc hit count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return CU.decontaminate(docs, bench, n=5).orderBy("doc_id")
+
+
+SQL_DECON = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+ng AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+4], ' ') FOR i IN generate_series(1, len(toks) - 4)] AS grams
+  FROM tk),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM ng WHERE doc_id % 41 = 0),
+doc_g AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+hits AS (
+  SELECT d.doc_id, count(DISTINCT d.g) AS hits
+  FROM doc_g d JOIN bench b ON d.g = b.g GROUP BY 1)
+SELECT n.doc_id,
+       CAST(len(n.grams) AS BIGINT) AS total_ngrams,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS contaminated_ngrams,
+       coalesce(h.hits, 0) > 0 AS contaminated
+FROM ng n LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over documents. The synthetic corpus is PII-free, so
+    every 7th doc is first augmented with deterministic planted PII
+    (email/SSN/phone/IP derived from doc_id) — both engines plant the
+    same spans, then redact and count. Zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com call 555-123-4567 ssn 123-45-6789 host 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = CU.pii_scrub(planted)
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5("redacted").alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+def _sql_pii() -> str:
+    from customkb_spark.operators.curation import PII_ORDER, PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
+        for k in PII_ORDER
+    )
+    red = "text"
+    for k in PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com call 555-123-4567 ssn 123-45-6789 host 10.0.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id, {counts}, md5({red}) AS redacted_hash
+FROM planted ORDER BY doc_id
+"""
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: duplicate
+    line/word fractions (pure expressions) + top-bigram fraction (one
+    explode + partial-aggregated groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.repetition_signals(docs).orderBy("doc_id")
+
+
+SQL_REPETITION = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls, {SQL_TOKS.format(c='text')} AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         round((len(ls) - len(list_distinct(ls))) / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS dup_line_frac,
+         round((len(toks) - len(list_distinct(toks))) / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS dup_word_frac,
+         [toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)] AS grams
+  FROM tk),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM base),
+pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_gram_cnt, CAST(sum(cnt) AS BIGINT) AS total_grams
+  FROM pg GROUP BY 1)
+SELECT b.doc_id, b.n_lines, b.dup_line_frac, b.dup_word_frac,
+       CAST(coalesce(t.top_gram_cnt, 0) AS BIGINT) AS top_gram_cnt,
+       CAST(coalesce(t.total_grams, 0) AS BIGINT) AS total_grams,
+       round(coalesce(t.top_gram_cnt, 0) / CAST(greatest(coalesce(t.total_grams, 0), 1) AS DOUBLE), 6) AS top_ngram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+# dataset-mixing rates shared by the Spark query and the SQL oracle
+MIX_RATES = {"src0": 1.0, "src1": 0.0, "src2": 0.25, "src3": 0.75}
+MIX_DEFAULT = 0.5
+MIX_SEED = "mix-v1"
+
+
+def q_stratified_sample_mix(spark, sf_dir):
+    """Deterministic per-source dataset mixing: md5-threshold keep
+    decision per row (map-side filter, zero shuffles, reproducible
+    under task retries — unlike df.sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.stratified_sample(
+        docs, "source", MIX_RATES, key_col="doc_id",
+        seed=MIX_SEED, default_rate=MIX_DEFAULT,
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+def _sql_mix() -> str:
+    from customkb_spark.operators.curation import rate_threshold_hex
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{rate_threshold_hex(v)}'" for k, v in sorted(MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':{MIX_SEED}'), 1, 8)
+      < CASE source {cases} ELSE '{rate_threshold_hex(MIX_DEFAULT)}' END
+ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------- non-SQL-expressible ops
 
 
@@ -1537,6 +1681,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "lsh_bucketed_near_dups": q_lsh_bucketed_near_dups,
     "corpus_filter_pipeline": q_corpus_filter_pipeline,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "pii_redaction": q_pii_redaction,
+    "repetition_signals": q_repetition_signals,
+    "stratified_sample_mix": q_stratified_sample_mix,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "hybrid_context_flagship": q_hybrid_context_flagship,
@@ -1590,6 +1738,10 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_topk": SQL_NGRAM_JACCARD,
     "lsh_bucketed_near_dups": _sql_lsh_near_dups(),
     "corpus_filter_pipeline": _sql_corpus_filter(),
+    "decontaminate_overlap": SQL_DECON,
+    "pii_redaction": _sql_pii(),
+    "repetition_signals": SQL_REPETITION,
+    "stratified_sample_mix": _sql_mix(),
     # ann_ivf_topk / hybrid_context_flagship: iterative KMeans + staged
     # pipeline — not SQL-expressible; rows-only check.
 }

@@ -71,6 +71,10 @@ EXTRA_QUERIES = [
     "chunk_metadata",
     "ann_pq_topk",
     "events_consecutive_runs",
+    "decontaminate_overlap",
+    "pii_redaction",
+    "repetition_signals",
+    "stratified_sample_mix",
 ]
 
 # the data-bound subset re-run at 10×: linear scans/aggs/shuffles where

@@ -1,0 +1,254 @@
+"""Training-data curation operators — decontamination, PII redaction,
+repetition signals, stratified mixing.
+
+These are the corpus-preparation steps a large-scale LLM training
+pipeline runs after ingest and before tokenization (the reference
+repo's scope ends at retrieval, so these extend it; the designs follow
+the published recipes: GPT-3 appendix C n-gram decontamination, the
+Gopher/MassiveText repetition filters, and hash-based deterministic
+sampling for dataset mixing).
+
+Scale posture (100 TB):
+- Everything is built-in column algebra + at most ONE shuffle per
+  operator (the per-doc n-gram aggregation); no Python UDFs.
+- Decontamination broadcasts the benchmark n-gram set (eval sets are
+  tiny: MMLU+GSM8K+HumanEval ≈ 10^5 n-grams) and semi-joins the
+  exploded corpus side map-side; the only shuffle is the per-doc
+  hit count, which is partial-aggregated.
+- Stratified sampling is a pure map-side filter: deterministic
+  md5-threshold per row, no sampling state, no shuffle, reproducible
+  across retries (unlike ``df.sample`` whose output can change under
+  task recompute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import text as X
+
+# ------------------------------------------------------------ n-grams
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Space-joined word n-grams over the standard token contract
+    (``functions.text.tokens``: ``[a-z0-9]+`` on lowercased text).
+
+    Empty array when the document has fewer than ``n`` tokens.
+    Pure expression — evaluated inside whole-stage codegen.
+    """
+    toks = X.tokens(col)
+    # sequence(1, 0) would yield [1, 0] (negative step), so gate on size
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ----------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Flag documents sharing any word ``n``-gram with a benchmark set
+    (GPT-3 appendix C / PaLM-style train-test decontamination).
+
+    Returns one row per input document:
+    ``id_col, total_ngrams, contaminated_ngrams (distinct overlapping),
+    contaminated (bool)``.
+
+    Plan: benchmark n-grams are distinct-ed and **broadcast** (eval
+    suites are ~10^5 n-grams even for large harnesses); the corpus side
+    explodes its n-grams map-side and broadcast-semi-joins, so the only
+    shuffle is the per-document hit count — partial-aggregated, key =
+    document id, no skew (each doc contributes ≤ its own n-gram count).
+    The left join back preserves clean documents with a 0 count.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(bench_text_col, n)).alias("ngram"))
+        .distinct()
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("ngram")
+    )
+    hits = (
+        grams.join(F.broadcast(bench_grams), "ngram", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("ngram").alias("contaminated_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_col), F.size(word_ngrams(text_col, n)).alias("total_ngrams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.col("total_ngrams").cast("long").alias("total_ngrams"),
+            F.coalesce("contaminated_ngrams", F.lit(0)).cast("long").alias("contaminated_ngrams"),
+            (F.coalesce("contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ------------------------------------------------------- PII redaction
+
+# Patterns are kept in the common subset of Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, bounded repetition, \b — no
+# lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+# Redaction order is load-bearing: ssn before phone/ipv4 (an SSN's
+# digits must not be half-eaten by a later pattern), email first
+# (emails may contain dots that ipv4 would otherwise chew on).
+PII_ORDER = ["email", "ssn", "phone", "ipv4"]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Redact PII spans and count them, entirely JVM-side.
+
+    Adds ``n_<kind>`` count columns (pre-redaction occurrence counts on
+    the original text) and ``out_col`` with each span replaced by
+    ``<KIND>``. The reference has no PII pass; this mirrors the
+    C4/MassiveText-style scrubbers. One projection, zero shuffles —
+    at 100 TB this runs at parquet-scan speed.
+    """
+    out = df
+    for kind in PII_ORDER:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS[kind]), F.lit(0))).cast("long"),
+        )
+    red = F.col(text_col)
+    for kind in PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out.withColumn(out_col, red)
+
+
+# ------------------------------------------- repetition (Gopher rules)
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram: int = 2,
+) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1 repetition
+    filters, re-expressed as one explode + one aggregation):
+
+    - ``n_lines`` / ``dup_line_frac`` — fraction of newline-split lines
+      that are duplicates of an earlier line (pure expression);
+    - ``dup_word_frac`` — 1 − distinct/total tokens (pure expression);
+    - ``top_ngram_frac`` — occurrences of the most frequent word
+      ``top_ngram``-gram over total n-grams (requires the one shuffle:
+      groupBy (doc, gram) with partial aggregation, then per-doc max).
+
+    Gopher drops docs with dup_line_frac > 0.30 or top 2-gram char
+    fraction > 0.20; thresholds are left to the caller — this operator
+    reports the signals.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            (F.size(X.tokens(text_col)) - F.size(F.array_distinct(X.tokens(text_col))))
+            / F.greatest(F.size(X.tokens(text_col)), F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, top_ngram)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    top = per_gram.groupBy(id_col).agg(
+        F.max("cnt").cast("long").alias("top_gram_cnt"),
+        F.sum("cnt").cast("long").alias("total_grams"),
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            "dup_word_frac",
+            F.coalesce("top_gram_cnt", F.lit(0)).cast("long").alias("top_gram_cnt"),
+            F.coalesce("total_grams", F.lit(0)).cast("long").alias("total_grams"),
+            F.round(
+                F.coalesce("top_gram_cnt", F.lit(0))
+                / F.greatest(F.coalesce("total_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_ngram_frac"),
+        )
+    )
+
+
+# --------------------------------------------- deterministic sampling
+
+
+def hash_bucket_hex(key: Column, seed: str) -> Column:
+    """First 8 hex chars of md5(key ':' seed) — a uniform U(0, 2^32)
+    draw encoded as a STRING, so the keep-decision is a plain string
+    comparison that evaluates identically in Spark and any ANSI engine
+    (no engine-specific hash functions, no float rounding)."""
+    return F.substring(F.md5(F.concat_ws(":", key.cast("string"), F.lit(seed))), 1, 8)
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Threshold such that P(hash_bucket_hex < thr) == rate.
+
+    rate >= 1.0 returns ``"g"`` — lexicographically above every hex
+    string — so "keep everything" is exact rather than 1 − 2^-32.
+    """
+    if rate >= 1.0:
+        return "g"
+    rate = max(rate, 0.0)
+    return format(int(rate * 0xFFFFFFFF), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for dataset mixing.
+
+    ``rates`` maps stratum value → keep probability. A row is kept iff
+    ``md5(key:seed)[0:8] < hex_threshold(rate[stratum])`` — a pure
+    map-side filter (zero shuffles, pushes below wide transforms), and
+    deterministic under task retries and partial recomputes, which
+    ``DataFrame.sample`` is NOT (its Bernoulli draw is keyed on
+    partition+position and changes when lineage replays differently —
+    the same indeterminacy class as the repartition correctness issue).
+    Reproducibility across runs/engines is exactly what a training-mix
+    manifest needs.
+    """
+    thr = F.lit(rate_threshold_hex(default_rate))
+    mapping = F.create_map(
+        *[x for k, v in sorted(rates.items()) for x in (F.lit(k), F.lit(rate_threshold_hex(v)))]
+    )
+    thr = F.coalesce(F.element_at(mapping, F.col(strata_col)), thr)
+    return df.filter(hash_bucket_hex(F.col(key_col), seed) < thr)

@@ -1,0 +1,159 @@
+"""Curation operators: decontamination, PII scrub, repetition signals,
+deterministic stratified sampling."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from customkb_spark.operators import curation as C
+
+
+# ------------------------------------------------------------- ngrams
+
+
+def test_word_ngrams_basic(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("one",)], ["text"]
+    ).select(C.word_ngrams("text", 3).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == []
+
+
+def test_word_ngrams_normalizes_case_and_punct(spark):
+    df = spark.createDataFrame([("Foo, BAR! baz",)], ["text"]).select(
+        C.word_ngrams("text", 2).alias("g")
+    )
+    assert df.collect()[0].g == ["foo bar", "bar baz"]
+
+
+# ---------------------------------------------------- decontamination
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over something else entirely",)], ["text"]
+    )
+    out = {r.doc_id: r for r in C.decontaminate(docs, bench, n=4).collect()}
+    assert out[1].contaminated and out[1].contaminated_ngrams >= 1
+    assert not out[2].contaminated and out[2].contaminated_ngrams == 0
+    # doc shorter than n tokens: 0 ngrams, clean
+    assert out[3].total_ngrams == 0 and not out[3].contaminated
+    assert len(out) == 3  # every input doc present
+
+
+def test_decontaminate_counts_distinct_ngrams(spark):
+    # same contaminated ngram repeated twice in the doc → counted once
+    docs = spark.createDataFrame([(1, "x y x y x y")], ["doc_id", "text"])
+    bench = spark.createDataFrame([("x y",)], ["text"])
+    row = C.decontaminate(docs, bench, n=2).collect()[0]
+    # doc has 'x y' 3× but the benchmark's single bigram matches once
+    assert row.contaminated_ngrams == 1
+    assert row.total_ngrams == 5
+
+
+# ------------------------------------------------------------ PII
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.com or call 555-867-5309."),
+            (2, "ssn 123-45-6789 from host 10.0.0.1"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.pii_scrub(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "jane.doe" not in out[1].redacted and "5309" not in out[1].redacted
+    assert out[2].n_ssn == 1 and out[2].n_ipv4 == 1
+    assert "<SSN>" in out[2].redacted and "<IPV4>" in out[2].redacted
+    assert out[3].redacted == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_ssn == out[3].n_phone == out[3].n_ipv4 == 0
+
+
+def test_pii_ssn_not_eaten_by_phone(spark):
+    # ssn redacts first; the phone pattern (3-3-4) must not match 3-2-4
+    df = spark.createDataFrame([(1, "id 123-45-6789 ok")], ["doc_id", "text"])
+    row = C.pii_scrub(df).collect()[0]
+    assert row.n_ssn == 1 and row.n_phone == 0
+    assert row.redacted == "id <SSN> ok"
+
+
+# ------------------------------------------------------- repetition
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nother line"),
+            (2, "all words distinct here now"),
+            (3, "spam spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.repetition_signals(df).collect()}
+    assert out[1].n_lines == 4 and out[1].dup_line_frac == 0.5
+    assert out[2].dup_line_frac == 0.0 and out[2].dup_word_frac == 0.0
+    # 'spam spam' bigram occurs 3 times out of 3 bigrams
+    assert out[3].top_gram_cnt == 3 and out[3].total_grams == 3
+    assert out[3].top_ngram_frac == 1.0
+    assert out[3].dup_word_frac == 0.75
+
+
+def test_repetition_empty_doc(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    row = C.repetition_signals(df).collect()[0]
+    assert row.total_grams == 0 and row.top_ngram_frac == 0.0
+
+
+# -------------------------------------------------------- sampling
+
+
+def test_rate_threshold_bounds():
+    assert C.rate_threshold_hex(0.0) == "00000000"
+    # ≥1.0 → "g": above every hex string, so keep-all is exact
+    assert C.rate_threshold_hex(1.0) == "g"
+    assert C.rate_threshold_hex(2.0) == "g"
+    assert C.rate_threshold_hex(0.5) == "7fffffff"
+
+
+def test_stratified_sample_rates(spark, documents):
+    rates = {"src0": 1.0, "src1": 0.0}
+    out = C.stratified_sample(
+        documents, "source", rates, key_col="doc_id", default_rate=0.5
+    )
+    counts = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    total = {r.source: r.c for r in documents.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts["src0"] == total["src0"]  # rate 1.0 keeps everything
+    assert "src1" not in counts  # rate 0.0 drops everything
+    # default rate strata: roughly half, deterministic
+    kept_default = sum(v for k, v in counts.items() if k not in rates)
+    tot_default = sum(v for k, v in total.items() if k not in rates)
+    assert 0.3 * tot_default < kept_default < 0.7 * tot_default
+
+
+def test_stratified_sample_deterministic(spark, documents):
+    rates = {"src0": 0.4}
+    a = C.stratified_sample(documents, "source", rates, key_col="doc_id").select("doc_id")
+    b = C.stratified_sample(documents, "source", rates, key_col="doc_id").select("doc_id")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+
+
+def test_stratified_sample_seed_changes_selection(spark, documents):
+    rates = {s: 0.5 for s in ("src0", "src1", "src2")}
+    a = {r.doc_id for r in C.stratified_sample(documents, "source", rates, "doc_id", seed="s1").select("doc_id").collect()}
+    b = {r.doc_id for r in C.stratified_sample(documents, "source", rates, "doc_id", seed="s2").select("doc_id").collect()}
+    assert a != b  # different seeds → different (deterministic) draws

@@ -11,8 +11,12 @@ from customkb_spark.streaming import windows as SW
 
 def test_streaming_window_agg_matches_batch(spark, sf_dir, tmp_path):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(events.dtypes).get("ts") == "bigint":
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type == "bigint":
         events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require the session-tz TIMESTAMP type
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     src = str(tmp_path / "events_src")
     events.write.parquet(src)
 
