@@ -1551,6 +1551,30 @@ ORDER BY b.doc_id
 """
 
 
+def q_span_dedup_stats(spark, sf_dir):
+    """C4-style exact span dedup: 10-word blocks, a block seen earlier
+    in corpus order is a duplicate. One explode, one hash-partitioned
+    ranking window, one partial-agg per-doc count."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.span_dedup_stats(docs, span_words=10).orderBy("doc_id")
+
+
+SQL_SPAN_DEDUP = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+sp0 AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS span_text
+  FROM tk, unnest(generate_series(0, CAST(floor((greatest(len(toks), 1) - 1) / 10.0) AS BIGINT))) t(i)),
+sp AS (SELECT doc_id, span_idx, md5(span_text) AS span_hash FROM sp0 WHERE length(span_text) > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, span_idx) AS occ FROM sp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) / CAST(greatest(count(*), 1) AS DOUBLE), 6) AS dup_span_frac
+FROM r GROUP BY 1 ORDER BY doc_id
+"""
+
+
 # dataset-mixing rates shared by the Spark query and the SQL oracle
 MIX_RATES = {"src0": 1.0, "src1": 0.0, "src2": 0.25, "src3": 0.75}
 MIX_DEFAULT = 0.5
@@ -1684,6 +1708,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_overlap": q_decontaminate_overlap,
     "pii_redaction": q_pii_redaction,
     "repetition_signals": q_repetition_signals,
+    "span_dedup_stats": q_span_dedup_stats,
     "stratified_sample_mix": q_stratified_sample_mix,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
@@ -1741,6 +1766,7 @@ _ORACLES: dict[str, str] = {
     "decontaminate_overlap": SQL_DECON,
     "pii_redaction": _sql_pii(),
     "repetition_signals": SQL_REPETITION,
+    "span_dedup_stats": SQL_SPAN_DEDUP,
     "stratified_sample_mix": _sql_mix(),
     # ann_ivf_topk / hybrid_context_flagship: iterative KMeans + staged
     # pipeline — not SQL-expressible; rows-only check.

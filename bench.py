@@ -74,6 +74,7 @@ EXTRA_QUERIES = [
     "decontaminate_overlap",
     "pii_redaction",
     "repetition_signals",
+    "span_dedup_stats",
     "stratified_sample_mix",
 ]
 

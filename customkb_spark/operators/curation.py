@@ -203,6 +203,72 @@ def repetition_signals(
     )
 
 
+# ------------------------------------------------ span-level dedup
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style exact span deduplication, reported per document.
+
+    The corpus is cut into non-overlapping ``span_words``-word blocks;
+    a block whose text already occurred EARLIER in the corpus (by
+    (doc id, span index) order) is a duplicate span. C4 removes
+    duplicate three-sentence spans corpus-wide keeping the first
+    occurrence; this is the same operator at word-block granularity
+    (the corpus-order tiebreak makes it deterministic and
+    oracle-checkable).
+
+    Returns ``id_col, n_spans, dup_spans, dup_span_frac``.
+
+    Plan: one explode (map-side), ONE shuffle — the window over
+    ``span_hash`` that ranks occurrences (hash-partitioned; skew is
+    bounded by per-span duplicate multiplicity, and a span hash is
+    128-bit md5 so the partitioning is uniform) — then a per-doc
+    partial-aggregated count. No self-joins, no collect.
+    """
+    from pyspark.sql import Window
+
+    toks = X.tokens(text_col)
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.size(toks) - 1) / span_words, F.lit(0)
+                    ).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("span_idx", "span_text"),
+    ).filter(F.length("span_text") > 0)
+    spans = spans.withColumn("span_hash", F.md5("span_text"))
+    w = Window.partitionBy("span_hash").orderBy(id_col, "span_idx")
+    ranked = spans.withColumn("occ", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("occ") > 1).cast("long")).cast("long").alias("dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans") / F.greatest(F.col("n_spans"), F.lit(1)), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
 # --------------------------------------------- deterministic sampling
 
 

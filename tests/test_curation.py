@@ -119,6 +119,36 @@ def test_repetition_empty_doc(spark):
     assert row.total_grams == 0 and row.top_ngram_frac == 0.0
 
 
+# ------------------------------------------------------ span dedup
+
+
+def test_span_dedup_flags_copies(spark):
+    ten = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, ten + " k l m"),          # spans: full ten + tail 'k l m'
+            (2, ten),                      # exact copy of doc 1's first span
+            (3, "totally different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.span_dedup_stats(docs, span_words=10).collect()}
+    assert out[1].n_spans == 2 and out[1].dup_spans == 0  # first occurrence
+    assert out[2].n_spans == 1 and out[2].dup_spans == 1  # copy flagged
+    assert out[2].dup_span_frac == 1.0
+    assert out[3].dup_spans == 0
+
+
+def test_span_dedup_first_occurrence_by_corpus_order(spark):
+    # the doc with the LOWER id owns the span; later ids are the dups
+    docs = spark.createDataFrame(
+        [(9, "x y z"), (2, "x y z")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in C.span_dedup_stats(docs, span_words=3).collect()}
+    assert out[2].dup_spans == 0
+    assert out[9].dup_spans == 1
+
+
 # -------------------------------------------------------- sampling
 
 
