@@ -1551,6 +1551,55 @@ ORDER BY b.doc_id
 """
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Corpus profiling report — the first thing run on any new crawl:
+    per (source, lang) doc counts, token-length distribution (exact
+    interpolated percentiles; swap for approx_percentile at 100 TB),
+    and mean quality. One scan + one partial-aggregated groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(X.tokens("text"))
+    return (
+        docs.select(
+            "source", "lang",
+            toks.alias("n_toks"),
+            X.quality_score("text").alias("q"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(F.expr("percentile(n_toks, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_toks, 0.95)"), 6).alias("p95_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _sql_corpus_profile() -> str:
+    # quality_score mirror (same expression as _sql_quality's core)
+    sw = ", ".join(f"'{s}'" for s in X.ESSENTIAL_STOPWORDS)
+    toks = SQL_TOKS.format(c="text")
+    q = f"""round((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+           + least((CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, t -> list_contains([{sw}], t))) / len(toks)
+                    ELSE 0.0 END) * 4, 1.0)
+           + (1.0 - least((CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+                           ELSE 0.0 END) * 10, 1.0))) / 3, 6)"""
+    return f"""
+WITH tk AS (SELECT source, lang, text, {toks} AS toks FROM documents),
+m AS (SELECT source, lang, len(toks) AS n_toks, {q} AS q FROM tk)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n_toks, 0.95), 6) AS p95_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_span_dedup_stats(spark, sf_dir):
     """C4-style exact span dedup: 10-word blocks, a block seen earlier
     in corpus order is a duplicate. One explode, one hash-partitioned
@@ -1705,6 +1754,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "lsh_bucketed_near_dups": q_lsh_bucketed_near_dups,
     "corpus_filter_pipeline": q_corpus_filter_pipeline,
+    "corpus_profile": q_corpus_profile,
     "decontaminate_overlap": q_decontaminate_overlap,
     "pii_redaction": q_pii_redaction,
     "repetition_signals": q_repetition_signals,
@@ -1763,6 +1813,7 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_topk": SQL_NGRAM_JACCARD,
     "lsh_bucketed_near_dups": _sql_lsh_near_dups(),
     "corpus_filter_pipeline": _sql_corpus_filter(),
+    "corpus_profile": _sql_corpus_profile(),
     "decontaminate_overlap": SQL_DECON,
     "pii_redaction": _sql_pii(),
     "repetition_signals": SQL_REPETITION,

@@ -71,6 +71,7 @@ EXTRA_QUERIES = [
     "chunk_metadata",
     "ann_pq_topk",
     "events_consecutive_runs",
+    "corpus_profile",
     "decontaminate_overlap",
     "pii_redaction",
     "repetition_signals",
@@ -92,6 +93,13 @@ SF1_QUERIES = [
     "corpus_filter_pipeline",
     "simhash_fingerprints",
     "knn_join",
+    # curation ops are linear scans/shuffles — the 10x ratio is the
+    # signal that the shapes are data-proportional, not overhead-bound
+    "corpus_profile",
+    "decontaminate_overlap",
+    "pii_redaction",
+    "repetition_signals",
+    "span_dedup_stats",
 ]
 
 

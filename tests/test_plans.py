@@ -236,3 +236,31 @@ def test_postings_tokenizer_single_eval(spark, documents):
 
     plan = explain_str(build_postings(documents, "doc_id", "text"), "formatted")
     assert plan.count("regexp_extract_all(lower") == 1
+
+
+def test_pii_scrub_shuffle_free(spark, documents):
+    """PII scrub is a pure projection — it must run at scan speed."""
+    from customkb_spark.operators.curation import pii_scrub
+
+    plan = explain_str(pii_scrub(documents), "simple")
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, documents):
+    """The benchmark n-gram set must broadcast (eval suites are tiny);
+    the corpus side must never shuffle its exploded n-grams."""
+    from customkb_spark.operators.curation import decontaminate
+
+    bench = documents.filter(F.col("doc_id") % 41 == 0)
+    plan = explain_str(decontaminate(documents, bench, n=5), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_map_side_filter(spark, documents):
+    """Mixing must stay a pure filter: no shuffle, no join, and the
+    md5-threshold predicate sits above the scan."""
+    from customkb_spark.operators.curation import stratified_sample
+
+    out = stratified_sample(documents, "source", {"src0": 0.5}, "doc_id")
+    plan = explain_str(out, "simple")
+    assert "Exchange" not in plan and "Join" not in plan
