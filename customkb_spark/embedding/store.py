@@ -1,0 +1,136 @@
+"""Index persistence + incremental maintenance.
+
+The reference serializes its FAISS index to one file and mmaps it per
+query (embed_manager.py saves ``<kb>.faiss``; index_manager.py:209
+verifies/rebuilds it). The Spark-first equivalents:
+
+- centroids / PQ codebooks are TINY (nlist×dim and m×2^nbits×dsub
+  doubles) → plain parquet tables, loaded to the driver in one collect
+  and re-broadcast into search expressions;
+- the indexed vector table is the big artifact → parquet PARTITIONED BY
+  ``cluster_id`` so nprobe search prunes files before the scan (the
+  disk layout IS the index);
+- incremental maintenance appends only NEW vectors (anti-join on id),
+  assigned to the EXISTING centroids — same as FAISS ``add`` after
+  ``train``. ``index_drift`` reports per-cluster assignment distance so
+  callers know when the frozen centroids have drifted enough to
+  retrain (the reference's verify-indexes analogue for ANN).
+
+At 100 TB: appends write only the affected cluster partitions; a
+retrain decision is a stats read, never a full rescan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customkb_spark.embedding.index import assign_clusters
+from customkb_spark.embedding.pq import PQModel
+from customkb_spark.functions import vector as V
+
+
+# ------------------------------------------------------ small artifacts
+
+
+def save_centroids(spark: SparkSession, centroids: np.ndarray, path: str) -> None:
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cluster_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("cluster_id").collect()
+    return np.array([r.centroid for r in rows], dtype=np.float64)
+
+
+def save_pq(spark: SparkSession, model: PQModel, path: str) -> None:
+    """Codebooks flattened to (subvector, code) rows; IVF coupling is
+    restored on load from the sibling centroids table if present."""
+    rows = [
+        (int(j), int(c), [float(x) for x in model.codebooks[j, c]])
+        for j in range(model.m)
+        for c in range(model.ksub)
+    ]
+    spark.createDataFrame(
+        rows, "subvector int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    if model.centroids is not None:
+        save_centroids(spark, model.centroids, f"{path}/ivf_centroids")
+
+
+def load_pq(spark: SparkSession, path: str) -> PQModel:
+    rows = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("subvector", "code").collect()
+    )
+    m = max(r.subvector for r in rows) + 1
+    ksub = max(r.code for r in rows) + 1
+    dsub = len(rows[0].centroid)
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        books[r.subvector, r.code] = r.centroid
+    cents = None
+    try:
+        cents = load_centroids(spark, f"{path}/ivf_centroids")
+    except Exception:
+        pass  # flat PQ (no IVF coupling) has no centroids table
+    return PQModel(books, cents)
+
+
+# ----------------------------------------------------- the big artifact
+
+
+def write_ivf_table(indexed: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write vectors partitioned by ``cluster_id`` — probe-time cluster
+    filters become partition pruning (no data files read outside the
+    probed clusters; pinned by tests/test_plans.test_ivf_partition_pruning)."""
+    indexed.write.mode(mode).partitionBy("cluster_id").parquet(path)
+
+
+def incremental_index(
+    vectors: DataFrame,
+    table_path: str,
+    centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> int:
+    """Append only vectors whose id is NOT already indexed, assigned to
+    the existing centroids (FAISS ``add`` semantics — training is
+    frozen). Anti-join on id (broadcast-able: the *new* side is small in
+    steady state), JVM argmin assignment, partitioned append touching
+    only the affected cluster partitions. Returns rows appended."""
+    spark = vectors.sparkSession
+    existing = spark.read.parquet(table_path).select(id_col)
+    fresh = vectors.join(existing, id_col, "left_anti")
+    assigned = assign_clusters(fresh, centroids, vec_col)
+    n = assigned.count()
+    if n:
+        write_ivf_table(assigned, table_path, mode="append")
+    return n
+
+
+def index_drift(
+    indexed: DataFrame, centroids: np.ndarray, vec_col: str = "vector"
+) -> DataFrame:
+    """Per-cluster assignment-distance stats: ``cluster_id, n, avg_dist,
+    max_dist``. Rising avg distance on fresh appends = the frozen
+    centroids no longer describe the data → retrain. One scan, one
+    partial-aggregated groupBy."""
+    cents = F.array(
+        *[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids]
+    )
+    dist = V.l2_distance(
+        F.col(vec_col), F.element_at(cents, F.col("cluster_id") + 1)
+    )
+    return (
+        indexed.select("cluster_id", dist.alias("d"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("d"), 6).alias("avg_dist"),
+            F.round(F.max("d"), 6).alias("max_dist"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1,0 +1,86 @@
+"""Index persistence + incremental maintenance round trips."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from customkb_spark.embedding import store as S
+from customkb_spark.embedding.index import assign_clusters, ivf_search, train_centroids
+from customkb_spark.embedding.pq import encode_pq, pq_topk, train_pq
+
+
+def test_centroids_round_trip(spark, embeddings, tmp_path):
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    p = str(tmp_path / "cent")
+    S.save_centroids(spark, cents, p)
+    back = S.load_centroids(spark, p)
+    assert back.shape == cents.shape
+    assert np.allclose(back, cents)
+
+
+def test_pq_round_trip_same_search_results(spark, embeddings, tmp_path):
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    model = train_pq(embeddings, "embedding", m=8, nbits=4, centroids=cents)
+    p = str(tmp_path / "pq")
+    S.save_pq(spark, model, p)
+    back = S.load_pq(spark, p)
+    assert np.allclose(back.codebooks, model.codebooks)
+    assert back.centroids is not None and np.allclose(back.centroids, model.centroids)
+
+    codes = encode_pq(embeddings, model, "vec_id", "embedding")
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    a = [r.id for r in pq_topk(codes, model, qv, k=5, nprobe=8, id_col="vec_id").collect()]
+    b = [r.id for r in pq_topk(codes, back, qv, k=5, nprobe=8, id_col="vec_id").collect()]
+    assert a == b
+
+
+def test_incremental_index_matches_full_rebuild(spark, embeddings, tmp_path):
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    first = embeddings.filter(F.col("vec_id") % 2 == 0)
+    rest = embeddings  # includes already-indexed ids → anti-join drops them
+    path = str(tmp_path / "ivf")
+
+    S.write_ivf_table(assign_clusters(first, cents, "embedding"), path)
+    appended = S.incremental_index(rest, path, cents, id_col="vec_id", vec_col="embedding")
+    assert appended == embeddings.count() - first.count()
+
+    # idempotent: nothing new on a second pass
+    assert S.incremental_index(rest, path, cents, id_col="vec_id", vec_col="embedding") == 0
+
+    # the incrementally-built table equals a full rebuild (id → cluster)
+    full = {
+        (r.vec_id, r.cluster_id)
+        for r in assign_clusters(embeddings, cents, "embedding").select("vec_id", "cluster_id").collect()
+    }
+    inc = {
+        (r.vec_id, r.cluster_id)
+        for r in spark.read.parquet(path).select("vec_id", "cluster_id").collect()
+    }
+    assert inc == full
+
+
+def test_search_identical_after_persistence(spark, embeddings, tmp_path):
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    path = str(tmp_path / "ivf2")
+    S.write_ivf_table(assign_clusters(embeddings, cents, "embedding"), path)
+
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 3).collect()[0].embedding]
+    live = ivf_search(
+        assign_clusters(embeddings, cents, "embedding"), cents, qv, k=5, nprobe=4,
+        id_col="vec_id", vec_col="embedding",
+    )
+    cpath = str(tmp_path / "cent2")
+    S.save_centroids(spark, cents, cpath)
+    loaded = ivf_search(
+        spark.read.parquet(path), S.load_centroids(spark, cpath),
+        qv, k=5, nprobe=4, id_col="vec_id", vec_col="embedding",
+    )
+    assert [r.id for r in live.collect()] == [r.id for r in loaded.collect()]
+
+
+def test_index_drift_stats(spark, embeddings):
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    indexed = assign_clusters(embeddings, cents, "embedding")
+    stats = S.index_drift(indexed, cents, "embedding").collect()
+    assert sum(r.n for r in stats) == embeddings.count()
+    for r in stats:
+        assert 0.0 <= r.avg_dist <= r.max_dist
