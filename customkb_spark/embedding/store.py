@@ -111,6 +111,78 @@ def incremental_index(
     return n
 
 
+# ------------------------------------------------- index-tier lifecycle
+
+
+def save_vector_index(tier, path: str) -> None:
+    """Persist a ``VectorIndexTier`` (embedding/auto.py) — the engine's
+    analogue of the reference writing ``<kb>.faiss`` next to the DB
+    (embed_manager.py save path). Layout under ``path``:
+
+    - ``meta``: one row (kind, n indexed rows, id/vec column names);
+    - ``centroids`` (ivf/ivfpq), ``pq/`` codebooks (ivfpq);
+    - ``indexed``: the derived table, PARTITIONED BY cluster_id.
+
+    ``flat`` persists meta only — the raw vectors table IS the index.
+    """
+    spark = tier.vectors.sparkSession
+    n = tier.indexed.count() if tier.indexed is not None else tier.vectors.count()
+    spark.createDataFrame(
+        [(tier.kind, int(n), tier.id_col, tier.vec_col)],
+        "kind string, n long, id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    if tier.kind == "flat":
+        return
+    save_centroids(spark, tier.centroids, f"{path}/centroids")
+    if tier.kind == "ivfpq":
+        save_pq(spark, tier.pq, f"{path}/pq")
+    write_ivf_table(tier.indexed, f"{path}/indexed")
+
+
+def load_vector_index(spark: SparkSession, path: str, vectors: DataFrame):
+    """Rehydrate a saved tier, refreshing it if the vectors table grew.
+
+    - row counts match → load as-is (no training, no assignment);
+    - ``ivf`` and vectors grew → ``incremental_index`` the new ids
+      against the frozen centroids (FAISS ``add``), then load;
+    - ``ivfpq`` and vectors grew → return None (residual codes should
+      be retrained/re-encoded; caller rebuilds);
+    - no saved index → None.
+    """
+    from customkb_spark.embedding.auto import VectorIndexTier
+
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    except Exception:
+        return None
+    n_now = vectors.count()
+    if meta.kind == "flat":
+        return VectorIndexTier("flat", vectors, meta.id_col, meta.vec_col)
+    if n_now != meta.n:
+        if meta.kind != "ivf":
+            return None
+        cents = load_centroids(spark, f"{path}/centroids")
+        incremental_index(
+            vectors, f"{path}/indexed", cents, id_col=meta.id_col, vec_col=meta.vec_col
+        )
+        spark.createDataFrame(
+            [(meta.kind, int(n_now), meta.id_col, meta.vec_col)],
+            "kind string, n long, id_col string, vec_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    cents = load_centroids(spark, f"{path}/centroids")
+    indexed = spark.read.parquet(f"{path}/indexed")
+    if meta.kind == "ivf":
+        return VectorIndexTier(
+            "ivf", vectors, meta.id_col, meta.vec_col, centroids=cents, indexed=indexed
+        )
+    pq = load_pq(spark, f"{path}/pq")
+    return VectorIndexTier(
+        "ivfpq", vectors, meta.id_col, meta.vec_col,
+        centroids=pq.centroids if pq.centroids is not None else cents,
+        indexed=indexed, pq=pq,
+    )
+
+
 def index_drift(
     indexed: DataFrame, centroids: np.ndarray, vec_col: str = "vector"
 ) -> DataFrame:

@@ -221,10 +221,21 @@ class KnowledgeBase:
 
     def _build_index(self) -> HY.HybridIndex:
         if self._index is None:
+            from customkb_spark.embedding import store as IS
+
             self._cached_chunks = self._read("chunks").cache()
+            vectors = self._read("vectors")
+            vpath = self._p("vindex")
+            # reference lifecycle parity: load the persisted index tier
+            # (<kb>.faiss analogue) instead of retraining; an IVF tier
+            # absorbs appended vectors via FAISS-add-style incremental
+            # assignment inside load_vector_index
+            vindex = IS.load_vector_index(self.spark, vpath, vectors)
             self._index = HY.HybridIndex.build(
-                self._cached_chunks, self._read("vectors"), cfg=self.cfg
+                self._cached_chunks, vectors, cfg=self.cfg, vindex=vindex
             )
+            if vindex is None and self._index.vindex is not None:
+                IS.save_vector_index(self._index.vindex, vpath)
         return self._index
 
     def query(

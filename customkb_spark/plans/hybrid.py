@@ -50,16 +50,18 @@ class HybridIndex:
         vectors: DataFrame,
         text_col: str = "originaltext",
         cfg: KBConfig | None = None,
+        vindex: object | None = None,
     ) -> "HybridIndex":
         """With ``cfg`` the vector side gets the reference's index-tier
         auto-selection (flat/IVF/IVFPQ by corpus size,
         embed_manager.py:163-213) via embedding/auto.build_vector_index;
-        without it, exact scan (flat) — the prior behavior."""
+        without it, exact scan (flat) — the prior behavior. A prebuilt
+        ``vindex`` (e.g. rehydrated by embedding/store.load_vector_index)
+        skips the tier build entirely."""
         postings = B.build_postings(chunks, "id", text_col)
         n, avgdl = B.corpus_stats(chunks, text_col)
         stats = B.build_term_stats(postings, n)
-        vindex = None
-        if cfg is not None:
+        if vindex is None and cfg is not None:
             from customkb_spark.embedding.auto import build_vector_index
 
             vindex = build_vector_index(vectors, cfg, n=n)

@@ -84,3 +84,42 @@ def test_index_drift_stats(spark, embeddings):
     assert sum(r.n for r in stats) == embeddings.count()
     for r in stats:
         assert 0.0 <= r.avg_dist <= r.max_dist
+
+
+def test_kb_index_tier_persists_and_refreshes(spark, tmp_path, documents, monkeypatch):
+    """Reference parity: the index tier is trained once, persisted like
+    the <kb>.faiss file, and later sessions (and IVF appends) never
+    retrain."""
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    cfg = KBConfig(query_top_k=5, ann_index="ivf")
+    kb = KnowledgeBase(spark, str(tmp_path / "kb"), cfg)
+    assert kb.database(documents.limit(30)) > 0
+    assert kb.embed() > 0
+    out1 = kb.query("spark data query table", log=False)
+
+    # a fresh session over the same kb_dir must LOAD, never retrain
+    import customkb_spark.embedding.auto as A
+
+    def _bomb(*a, **k):
+        raise AssertionError("index retrained after persistence")
+
+    monkeypatch.setattr(A, "train_centroids", _bomb)
+    kb2 = KnowledgeBase(spark, str(tmp_path / "kb"), cfg)
+    assert kb2.query("spark data query table", log=False) == out1
+
+    # appended vectors flow in via incremental assignment (FAISS add),
+    # still with training disabled
+    more = spark.createDataFrame(
+        [(9001, "entirely new appended document about spark windows", "new1.txt")],
+        ["doc_id", "text", "source"],
+    )
+    assert kb2.database(more) > 0
+    assert kb2.embed() > 0
+    out3 = kb2.query("appended document windows", log=False)
+    assert isinstance(out3, str) and len(out3) > 0
+    # the refreshed on-disk table covers every vector exactly once
+    idx = spark.read.parquet(str(tmp_path / "kb" / "vindex" / "indexed"))
+    vecs = spark.read.parquet(str(tmp_path / "kb" / "vectors"))
+    assert idx.count() == vecs.count()
