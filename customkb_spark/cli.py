@@ -114,6 +114,45 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation report over a documents parquet: per-doc
+    repetition/PII/span-dup signals (+ optional benchmark
+    decontamination), written as one parquet and summarized as JSON."""
+    from pyspark.sql import functions as F
+
+    from customkb_spark.operators import curation as CU
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs_parquet)
+    id_col, text_col = args.id_col, args.text_col
+    rep = CU.repetition_signals(docs, text_col, id_col)
+    pii = CU.pii_scrub(docs, text_col).select(
+        id_col, "n_email", "n_ssn", "n_phone", "n_ipv4"
+    )
+    spans = CU.span_dedup_stats(docs, text_col, id_col)
+    report = rep.join(pii, id_col).join(spans, id_col)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        report = report.join(
+            CU.decontaminate(docs, bench, n=args.ngram, text_col=text_col, id_col=id_col)
+            .select(id_col, "contaminated"),
+            id_col,
+        )
+    if args.out:
+        report.write.mode("overwrite").parquet(args.out)
+    agg = [
+        F.count("*").alias("docs"),
+        F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
+        F.round(F.avg("top_ngram_frac"), 4).alias("avg_top_ngram_frac"),
+        F.round(F.avg("dup_span_frac"), 4).alias("avg_dup_span_frac"),
+        F.sum((F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4") > 0).cast("long")).alias("docs_with_pii"),
+    ]
+    if args.benchmark:
+        agg.append(F.sum(F.col("contaminated").cast("long")).alias("contaminated_docs"))
+    print(json.dumps(report.agg(*agg).collect()[0].asDict(), default=str, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="customkb_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -149,6 +188,15 @@ def build_parser() -> argparse.ArgumentParser:
     o = sub.add_parser("optimize", help="compact + cluster the chunks table")
     common(o)
     o.set_defaults(fn=cmd_optimize)
+
+    c = sub.add_parser("curate", help="training-data curation report")
+    c.add_argument("docs_parquet")
+    c.add_argument("--out", default=None, help="write per-doc report parquet here")
+    c.add_argument("--benchmark", default=None, help="benchmark parquet for decontamination")
+    c.add_argument("--ngram", type=int, default=8, help="decontamination n-gram size")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.set_defaults(fn=cmd_curate)
     return p
 
 

@@ -149,12 +149,21 @@ def load_vector_index(spark: SparkSession, path: str, vectors: DataFrame):
       be retrained/re-encoded; caller rebuilds);
     - no saved index → None.
     """
-    from customkb_spark.embedding.auto import VectorIndexTier
-
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
     except Exception:
         return None
+    try:
+        return _load_tier(spark, path, vectors, meta)
+    except Exception:
+        # partially-written/corrupt index dir (e.g. a killed save):
+        # fall back to a fresh build rather than failing the query
+        return None
+
+
+def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
+    from customkb_spark.embedding.auto import VectorIndexTier
+
     n_now = vectors.count()
     if meta.kind == "flat":
         return VectorIndexTier("flat", vectors, meta.id_col, meta.vec_col)

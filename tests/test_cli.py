@@ -51,3 +51,22 @@ def test_suggest_tuning_tiers():
         low["spark_conf"]["spark.sql.autoBroadcastJoinThreshold"]
     )
     assert low["spark_conf"]["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    out = str(tmp_path / "report")
+    rc = cli.main([
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--benchmark", "/root/testdata/sf0.001/documents.parquet",
+        "--ngram", "5",
+    ])
+    assert rc == 0
+    import json as _json
+
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["docs"] == spark.read.parquet(out).count() > 0
+    # benchmark == corpus → everything with >= 5 tokens is contaminated
+    assert summary["contaminated_docs"] > 0
+    cols = set(spark.read.parquet(out).columns)
+    assert {"dup_word_frac", "top_ngram_frac", "dup_span_frac", "n_email", "contaminated"} <= cols
