@@ -114,6 +114,65 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_bm25(args) -> int:
+    """Reference ``customkb bm25``: materialize the BM25 index tables
+    (postings, term_stats) to the KB dir; later query sessions load
+    them instead of re-tokenizing the corpus."""
+    kb = _kb(args)
+    print(json.dumps(kb.build_bm25(force=args.force), indent=2))
+    return 0
+
+
+def cmd_categorize(args) -> int:
+    """Reference ``customkb categorize``: checkpointed per-document
+    categorization into <kb_dir>/cat_assignments (resume = anti-join
+    against the persisted table), then the category histogram."""
+    import os
+
+    from customkb_spark.operators.categorize import (
+        categorize_with_resume,
+        category_counts,
+    )
+
+    kb = _kb(args)
+    chunks = kb.spark.read.parquet(os.path.join(args.kb_dir, "chunks"))
+    apath = os.path.join(args.kb_dir, "cat_assignments")
+    n = categorize_with_resume(chunks, apath)
+    print(json.dumps({"newly_categorized": n}, indent=2))
+    category_counts(kb.spark.read.parquet(apath)).show(truncate=False)
+    return 0
+
+
+def cmd_convert_encoding(args) -> int:
+    """Reference ``customkb convert-encoding``: rewrite non-UTF-8 text
+    files in place (with backups); --dry-run reports only."""
+    from customkb_spark.sources.files import convert_files_to_utf8
+
+    report = convert_files_to_utf8(_spark(), args.pattern, dry_run=args.dry_run)
+    report.show(truncate=False)
+    return 0
+
+
+def cmd_edit(args) -> int:
+    """Reference ``customkb edit`` opens the INI in $EDITOR; with no
+    interactive editor in scope we print the config path and the
+    resolved effective config so it can be edited out-of-band."""
+    from dataclasses import asdict
+
+    from customkb_spark.config import KBConfig
+
+    cfg = KBConfig.from_file(args.config)
+    print(json.dumps({"config_file": args.config, "effective": asdict(cfg)}, indent=2, default=str))
+    return 0
+
+
+def cmd_version(args) -> int:
+    from customkb_spark import __version__
+
+    print(__version__)
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-data curation report over a documents parquet: per-doc
     repetition/PII/span-dup signals (+ optional benchmark
@@ -188,6 +247,27 @@ def build_parser() -> argparse.ArgumentParser:
     o = sub.add_parser("optimize", help="compact + cluster the chunks table")
     common(o)
     o.set_defaults(fn=cmd_optimize)
+
+    b = sub.add_parser("bm25", help="materialize the BM25 index tables")
+    common(b)
+    b.add_argument("--force", action="store_true", help="rebuild even if fresh")
+    b.set_defaults(fn=cmd_bm25)
+
+    cat = sub.add_parser("categorize", help="checkpointed document categorization")
+    common(cat)
+    cat.set_defaults(fn=cmd_categorize)
+
+    ce = sub.add_parser("convert-encoding", help="rewrite non-UTF-8 files as UTF-8")
+    ce.add_argument("pattern", help="file glob")
+    ce.add_argument("--dry-run", action="store_true")
+    ce.set_defaults(fn=cmd_convert_encoding)
+
+    ed = sub.add_parser("edit", help="show the resolved KB config")
+    ed.add_argument("--config", default=None)
+    ed.set_defaults(fn=cmd_edit)
+
+    ver = sub.add_parser("version", help="print the engine version")
+    ver.set_defaults(fn=cmd_version)
 
     c = sub.add_parser("curate", help="training-data curation report")
     c.add_argument("docs_parquet")

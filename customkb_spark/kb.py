@@ -197,6 +197,56 @@ class KnowledgeBase:
             self._invalidate()
         return n
 
+    # ----------------------------------------------------------- bm25
+    def build_bm25(self, force: bool = False) -> dict:
+        """Materialize the BM25 index tables (postings, term_stats) to
+        the KB dir — the reference's ``customkb bm25`` command, which
+        tokenizes the corpus into a persisted NPZ index
+        (bm25_manager.py). Skips the build when the persisted index
+        already covers the current chunks (row-count freshness check,
+        the verify-indexes analogue). Returns
+        ``{n_chunks, avgdl, n_terms, rebuilt}``."""
+        from customkb_spark.operators import bm25 as B25
+
+        chunks = self._read("chunks")
+        n, avgdl = B25.corpus_stats(chunks, "originaltext")
+        if not force and self._exists("bm25_meta"):
+            meta = self._read("bm25_meta").collect()[0]
+            if meta.n_chunks == n:
+                return {
+                    "n_chunks": n, "avgdl": avgdl,
+                    "n_terms": self._read("term_stats").count(), "rebuilt": False,
+                }
+        postings = B25.build_postings(chunks, "id", "originaltext")
+        postings.write.mode("overwrite").parquet(self._p("postings"))
+        # read back so term_stats aggregates the materialized table
+        # instead of re-tokenizing the corpus a second time
+        postings = self._read("postings")
+        stats = B25.build_term_stats(postings, n)
+        stats.write.mode("overwrite").parquet(self._p("term_stats"))
+        self.spark.createDataFrame(
+            [(int(n), float(avgdl))], "n_chunks long, avgdl double"
+        ).coalesce(1).write.mode("overwrite").parquet(self._p("bm25_meta"))
+        self._invalidate()
+        return {
+            "n_chunks": n, "avgdl": avgdl,
+            "n_terms": self._read("term_stats").count(), "rebuilt": True,
+        }
+
+    def _persisted_bm25(self, chunks) -> tuple:
+        """(postings, term_stats, (n, avgdl)) from the persisted index
+        when it is fresh, else (None, None, None)."""
+        if not (self._exists("bm25_meta") and self._exists("postings")):
+            return None, None, None
+        meta = self._read("bm25_meta").collect()[0]
+        if meta.n_chunks != chunks.count():
+            return None, None, None  # stale — rebuild in memory
+        return (
+            self._read("postings"),
+            self._read("term_stats"),
+            (int(meta.n_chunks), float(meta.avgdl)),
+        )
+
     # ---------------------------------------------------------- query
     def _invalidate(self) -> None:
         """Drop the cached index after a write — unpersisting the old
@@ -231,8 +281,10 @@ class KnowledgeBase:
             # absorbs appended vectors via FAISS-add-style incremental
             # assignment inside load_vector_index
             vindex = IS.load_vector_index(self.spark, vpath, vectors)
+            postings, term_stats, corpus = self._persisted_bm25(self._cached_chunks)
             self._index = HY.HybridIndex.build(
-                self._cached_chunks, vectors, cfg=self.cfg, vindex=vindex
+                self._cached_chunks, vectors, cfg=self.cfg, vindex=vindex,
+                postings=postings, term_stats=term_stats, corpus=corpus,
             )
             if vindex is None and self._index.vindex is not None:
                 IS.save_vector_index(self._index.vindex, vpath)

@@ -51,16 +51,22 @@ class HybridIndex:
         text_col: str = "originaltext",
         cfg: KBConfig | None = None,
         vindex: object | None = None,
+        postings: DataFrame | None = None,
+        term_stats: DataFrame | None = None,
+        corpus: tuple[int, float] | None = None,
     ) -> "HybridIndex":
         """With ``cfg`` the vector side gets the reference's index-tier
         auto-selection (flat/IVF/IVFPQ by corpus size,
         embed_manager.py:163-213) via embedding/auto.build_vector_index;
-        without it, exact scan (flat) — the prior behavior. A prebuilt
-        ``vindex`` (e.g. rehydrated by embedding/store.load_vector_index)
-        skips the tier build entirely."""
-        postings = B.build_postings(chunks, "id", text_col)
-        n, avgdl = B.corpus_stats(chunks, text_col)
-        stats = B.build_term_stats(postings, n)
+        without it, exact scan (flat) — the prior behavior. Prebuilt
+        artifacts skip their builds: ``vindex`` (rehydrated by
+        embedding/store.load_vector_index), ``postings``/``term_stats``/
+        ``corpus`` = (n, avgdl) (persisted by KnowledgeBase.build_bm25 —
+        the reference's NPZ BM25 index file, bm25_manager.py)."""
+        if postings is None:
+            postings = B.build_postings(chunks, "id", text_col)
+        n, avgdl = corpus if corpus is not None else B.corpus_stats(chunks, text_col)
+        stats = term_stats if term_stats is not None else B.build_term_stats(postings, n)
         if vindex is None and cfg is not None:
             from customkb_spark.embedding.auto import build_vector_index
 

@@ -70,3 +70,58 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert summary["contaminated_docs"] > 0
     cols = set(spark.read.parquet(out).columns)
     assert {"dup_word_frac", "top_ngram_frac", "dup_span_frac", "n_email", "contaminated"} <= cols
+
+
+def test_cli_bm25_categorize_edit_version(spark, tmp_path, capsys):
+    import json as _json
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(6):
+        (d / f"f{i}.txt").write_text(f"spark window data document number {i} " * 8)
+    kb_dir = str(tmp_path / "kb9")
+    assert cli.main(["database", kb_dir, "--files", str(d)]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["bm25", kb_dir]) == 0
+    first = _json.loads(capsys.readouterr().out)
+    assert first["rebuilt"] is True and first["n_terms"] > 0
+    # fresh index → second run skips the build
+    assert cli.main(["bm25", kb_dir]) == 0
+    assert _json.loads(capsys.readouterr().out)["rebuilt"] is False
+
+    assert cli.main(["categorize", kb_dir]) == 0
+    out = capsys.readouterr().out
+    assert '"newly_categorized"' in out
+    # resume: second run categorizes nothing new
+    assert cli.main(["categorize", kb_dir]) == 0
+    out2 = capsys.readouterr().out
+    assert '"newly_categorized": 0' in out2
+
+    assert cli.main(["edit"]) == 0
+    cfg = _json.loads(capsys.readouterr().out)
+    assert cfg["effective"]["vector_model"] == "stub-hash-embed"
+
+    assert cli.main(["version"]) == 0
+    assert capsys.readouterr().out.strip()
+
+
+def test_kb_query_uses_persisted_bm25(spark, tmp_path, documents, monkeypatch):
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    kb = KnowledgeBase(spark, str(tmp_path / "kbp"), KBConfig(query_top_k=5))
+    assert kb.database(documents.limit(20)) > 0
+    assert kb.embed() > 0
+    assert kb.build_bm25()["rebuilt"] is True
+    out1 = kb.query("spark data query table", log=False)
+
+    # a fresh session must LOAD the persisted postings, never re-tokenize
+    import customkb_spark.plans.hybrid as H
+
+    def _bomb(*a, **k):
+        raise AssertionError("postings rebuilt despite persisted index")
+
+    monkeypatch.setattr(H.B, "build_postings", _bomb)
+    kb2 = KnowledgeBase(spark, str(tmp_path / "kbp"), KBConfig(query_top_k=5))
+    assert kb2.query("spark data query table", log=False) == out1
