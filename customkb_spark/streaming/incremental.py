@@ -66,3 +66,37 @@ def incremental_embed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_index_maintenance(
+    vectors_stream: DataFrame,
+    index_dir: str,
+    centroids_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "vector",
+) -> StreamingQuery:
+    """Stream new vectors into the persisted IVF table (FAISS ``add``
+    as a streaming job): each micro-batch is assigned to the FROZEN
+    centroids (JVM argmin — centroids load once on the driver and ride
+    into the expression as literals) and appended PARTITIONED BY
+    cluster_id, so only the touched cluster partitions gain files.
+    Retraining is a separate batch decision driven by
+    ``embedding.store.index_drift`` — the stream never moves existing
+    rows. Exactly-once via the checkpoint, like the other incremental
+    jobs."""
+    from customkb_spark.embedding.index import assign_clusters
+    from customkb_spark.embedding.store import load_centroids
+
+    spark = vectors_stream.sparkSession
+    centroids = load_centroids(spark, centroids_path)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        assigned = assign_clusters(batch_df, centroids, vec_col)
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(index_dir)
+
+    return (
+        vectors_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -123,3 +123,33 @@ def test_kb_index_tier_persists_and_refreshes(spark, tmp_path, documents, monkey
     idx = spark.read.parquet(str(tmp_path / "kb" / "vindex" / "indexed"))
     vecs = spark.read.parquet(str(tmp_path / "kb" / "vectors"))
     assert idx.count() == vecs.count()
+
+
+def test_streaming_index_maintenance_matches_batch(spark, embeddings, tmp_path):
+    """Streaming appends against frozen centroids produce exactly the
+    batch assignment (same ids, same clusters), exactly once."""
+    from customkb_spark.streaming.incremental import incremental_index_maintenance
+
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    cpath = str(tmp_path / "cents")
+    S.save_centroids(spark, cents, cpath)
+
+    src = str(tmp_path / "vec_src")
+    embeddings.select("vec_id", "embedding").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = incremental_index_maintenance(
+        stream, str(tmp_path / "ivf_s"), cpath, str(tmp_path / "ckpt"), vec_col="embedding"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.vec_id, r.cluster_id)
+        for r in spark.read.parquet(str(tmp_path / "ivf_s")).select("vec_id", "cluster_id").collect()
+    }
+    want = {
+        (r.vec_id, r.cluster_id)
+        for r in assign_clusters(embeddings, cents, "embedding").select("vec_id", "cluster_id").collect()
+    }
+    assert got == want
