@@ -224,14 +224,22 @@ def span_dedup_stats(
 
     Returns ``id_col, n_spans, dup_spans, dup_span_frac``.
 
-    Plan: one explode (map-side), ONE shuffle — the window over
-    ``span_hash`` that ranks occurrences (hash-partitioned; skew is
-    bounded by per-span duplicate multiplicity, and a span hash is
-    128-bit md5 so the partitioning is uniform) — then a per-doc
-    partial-aggregated count. No self-joins, no collect.
-    """
-    from pyspark.sql import Window
+    Plan — aggregation-only, NO ranking window (a window partitioned by
+    span_hash would send every occurrence of a hyper-common span — "the
+    the the…" boilerplate at corpus scale — to one task; partial
+    aggregation collapses duplicates map-side instead, so hot spans are
+    skew-immune):
 
+    1. per-span groupBy → the minimum (doc, idx) struct = the owner of
+       the first occurrence, + total occurrences (both combine
+       map-side);
+    2. firsts-per-doc = groupBy the owner doc (≤ one row per distinct
+       span reaches the shuffle);
+    3. ``dup_spans(doc) = n_spans(doc) − firsts(doc)`` — a left join of
+       two per-doc aggregates (tiny relative to the corpus).
+
+    No self-joins over corpus rows, no collect, no windows.
+    """
     toks = X.tokens(text_col)
     spans = df.select(
         F.col(id_col),
@@ -249,22 +257,27 @@ def span_dedup_stats(
             )
         ).alias("span_idx", "span_text"),
     ).filter(F.length("span_text") > 0)
-    spans = spans.withColumn("span_hash", F.md5("span_text"))
-    w = Window.partitionBy("span_hash").orderBy(id_col, "span_idx")
-    ranked = spans.withColumn("occ", F.row_number().over(w))
+    spans = spans.select(id_col, "span_idx", F.md5("span_text").alias("span_hash"))
+
+    per_doc = spans.groupBy(id_col).agg(F.count("*").cast("long").alias("n_spans"))
+    owners = (
+        spans.groupBy("span_hash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("first_occ"))
+        .select(F.col(f"first_occ.{id_col}").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("firsts"))
+    )
     return (
-        ranked.groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_spans"),
-            F.sum((F.col("occ") > 1).cast("long")).cast("long").alias("dup_spans"),
-        )
+        per_doc.join(owners, id_col, "left")
         .select(
             id_col,
             "n_spans",
-            "dup_spans",
-            F.round(F.col("dup_spans") / F.greatest(F.col("n_spans"), F.lit(1)), 6).alias(
-                "dup_span_frac"
-            ),
+            (F.col("n_spans") - F.coalesce("firsts", F.lit(0))).cast("long").alias("dup_spans"),
+            F.round(
+                (F.col("n_spans") - F.coalesce("firsts", F.lit(0)))
+                / F.greatest(F.col("n_spans"), F.lit(1)),
+                6,
+            ).alias("dup_span_frac"),
         )
     )
 

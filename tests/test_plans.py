@@ -264,3 +264,14 @@ def test_stratified_sample_is_map_side_filter(spark, documents):
     out = stratified_sample(documents, "source", {"src0": 0.5}, "doc_id")
     plan = explain_str(out, "simple")
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_span_dedup_has_no_ranking_window(spark, documents):
+    """Span dedup must stay aggregation-only: a row_number window over
+    span_hash would funnel every occurrence of a hyper-common span into
+    one task; partial aggregation is the skew-immune shape."""
+    from customkb_spark.operators.curation import span_dedup_stats
+
+    plan = explain_str(span_dedup_stats(documents), "simple")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
