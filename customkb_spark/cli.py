@@ -106,6 +106,18 @@ def cmd_optimize(args) -> int:
     chunks = os.path.join(args.kb_dir, "chunks")
     if os.path.isdir(chunks):
         optimize_chunks(spark, chunks)
+    if getattr(args, "reindex", False):
+        # drop the persisted vector-index tier so the next build
+        # re-selects flat/IVF/IVFPQ for the CURRENT corpus size (a
+        # grown-past-threshold KB otherwise keeps its original tier)
+        # and re-trains centroids on the current distribution
+        import shutil
+
+        vindex = os.path.join(args.kb_dir, "vindex")
+        if os.path.isdir(vindex):
+            shutil.rmtree(vindex)
+        kb = _kb(args)
+        kb._build_index()  # rebuild + persist the fresh tier
     table_stats(spark, args.kb_dir).show(truncate=False)
     # the reference's memory-tier auto-config report (advisory; Spark
     # confs print so cluster deployment can apply them)
@@ -246,6 +258,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     o = sub.add_parser("optimize", help="compact + cluster the chunks table")
     common(o)
+    o.add_argument(
+        "--reindex", action="store_true",
+        help="retrain + re-tier the persisted vector index for the current corpus",
+    )
     o.set_defaults(fn=cmd_optimize)
 
     b = sub.add_parser("bm25", help="materialize the BM25 index tables")

@@ -236,7 +236,11 @@ class KnowledgeBase:
     def _persisted_bm25(self, chunks) -> tuple:
         """(postings, term_stats, (n, avgdl)) from the persisted index
         when it is fresh, else (None, None, None)."""
-        if not (self._exists("bm25_meta") and self._exists("postings")):
+        if not (
+            self._exists("bm25_meta")
+            and self._exists("postings")
+            and self._exists("term_stats")
+        ):
             return None, None, None
         meta = self._read("bm25_meta").collect()[0]
         if meta.n_chunks != chunks.count():

@@ -324,6 +324,13 @@ def stratified_sample(
     the same indeterminacy class as the repartition correctness issue).
     Reproducibility across runs/engines is exactly what a training-mix
     manifest needs.
+
+    Because the draw is a fixed per-row score compared to a threshold,
+    samples at the same seed are NESTED: the rate-0.3 sample is a
+    subset of the rate-0.6 sample. That is the property scaling-law
+    runs need (each smaller data budget is contained in the larger
+    one), and it makes mix-rate changes incremental — raising a
+    stratum's rate only ADDS rows, never swaps them.
     """
     thr = F.lit(rate_threshold_hex(default_rate))
     mapping = F.create_map(

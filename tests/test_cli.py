@@ -125,3 +125,19 @@ def test_kb_query_uses_persisted_bm25(spark, tmp_path, documents, monkeypatch):
     monkeypatch.setattr(H.B, "build_postings", _bomb)
     kb2 = KnowledgeBase(spark, str(tmp_path / "kbp"), KBConfig(query_top_k=5))
     assert kb2.query("spark data query table", log=False) == out1
+
+
+def test_cli_optimize_reindex_retiers(spark, tmp_path, capsys):
+    d = tmp_path / "docs2"
+    d.mkdir()
+    for i in range(5):
+        (d / f"g{i}.txt").write_text(f"window spark table data doc {i} " * 6)
+    kb_dir = str(tmp_path / "kbr")
+    assert cli.main(["database", kb_dir, "--files", str(d)]) == 0
+    assert cli.main(["embed", kb_dir]) == 0
+    assert cli.main(["query", kb_dir, "spark data", "--context-only"]) == 0
+    import os
+
+    assert os.path.isdir(os.path.join(kb_dir, "vindex"))  # persisted on query
+    assert cli.main(["optimize", kb_dir, "--reindex"]) == 0
+    assert os.path.isdir(os.path.join(kb_dir, "vindex"))  # rebuilt + re-persisted

@@ -187,3 +187,18 @@ def test_stratified_sample_seed_changes_selection(spark, documents):
     a = {r.doc_id for r in C.stratified_sample(documents, "source", rates, "doc_id", seed="s1").select("doc_id").collect()}
     b = {r.doc_id for r in C.stratified_sample(documents, "source", rates, "doc_id", seed="s2").select("doc_id").collect()}
     assert a != b  # different seeds → different (deterministic) draws
+
+
+def test_stratified_sample_is_nested_across_rates(spark, documents):
+    """Same seed, higher rate ⇒ superset: the scaling-law-subset
+    property of threshold sampling (and why mix-rate changes are
+    incremental)."""
+    small = {
+        r.doc_id
+        for r in C.stratified_sample(documents, "source", {}, "doc_id", default_rate=0.3).select("doc_id").collect()
+    }
+    big = {
+        r.doc_id
+        for r in C.stratified_sample(documents, "source", {}, "doc_id", default_rate=0.6).select("doc_id").collect()
+    }
+    assert small < big
