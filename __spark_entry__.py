@@ -1624,6 +1624,57 @@ FROM r GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary (tokenizer-training prep): term/doc
+    frequencies + Zipf rank, top 200 tokens. The rank window runs over
+    the vocabulary, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        CU.build_vocab(docs)
+        .orderBy("rank")
+        .limit(200)
+    )
+
+
+SQL_VOCAB = f"""
+WITH tk AS (SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS token FROM documents),
+v AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tk GROUP BY token)
+SELECT token, tf, df,
+       CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank
+FROM v ORDER BY rank LIMIT 200
+"""
+
+
+def q_boilerplate_spans(spark, sf_dir):
+    """Per-source boilerplate spans: 5-word blocks present in ≥ 10% of
+    a source's docs (template text). Aggregation-only plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.boilerplate_spans(
+        docs, span_words=5, min_frac=0.1
+    ).orderBy("source", "span_hash")
+
+
+SQL_BOILERPLATE = f"""
+WITH tk AS (SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+sp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(toks[(i*5+1):(i*5+5)], ' ')) AS span_hash,
+         array_to_string(toks[(i*5+1):(i*5+5)], ' ') AS span_text
+  FROM tk, unnest(generate_series(0, CAST(floor((greatest(len(toks), 1) - 1) / 5.0) AS BIGINT))) t(i)),
+ps AS (
+  SELECT source, span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sp WHERE length(span_text) > 0 GROUP BY 1, 2),
+tot AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS total_docs FROM documents GROUP BY 1)
+SELECT p.source, p.span_hash, p.n_docs, t.total_docs,
+       round(p.n_docs / CAST(t.total_docs AS DOUBLE), 6) AS frac
+FROM ps p JOIN tot t USING (source)
+WHERE round(p.n_docs / CAST(t.total_docs AS DOUBLE), 6) >= 0.1
+ORDER BY p.source, p.span_hash
+"""
+
+
 # dataset-mixing rates shared by the Spark query and the SQL oracle
 MIX_RATES = {"src0": 1.0, "src1": 0.0, "src2": 0.25, "src3": 0.75}
 MIX_DEFAULT = 0.5
@@ -1760,6 +1811,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "span_dedup_stats": q_span_dedup_stats,
     "stratified_sample_mix": q_stratified_sample_mix,
+    "vocab_topk": q_vocab_topk,
+    "boilerplate_spans": q_boilerplate_spans,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "hybrid_context_flagship": q_hybrid_context_flagship,
@@ -1819,6 +1872,8 @@ _ORACLES: dict[str, str] = {
     "repetition_signals": SQL_REPETITION,
     "span_dedup_stats": SQL_SPAN_DEDUP,
     "stratified_sample_mix": _sql_mix(),
+    "vocab_topk": SQL_VOCAB,
+    "boilerplate_spans": SQL_BOILERPLATE,
     # ann_ivf_topk / hybrid_context_flagship: iterative KMeans + staged
     # pipeline — not SQL-expressible; rows-only check.
 }

@@ -77,6 +77,8 @@ EXTRA_QUERIES = [
     "repetition_signals",
     "span_dedup_stats",
     "stratified_sample_mix",
+    "vocab_topk",
+    "boilerplate_spans",
 ]
 
 # the data-bound subset re-run at 10×: linear scans/aggs/shuffles where

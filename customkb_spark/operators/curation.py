@@ -282,6 +282,100 @@ def span_dedup_stats(
     )
 
 
+# ----------------------------------------------------- vocabulary
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary with term/document frequencies and frequency
+    rank — the input of tokenizer training (BPE/unigram corpora start
+    from exactly this table) and of Zipf-curve corpus diagnostics.
+
+    Returns ``token, tf (corpus occurrences), df (docs containing),
+    rank (1 = most frequent, ties broken by token)``.
+
+    One explode + ONE shuffle (groupBy token, both aggregates partial
+    — count and count_distinct(doc) combine map-side via
+    partial-aggregation). The rank window is over the VOCABULARY (≤
+    millions of rows at any corpus size — bounded by distinct tokens,
+    not corpus size), not the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(X.tokens(text_col)).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.count_distinct(id_col).cast("long").alias("df"),
+        )
+        .filter(F.col("tf") >= min_count)
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ------------------------------------------------- boilerplate spans
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    span_words: int = 10,
+    min_frac: float = 0.25,
+) -> DataFrame:
+    """Per-source boilerplate detection (C4's headers/footers/nav-bars
+    problem): a span that appears in ≥ ``min_frac`` of a source's
+    documents is boilerplate — template text, not content.
+
+    Returns ``source_col, span_hash, n_docs (docs in source containing
+    it), total_docs (docs in source), frac``.
+
+    Aggregation-only (same skew argument as span_dedup_stats): spans
+    explode map-side, the (source, span) distinct-doc count and the
+    per-source doc count are both partial-aggregated, and the result is
+    vocabulary-sized, joinable back as a broadcast filter to strip the
+    flagged spans from the corpus.
+    """
+    toks = X.tokens(text_col)
+    spans = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest((F.size(toks) - 1) / span_words, F.lit(0)).cast("int"),
+                ),
+                lambda i: F.array_join(F.slice(toks, i * span_words + 1, span_words), " "),
+            )
+        ).alias("span_text"),
+    ).filter(F.length("span_text") > 0)
+    per_span = (
+        spans.select(source_col, F.md5("span_text").alias("span_hash"), F.col(id_col))
+        .groupBy(source_col, "span_hash")
+        .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
+    )
+    per_source = df.groupBy(source_col).agg(
+        F.count_distinct(id_col).cast("long").alias("total_docs")
+    )
+    return (
+        per_span.join(per_source, source_col)
+        .withColumn(
+            "frac", F.round(F.col("n_docs") / F.col("total_docs"), 6)
+        )
+        .filter(F.col("frac") >= min_frac)
+    )
+
+
 # --------------------------------------------- deterministic sampling
 
 

@@ -202,3 +202,49 @@ def test_stratified_sample_is_nested_across_rates(spark, documents):
         for r in C.stratified_sample(documents, "source", {}, "doc_id", default_rate=0.6).select("doc_id").collect()
     }
     assert small < big
+
+
+# ------------------------------------------------ vocab & boilerplate
+
+
+def test_build_vocab_counts_and_rank(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry")], ["doc_id", "text"]
+    )
+    rows = {r.token: r for r in C.build_vocab(docs).collect()}
+    assert rows["apple"].tf == 3 and rows["apple"].df == 2
+    assert rows["banana"].tf == 1 and rows["banana"].df == 1
+    assert rows["apple"].rank == 1
+    # ties broken by token: banana < cherry
+    assert rows["banana"].rank == 2 and rows["cherry"].rank == 3
+
+
+def test_build_vocab_min_count(spark):
+    docs = spark.createDataFrame([(1, "solo common common")], ["doc_id", "text"])
+    toks = {r.token for r in C.build_vocab(docs, min_count=2).collect()}
+    assert toks == {"common"}
+
+
+def test_boilerplate_spans_flags_template_text(spark):
+    footer = "subscribe to our newsletter for updates today"  # 7 words
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "unique words alpha " + footer),
+            (2, "s1", "different content beta " + footer),
+            (3, "s1", "more text gamma " + footer),
+            (4, "s1", "totally original delta document here now"),
+            (5, "s2", "another source entirely " + footer),  # only 1 of 1 in s2
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = C.boilerplate_spans(docs, span_words=3, min_frac=0.5).collect()
+    # s1: the footer's 3-word blocks appear in 3/4 docs → flagged;
+    # but block boundaries depend on each doc's token offsets, so flag
+    # presence (some span ≥ 0.5 in s1), not exact hashes
+    s1 = [r for r in out if r.source == "s1"]
+    assert len(s1) > 0
+    for r in s1:
+        assert r.total_docs == 4 and r.frac >= 0.5
+    # s2's footer appears in its only doc → frac 1.0 (flagged too)
+    s2 = [r for r in out if r.source == "s2"]
+    assert all(r.total_docs == 1 for r in s2)
