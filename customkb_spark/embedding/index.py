@@ -101,6 +101,60 @@ def nearest_clusters(query_vec: list[float], centroids: np.ndarray, nprobe: int)
     return [int(i) for i in d2.argsort()[:nprobe]]
 
 
+def ivf_search_batch(
+    indexed_vectors: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """IVF-pruned top-k for a whole query SET in one pass — the scale
+    path for batch retrieval (operators/topk.knn_join is the exact
+    brute-force twin that scores Q×N pairs; this scores only each
+    query's ``nprobe`` probed clusters).
+
+    Plan: probe pairs (qid, cluster_id) are computed driver-side from
+    the tiny centroid table and BROADCAST; the corpus joins them on
+    cluster_id (pruned scan — with the table partitioned by cluster_id
+    this is partition pruning), then joins the broadcast query vectors,
+    scores JVM-side, and windows top-k per query. The corpus is never
+    shuffled; the only shuffle is the per-query window over candidate
+    rows (≤ Q × probed-cluster sizes).
+    """
+    from pyspark.sql import Window
+
+    from customkb_spark.operators.topk import _metric_score
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    probes = [
+        (row[0], c)
+        for row in qrows
+        for c in nearest_clusters([float(x) for x in row[1]], centroids, nprobe)
+    ]
+    spark = indexed_vectors.sparkSession
+    probe_df = spark.createDataFrame(probes, f"{query_id_col} long, cluster_id int")
+    cand = indexed_vectors.join(F.broadcast(probe_df), "cluster_id").join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+    )
+    score = _metric_score(F.col(vec_col), F.col(query_vec_col), metric)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("id"))
+    return (
+        cand.select(
+            F.col(query_id_col),
+            F.col(id_col).alias("id"),
+            F.round(score, 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def ivf_search(
     indexed_vectors: DataFrame,
     centroids: np.ndarray,

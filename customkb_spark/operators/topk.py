@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 from customkb_spark.functions import vector as V
 
 
+def _metric_score(vec, qvec, metric: str):
+    """Column-vs-column similarity under the shared metric contract
+    (higher = closer for every metric, l2 via l2_to_similarity)."""
+    if metric == "cosine":
+        return V.cosine(vec, qvec)
+    if metric == "ip":
+        return V.dot(vec, qvec)
+    if metric == "l2":
+        return V.l2_to_similarity(V.l2_distance(vec, qvec))
+    raise ValueError(f"unknown metric {metric}")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -75,12 +87,7 @@ def knn_join(
         )
     )
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
-    if metric == "cosine":
-        score = V.cosine(F.col("vector"), F.col("qvec"))
-    elif metric == "ip":
-        score = V.dot(F.col("vector"), F.col("qvec"))
-    else:
-        score = V.l2_to_similarity(V.l2_distance(F.col("vector"), F.col("qvec")))
+    score = _metric_score(F.col("vector"), F.col("qvec"), metric)
     scored = v.crossJoin(q).select(
         "qid", "id", F.round(score, 6).alias("score")
     )

@@ -99,3 +99,66 @@ def test_cluster_assignment_covers_all(spark, embeddings):
         [float(x) for x in embeddings.first()["embedding"]], cents, 2
     )
     assert len(probes) == 2 and all(0 <= p < 4 for p in probes)
+
+
+def test_ivf_search_batch_exact_at_full_probe(spark, embeddings):
+    """nprobe == nlist scans every cluster ⇒ identical to the exact
+    brute-force knn_join for every query."""
+    from customkb_spark.embedding.index import (
+        assign_clusters,
+        ivf_search_batch,
+        train_centroids,
+    )
+    from customkb_spark.operators.topk import knn_join
+
+    from pyspark.sql import functions as F
+
+    emb = embeddings.select("vec_id", "embedding")
+    cents = train_centroids(emb, "embedding", nlist=8)
+    indexed = assign_clusters(emb, cents, "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    got = ivf_search_batch(
+        indexed, cents, queries, k=5, nprobe=8, id_col="vec_id", vec_col="embedding"
+    )
+    want = knn_join(queries, emb, k=5, id_col="vec_id", vec_col="embedding")
+    g = {(r.qid, r.id) for r in got.collect()}
+    w = {(r.qid, r.id) for r in want.collect()}
+    assert g == w
+
+
+def test_ivf_search_batch_recall_and_plan(spark, embeddings):
+    from customkb_spark.embedding.index import (
+        assign_clusters,
+        ivf_search_batch,
+        train_centroids,
+    )
+    from customkb_spark.operators.topk import knn_join
+
+    import contextlib, io
+    from pyspark.sql import functions as F
+
+    emb = embeddings.select("vec_id", "embedding")
+    cents = train_centroids(emb, "embedding", nlist=8)
+    indexed = assign_clusters(emb, cents, "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = ivf_search_batch(
+        indexed, cents, queries, k=5, nprobe=4, id_col="vec_id", vec_col="embedding"
+    )
+    exact = knn_join(queries, emb, k=5, id_col="vec_id", vec_col="embedding")
+    g = {(r.qid, r.id) for r in got.collect()}
+    e = {(r.qid, r.id) for r in exact.collect()}
+    assert len(g & e) / len(e) >= 0.6  # half the clusters probed
+
+    # each query's own vector is in its probed cluster → always found
+    assert all((q, q) in g for q in range(10))
+
+    # corpus side joins the broadcast probe/query tables — never shuffles
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("simple")
+    assert "BroadcastHashJoin" in buf.getvalue()
