@@ -1022,6 +1022,31 @@ WHERE {SQL_COS.format(a='CAST(a.embedding AS DOUBLE[])', b='CAST(b.embedding AS 
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components (min-label
+    propagation) over the embedding near-dup pairs — A≈B≈C collapses
+    to one cluster under the canonical min-id representative. The
+    iterative Spark loop is checked against DuckDB's recursive-CTE
+    transitive closure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
+    return D.connected_components(pairs).orderBy("id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_EMB_DUPS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT x.id, e.b FROM reach x JOIN edges e ON x.r = e.a)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-marker language-ID heuristic (F9 stand-in)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1792,6 +1817,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_near_dups": q_embedding_near_dups,
+    "dedup_clusters": q_dedup_clusters,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
@@ -1853,6 +1879,7 @@ _ORACLES: dict[str, str] = {
     "simhash_fingerprints": _sql_simhash(),
     "doc_fingerprints": SQL_FINGERPRINT,
     "embedding_near_dups": SQL_EMB_DUPS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "lang_id": _sql_lang_id(),
     "quality_scores": _sql_quality(),
     "token_counts": SQL_TOKEN_COUNTS,

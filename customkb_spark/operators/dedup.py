@@ -306,3 +306,61 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over near-dup
+    pairs — the transitive-closure step after any pair-producing dedup
+    (MinHash/SimHash/embedding): if A≈B and B≈C, all three are one
+    cluster even when A≉C directly. Returns ``(id, cluster_id)`` where
+    ``cluster_id`` = the minimum member id (canonical representative,
+    the "keep" doc under keep-first policy).
+
+    Algorithm: min-label propagation — each round every node takes the
+    min of its own label and its neighbors' labels; a label flows one
+    hop per round, so rounds ≈ the component diameter (near-dup
+    clusters are shallow; for adversarial path-shaped graphs switch to
+    large-star/small-star, which squares distances per round). Each
+    round is one join + one partial-aggregated groupBy over the EDGE
+    list (never the corpus), localCheckpoint-ed so the plan stays flat.
+
+    Convergence check is one scalar agg: labels only ever decrease, so
+    the label sum is strictly monotone until the fixpoint.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["cluster_id"], F.coalesce("nmin", labels["cluster_id"])
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

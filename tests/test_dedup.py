@@ -65,3 +65,26 @@ def test_embedding_near_dups_bucketed_prunes(spark):
     out = D.embedding_near_duplicates(docs, threshold=0.5, bucket_col="cluster_id").collect()
     # pair (1,2) crosses buckets → pruned; only (2,3) survives
     assert [(r["id_a"], r["id_b"]) for r in out] == [(2, 3)]
+
+
+def test_connected_components_transitive(spark):
+    from customkb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    # A~B~C collapses to min-id 1 even though (1,3) was never a pair
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    from customkb_spark.operators.dedup import connected_components
+
+    # a 12-node path: min label must flow the whole chain
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
