@@ -1672,6 +1672,26 @@ FROM v ORDER BY rank LIMIT 200
 """
 
 
+def q_unigram_surprisal(spark, sf_dir):
+    """Perplexity-proxy quality signal: per-doc mean −ln p(token) under
+    the corpus unigram LM (CCNet-style ranking, engine-native)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.unigram_surprisal(docs).orderBy("doc_id")
+
+
+SQL_SURPRISAL = f"""
+WITH tk AS (SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS token FROM documents),
+v AS (SELECT token, count(*) AS tf FROM tk GROUP BY token),
+tot AS (SELECT sum(tf) AS total FROM v),
+s AS (
+  SELECT tk.doc_id, -ln(v.tf / CAST(tot.total AS DOUBLE)) AS s
+  FROM tk JOIN v USING (token) CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(s), 6) AS mean_surprisal
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_boilerplate_spans(spark, sf_dir):
     """Per-source boilerplate spans: 5-word blocks present in ≥ 10% of
     a source's docs (template text). Aggregation-only plan."""
@@ -1839,6 +1859,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_mix": q_stratified_sample_mix,
     "vocab_topk": q_vocab_topk,
     "boilerplate_spans": q_boilerplate_spans,
+    "unigram_surprisal": q_unigram_surprisal,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "hybrid_context_flagship": q_hybrid_context_flagship,
@@ -1901,6 +1922,7 @@ _ORACLES: dict[str, str] = {
     "stratified_sample_mix": _sql_mix(),
     "vocab_topk": SQL_VOCAB,
     "boilerplate_spans": SQL_BOILERPLATE,
+    "unigram_surprisal": SQL_SURPRISAL,
     # ann_ivf_topk / hybrid_context_flagship: iterative KMeans + staged
     # pipeline — not SQL-expressible; rows-only check.
 }

@@ -321,6 +321,40 @@ def build_vocab(
     return vocab.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean surprisal under the corpus's own unigram LM —
+    the cheap perplexity proxy quality filters use (CCNet ranks by LM
+    perplexity; a unigram model keeps it engine-native): documents full
+    of corpus-rare tokens score high (noise, other languages, garbled
+    decode), boilerplate scores low.
+
+    ``surprisal(doc) = mean over tokens of −ln(tf(token) / total)``.
+
+    Two aggregations over one exploded scan: corpus vocab (token → tf)
+    and the per-doc mean after a token→vocab join (vocabulary-sized
+    right side — broadcastable for natural-language vocabularies; at
+    web scale Spark picks a shuffle join and the plan still holds).
+    Returns ``id_col, n_tokens, mean_surprisal``.
+    """
+    toks = df.select(F.col(id_col), F.explode(X.tokens(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
+    total = vocab.agg(F.sum("tf")).collect()[0][0] or 1
+    scored = toks.join(vocab, "token").select(
+        id_col, (-F.log(F.col("tf") / F.lit(float(total)))).alias("s")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("s"), 6).alias("mean_surprisal"),
+        )
+    )
+
+
 # ------------------------------------------------- boilerplate spans
 
 

@@ -248,3 +248,21 @@ def test_boilerplate_spans_flags_template_text(spark):
     # s2's footer appears in its only doc → frac 1.0 (flagged too)
     s2 = [r for r in out if r.source == "s2"]
     assert all(r.total_docs == 1 for r in s2)
+
+
+def test_unigram_surprisal_ranks_rare_docs_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rareword common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.unigram_surprisal(docs).collect()}
+    # doc 2 contains the corpus-rare token → higher mean surprisal
+    assert out[2].mean_surprisal > out[1].mean_surprisal
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+    # all-same-token corpus baseline: −ln(7/8) for doc 1's tokens
+    import math
+
+    assert abs(out[1].mean_surprisal - (-math.log(7 / 8))) < 1e-6
