@@ -79,6 +79,7 @@ EXTRA_QUERIES = [
     "stratified_sample_mix",
     "vocab_topk",
     "boilerplate_spans",
+    "unigram_surprisal",
 ]
 
 # the data-bound subset re-run at 10×: linear scans/aggs/shuffles where
