@@ -266,3 +266,25 @@ def test_unigram_surprisal_ranks_rare_docs_higher(spark):
     import math
 
     assert abs(out[1].mean_surprisal - (-math.log(7 / 8))) < 1e-6
+
+
+def test_curation_projections_stream(spark, tmp_path):
+    """pii_scrub (and any stateless curation projection) runs unchanged
+    on a stream — no batch-only constructs in the hot path."""
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "mail a@b.com now"), (2, "clean row")], ["doc_id", "text"]
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = C.pii_scrub(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM pii_stream").collect()}
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].redacted
+    assert rows[2].redacted == "clean row"

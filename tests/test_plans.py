@@ -275,3 +275,22 @@ def test_span_dedup_has_no_ranking_window(spark, documents):
     plan = explain_str(span_dedup_stats(documents), "simple")
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_vocab_and_surprisal_aggregation_shapes(spark, documents):
+    """Vocabulary and surprisal must stay partial-aggregated — their
+    only windows/sorts run over vocabulary-sized data, and the corpus
+    explode never materializes a per-row window."""
+    from customkb_spark.operators.curation import build_vocab, unigram_surprisal
+
+    vplan = explain_str(build_vocab(documents), "simple")
+    assert "HashAggregate" in vplan or "ObjectHashAggregate" in vplan
+    splan = explain_str(unigram_surprisal(documents), "simple")
+    assert "Window" not in splan
+
+
+def test_boilerplate_spans_aggregation_only(spark, documents):
+    from customkb_spark.operators.curation import boilerplate_spans
+
+    plan = explain_str(boilerplate_spans(documents), "simple")
+    assert "Window" not in plan
