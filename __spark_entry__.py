@@ -492,6 +492,26 @@ FROM r GROUP BY user_id, run_id
 # ---------------------------------------------------- ingest / chunking
 
 
+def q_events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: first-activity cohort × active
+    period × distinct users. Result bounded by periods², not events."""
+    ev = _t(spark, sf_dir, "events")
+    return S.retention_cohorts(ev, "user_id", "ts", "week").orderBy(
+        "cohort", "period"
+    )
+
+
+SQL_RETENTION = """
+WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events)
+SELECT f.cohort, a.period,
+       CAST(date_diff('day', f.cohort, a.period) / 7 AS BIGINT) AS periods_since,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_chunk_documents_fixed(spark, sf_dir):
     """§2.10 chunking fan-out: fixed 80-char windows."""
     docs = _t(spark, sf_dir, "documents")
@@ -1818,6 +1838,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_asof_join": q_events_asof_join,
     "events_consecutive_runs": q_events_consecutive_runs,
+    "events_retention_cohorts": q_events_retention_cohorts,
     "chunk_documents_fixed": q_chunk_documents_fixed,
     "chunk_documents_merged": q_chunk_documents_merged,
     "doc_token_stats": q_doc_token_stats,
@@ -1881,6 +1902,7 @@ _ORACLES: dict[str, str] = {
     "events_funnel": SQL_FUNNEL,
     "events_asof_join": SQL_ASOF,
     "events_consecutive_runs": SQL_RUNS,
+    "events_retention_cohorts": SQL_RETENTION,
     "chunk_documents_fixed": SQL_CHUNKS,
     "chunk_documents_merged": SQL_CHUNKS_MERGED,
     "doc_token_stats": SQL_TOKEN_STATS,

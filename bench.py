@@ -71,6 +71,7 @@ EXTRA_QUERIES = [
     "chunk_metadata",
     "ann_pq_topk",
     "events_consecutive_runs",
+    "events_retention_cohorts",
     "corpus_profile",
     "decontaminate_overlap",
     "pii_redaction",

@@ -128,3 +128,42 @@ def funnel(
         reached.alias("steps_completed"),
         F.when(reached > 0, step_name).alias("furthest_step"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period, counted in each later period they were active.
+
+    Returns ``cohort, period, periods_since (0 = the cohort period),
+    active_users``.
+
+    Two partial-aggregated shuffles on ``user_col`` (first-activity min
+    and the distinct activity periods come out of the SAME hash
+    partitioning, so AQE reuses the exchange), then one small groupBy
+    over (cohort, period) — a result bounded by periods², never by
+    events. No windows, no self-joins over raw events.
+    """
+    # DATE-typed buckets (day granularity is inherent to cohorts; also
+    # what ANSI date_trunc-on-week returns in most engines)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    first = events.groupBy(user_col).agg(F.min(bucket).alias("cohort"))
+    activity = events.select(F.col(user_col), bucket.alias("period")).distinct()
+    per_day = {"week": 7, "day": 1}.get(unit)
+    since = (
+        (F.datediff("period", "cohort") / per_day).cast("long")
+        if per_day
+        else F.months_between("period", "cohort").cast("long")
+    )
+    return (
+        activity.join(first, user_col)
+        .groupBy("cohort", "period")
+        .agg(F.count_distinct(user_col).cast("long").alias("active_users"))
+        .select(
+            "cohort", "period", since.alias("periods_since"), "active_users"
+        )
+    )

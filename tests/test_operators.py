@@ -192,3 +192,30 @@ def test_fusion_enforces_input_bound(spark):
     got = [tuple(r) for r in FU.rrf_fuse(big, big, top_k=5).collect()]
     want = [tuple(r) for r in FU.rrf_fuse(top, top, top_k=5).collect()]
     assert got == want
+
+
+def test_retention_cohorts(spark):
+    import datetime as dt
+
+    from customkb_spark.operators.sessionize import retention_cohorts
+
+    w0 = dt.datetime(2024, 1, 1, 10)   # Monday
+    w1 = w0 + dt.timedelta(weeks=1)
+    w2 = w0 + dt.timedelta(weeks=2)
+    events = spark.createDataFrame(
+        [
+            (1, w0), (1, w1),          # cohort w0, active w0+w1
+            (2, w0), (2, w2),          # cohort w0, active w0+w2
+            (3, w1),                   # cohort w1, active w1 only
+        ],
+        ["user_id", "ts"],
+    )
+    rows = {
+        (r.cohort.isoformat(), r.periods_since): r.active_users
+        for r in retention_cohorts(events).collect()
+    }
+    assert rows[("2024-01-01", 0)] == 2      # both w0 users in week 0
+    assert rows[("2024-01-01", 1)] == 1      # user 1 returned week 1
+    assert rows[("2024-01-01", 2)] == 1      # user 2 returned week 2
+    assert rows[("2024-01-08", 0)] == 1      # w1 cohort
+    assert len(rows) == 4
