@@ -1067,6 +1067,41 @@ SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """
 
 
+def q_corpus_dedup_apply(spark, sf_dir):
+    """End-to-end dedup APPLICATION: near-dup pairs → connected
+    components → keep-first policy (canonical min-id member survives,
+    other cluster members drop, singletons pass through). The output
+    IS the deduplicated corpus id set — proof the engine closes the
+    loop from pair detection to the shipped dataset."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
+    clusters = D.connected_components(pairs)
+    return (
+        emb.select(F.col("vec_id"))
+        .join(clusters, emb["vec_id"] == clusters["id"], "left")
+        .filter(F.col("id").isNull() | (F.col("cluster_id") == F.col("vec_id")))
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+SQL_DEDUP_APPLY = f"""
+WITH RECURSIVE pairs AS ({SQL_EMB_DUPS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT x.id, e.b FROM reach x JOIN edges e ON x.r = e.a),
+clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT e.vec_id FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.id
+WHERE c.id IS NULL OR c.cluster_id = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-marker language-ID heuristic (F9 stand-in)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1859,6 +1894,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_dedup_apply": q_corpus_dedup_apply,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
@@ -1923,6 +1959,7 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprints": SQL_FINGERPRINT,
     "embedding_near_dups": SQL_EMB_DUPS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "corpus_dedup_apply": SQL_DEDUP_APPLY,
     "lang_id": _sql_lang_id(),
     "quality_scores": _sql_quality(),
     "token_counts": SQL_TOKEN_COUNTS,
