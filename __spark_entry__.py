@@ -399,6 +399,67 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding_agg(spark, sf_dir):
+    """Hopping-window aggregate (2 h window, 1 h slide) via Spark's
+    native window() — each event lands in exactly 2 overlapping
+    windows; the same expression runs unchanged under readStream (the
+    tumbling twin's streaming test covers that path)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_SLIDING = """
+WITH e AS (
+  SELECT ts, event_type, value,
+         unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+  FROM events)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_events_type_pivot(spark, sf_dir):
+    """Per-user event-type pivot (count matrix). Spark pivot compiles
+    to one partial-aggregated groupBy with conditional counts — the
+    same plan the SQL conditional-aggregation form produces."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered-funnel: furthest view→click→purchase step per user, each
     step strictly after the previous (one conditional-agg pass, no
@@ -1870,6 +1931,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_percentiles": q_events_value_percentiles,
     "events_sessionize": q_events_sessionize,
     "events_hourly_agg": q_events_hourly_agg,
+    "events_sliding_agg": q_events_sliding_agg,
+    "events_type_pivot": q_events_type_pivot,
     "events_funnel": q_events_funnel,
     "events_asof_join": q_events_asof_join,
     "events_consecutive_runs": q_events_consecutive_runs,
@@ -1935,6 +1998,8 @@ _ORACLES: dict[str, str] = {
     "events_value_percentiles": SQL_PERCENTILES,
     "events_sessionize": SQL_SESSIONIZE,
     "events_hourly_agg": SQL_HOURLY,
+    "events_sliding_agg": SQL_SLIDING,
+    "events_type_pivot": SQL_PIVOT,
     "events_funnel": SQL_FUNNEL,
     "events_asof_join": SQL_ASOF,
     "events_consecutive_runs": SQL_RUNS,

@@ -72,6 +72,8 @@ EXTRA_QUERIES = [
     "ann_pq_topk",
     "events_consecutive_runs",
     "events_retention_cohorts",
+    "events_sliding_agg",
+    "events_type_pivot",
     "corpus_profile",
     "decontaminate_overlap",
     "pii_redaction",
