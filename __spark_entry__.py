@@ -340,6 +340,25 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_lineitem_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping sets in
+    one pass — the full grouping-sets surface next to ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def q_events_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``; at 100 TB swap for
@@ -1928,6 +1947,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_big_orders": q_customers_with_big_orders,
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "lineitem_rollup": q_lineitem_rollup,
+    "lineitem_cube": q_lineitem_cube,
     "events_value_percentiles": q_events_value_percentiles,
     "events_sessionize": q_events_sessionize,
     "events_hourly_agg": q_events_hourly_agg,
@@ -1995,6 +2015,7 @@ _ORACLES: dict[str, str] = {
     "customers_with_big_orders": SQL_CUST_BIG_ORDERS,
     "top3_orders_per_customer": SQL_TOP3_PER_CUST,
     "lineitem_rollup": SQL_ROLLUP,
+    "lineitem_cube": SQL_CUBE,
     "events_value_percentiles": SQL_PERCENTILES,
     "events_sessionize": SQL_SESSIONIZE,
     "events_hourly_agg": SQL_HOURLY,

@@ -219,3 +219,22 @@ def test_retention_cohorts(spark):
     assert rows[("2024-01-01", 2)] == 1      # user 2 returned week 2
     assert rows[("2024-01-08", 0)] == 1      # w1 cohort
     assert len(rows) == 4
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    """The 100 TB tier: approx_count_distinct (HLL++) and
+    approx_percentile must land within their documented error of the
+    exact answers — pinning the accuracy story the scale docs promise."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact_users = ev.select("user_id").distinct().count()
+    approx_users = ev.agg(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx_users - exact_users) / exact_users <= 0.06  # 3x rsd
+
+    row = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("exact"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx"),
+    ).collect()[0]
+    spread = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+    assert abs(row.approx - row.exact) <= 0.01 * spread
