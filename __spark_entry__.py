@@ -359,6 +359,49 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+def q_orders_column_profile(spark, sf_dir):
+    """Per-column data-quality audit (deequ-lite): null/distinct/
+    min/max for the orders key+status columns, one aggregation pass.
+    (Profiled columns restricted to int/varchar so min/max string
+    forms are engine-portable.)"""
+    from customkb_spark.plans.maintenance import column_profile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    return column_profile(orders).orderBy("column")
+
+
+SQL_COL_PROFILE = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, n.n_rows,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders, n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'o_custkey', 'bigint', n.n_rows,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM orders, n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'o_orderstatus', 'string', n.n_rows,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+         min(o_orderstatus), max(o_orderstatus)
+  FROM orders, n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'o_orderpriority', 'string', n.n_rows,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+         min(o_orderpriority), max(o_orderpriority)
+  FROM orders, n GROUP BY n.n_rows
+) ORDER BY "column"
+"""
+
+
 def q_events_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``; at 100 TB swap for
@@ -1948,6 +1991,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "lineitem_rollup": q_lineitem_rollup,
     "lineitem_cube": q_lineitem_cube,
+    "orders_column_profile": q_orders_column_profile,
     "events_value_percentiles": q_events_value_percentiles,
     "events_sessionize": q_events_sessionize,
     "events_hourly_agg": q_events_hourly_agg,
@@ -2016,6 +2060,7 @@ _ORACLES: dict[str, str] = {
     "top3_orders_per_customer": SQL_TOP3_PER_CUST,
     "lineitem_rollup": SQL_ROLLUP,
     "lineitem_cube": SQL_CUBE,
+    "orders_column_profile": SQL_COL_PROFILE,
     "events_value_percentiles": SQL_PERCENTILES,
     "events_sessionize": SQL_SESSIONIZE,
     "events_hourly_agg": SQL_HOURLY,

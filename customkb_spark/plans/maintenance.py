@@ -112,3 +112,46 @@ def table_stats(spark: SparkSession, kb_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table string, n_rows long, n_files long, bytes long"
     )
+
+
+def column_profile(df: DataFrame) -> DataFrame:
+    """Per-column data-quality profile — null count, exact distinct
+    count, min/max (as strings for heterogeneous schemas) — the
+    pre-ingest audit every pipeline runs on a new table (deequ-style,
+    engine-native).
+
+    ONE pass: every column's aggregates evaluate inside a single
+    partial-aggregated projection (no per-column scans); the result is
+    stacked to one row per column driver-side (column count is tiny).
+    Exact distincts make it oracle-comparable; swap in
+    approx_count_distinct at web scale.
+    """
+    aggs = []
+    for f in df.schema.fields:
+        c = f.name
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = df.count()
+    spark = df.sparkSession
+    out = [
+        (
+            f.name,
+            f.dataType.simpleString(),
+            int(n),
+            int(row[f"{f.name}__nulls"]),
+            int(row[f"{f.name}__distinct"]),
+            row[f"{f.name}__min"],
+            row[f"{f.name}__max"],
+        )
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long,"
+        " n_distinct long, min_value string, max_value string",
+    )
