@@ -74,6 +74,8 @@ EXTRA_QUERIES = [
     "events_retention_cohorts",
     "events_sliding_agg",
     "events_type_pivot",
+    "lineitem_cube",
+    "orders_column_profile",
     "corpus_profile",
     "decontaminate_overlap",
     "pii_redaction",
