@@ -522,6 +522,80 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_user_gaps(spark, sf_dir):
+    """Inter-event gap statistics per user (lag window partitioned by
+    user): exact integer microsecond gaps so the cross-engine hash is
+    summation-order-proof."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_embedding_label_centroids(spark, sf_dir):
+    """Distributed centroid computation — the map-reduce half of
+    k-means: element-wise mean embedding per label, one
+    partial-aggregated pass (64 avg aggregates, all JVM-side).
+    Centroids serialize as micro-scaled integers joined with '|' so the
+    value hash is float-format-proof across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    avgs = [
+        F.avg(F.col("embedding").getItem(i).cast("double")) for i in range(dims)
+    ]
+    cent = F.concat_ws(
+        "|", *[F.round(a * 1_000_000).cast("long").cast("string") for a in avgs]
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            cent.alias("centroid_us"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (
+  SELECT label, t.i AS dim, emb[t.i] AS v
+  FROM e, unnest(generate_series(1, len(emb))) t(i)),
+d AS (
+  SELECT label, dim, CAST(round(avg(v) * 1000000) AS BIGINT) AS r
+  FROM u GROUP BY 1, 2),
+n AS (SELECT label, count(*) AS n_members FROM embeddings GROUP BY 1)
+SELECT n.label, CAST(n.n_members AS BIGINT) AS n_members,
+       (SELECT string_agg(CAST(r AS VARCHAR), '|' ORDER BY dim) FROM d WHERE d.label = n.label) AS centroid_us
+FROM n ORDER BY n.label
+"""
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered-funnel: furthest view→click→purchase step per user, each
     step strictly after the previous (one conditional-agg pass, no
@@ -1997,6 +2071,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_agg": q_events_hourly_agg,
     "events_sliding_agg": q_events_sliding_agg,
     "events_type_pivot": q_events_type_pivot,
+    "events_user_gaps": q_events_user_gaps,
+    "embedding_label_centroids": q_embedding_label_centroids,
     "events_funnel": q_events_funnel,
     "events_asof_join": q_events_asof_join,
     "events_consecutive_runs": q_events_consecutive_runs,
@@ -2066,6 +2142,8 @@ _ORACLES: dict[str, str] = {
     "events_hourly_agg": SQL_HOURLY,
     "events_sliding_agg": SQL_SLIDING,
     "events_type_pivot": SQL_PIVOT,
+    "events_user_gaps": SQL_USER_GAPS,
+    "embedding_label_centroids": SQL_LABEL_CENTROIDS,
     "events_funnel": SQL_FUNNEL,
     "events_asof_join": SQL_ASOF,
     "events_consecutive_runs": SQL_RUNS,

@@ -76,6 +76,8 @@ EXTRA_QUERIES = [
     "events_type_pivot",
     "lineitem_cube",
     "orders_column_profile",
+    "events_user_gaps",
+    "embedding_label_centroids",
     "corpus_profile",
     "decontaminate_overlap",
     "pii_redaction",
