@@ -1901,6 +1901,33 @@ FROM r GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_weighted_sample_per_source(spark, sf_dir):
+    """Quality-weighted selection (A-ES weighted sampling without
+    replacement): top 3 docs per source, weight = n_chars — longer
+    docs proportionally favored, deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        CU.weighted_sample(docs, "n_chars", "doc_id", 3, strata_col="source")
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "doc_id")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT source, doc_id,
+         round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':wsel-v1'), 1, 8)) AS BIGINT) + 1)
+                  / 4294967296.0) / n_chars, 6) AS akey
+  FROM documents),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY akey DESC, doc_id) AS sample_rank
+  FROM k)
+SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 3 ORDER BY source, doc_id
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary (tokenizer-training prep): term/doc
     frequencies + Zipf rank, top 200 tokens. The rank window runs over
@@ -2117,6 +2144,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "span_dedup_stats": q_span_dedup_stats,
     "stratified_sample_mix": q_stratified_sample_mix,
+    "weighted_sample_per_source": q_weighted_sample_per_source,
     "vocab_topk": q_vocab_topk,
     "boilerplate_spans": q_boilerplate_spans,
     "unigram_surprisal": q_unigram_surprisal,
@@ -2188,6 +2216,7 @@ _ORACLES: dict[str, str] = {
     "repetition_signals": SQL_REPETITION,
     "span_dedup_stats": SQL_SPAN_DEDUP,
     "stratified_sample_mix": _sql_mix(),
+    "weighted_sample_per_source": SQL_WEIGHTED_SAMPLE,
     "vocab_topk": SQL_VOCAB,
     "boilerplate_spans": SQL_BOILERPLATE,
     "unigram_surprisal": SQL_SURPRISAL,

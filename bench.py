@@ -78,6 +78,7 @@ EXTRA_QUERIES = [
     "orders_column_profile",
     "events_user_gaps",
     "embedding_label_centroids",
+    "weighted_sample_per_source",
     "corpus_profile",
     "decontaminate_overlap",
     "pii_redaction",

@@ -282,6 +282,46 @@ def span_dedup_stats(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    n: int,
+    strata_col: str | None = None,
+    seed: str = "wsel-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): keep the top-``n`` rows (per stratum)
+    by ``u^(1/w)`` where ``u`` is a per-row uniform draw — rows with
+    larger ``weight_col`` are proportionally more likely to survive.
+    The quality-weighted selection step of curation pipelines ("sample
+    good documents more"), distributed and reproducible:
+
+    - ``u`` derives from md5(key:seed) (same engine-portable trick as
+      ``stratified_sample``), so retries/engines agree;
+    - ordering uses ``ln(u)/w`` (monotone in u^(1/w), no pow
+      underflow), ROUNDED to 6 dp with a key tiebreak so cross-engine
+      float ulp differences cannot reorder the cutoff;
+    - one window per stratum over rows, top-n kept.
+
+    ``weight_col`` must be > 0. Returns the surviving rows with
+    ``sample_rank`` (1 = most favored).
+    """
+    from pyspark.sql import Window
+
+    u_int = F.conv(hash_bucket_hex(F.col(key_col), seed), 16, 10).cast("long")
+    u = (u_int + 1) / F.lit(float(1 << 32))  # (0, 1]
+    akey = F.round(F.log(u) / F.col(weight_col), 6)
+    part = [strata_col] if strata_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.desc("_akey"), F.asc(key_col))
+    return (
+        df.withColumn("_akey", akey)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n)
+        .drop("_akey")
+    )
+
+
 # ----------------------------------------------------- vocabulary
 
 

@@ -288,3 +288,27 @@ def test_curation_projections_stream(spark, tmp_path):
     rows = {r.doc_id: r for r in spark.sql("SELECT * FROM pii_stream").collect()}
     assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].redacted
     assert rows[2].redacted == "clean row"
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # weight 1000 vs 1: the heavy row must essentially always survive
+    # a top-1 draw across many seeds
+    rows = [(1, 1000.0), (2, 1.0), (3, 1.0), (4, 1.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    wins = 0
+    for s in range(10):
+        top = C.weighted_sample(df, "w", "doc_id", 1, seed=f"s{s}").collect()
+        wins += top[0].doc_id == 1
+    assert wins >= 8
+
+
+def test_weighted_sample_deterministic_and_sized(spark, documents):
+    a = C.weighted_sample(documents, "n_chars", "doc_id", 3, strata_col="source")
+    b = C.weighted_sample(documents, "n_chars", "doc_id", 3, strata_col="source")
+    ra = sorted((r.source, r.doc_id) for r in a.collect())
+    rb = sorted((r.source, r.doc_id) for r in b.collect())
+    assert ra == rb
+    from collections import Counter
+
+    per_src = Counter(s for s, _ in ra)
+    assert all(v == 3 for v in per_src.values())
