@@ -1658,6 +1658,46 @@ WHERE {cos} >= 0.35
 """
 
 
+def q_cross_corpus_shingle_join(spark, sf_dir):
+    """Cross-corpus similarity join (SURVEY §7 phase-6 item): corpus ×
+    benchmark-slice pairs sharing ≥ 2 distinct 3-gram shingles, found
+    via an INVERTED-INDEX join on the shingle (the set-similarity-join
+    family) — never a cross join. Shuffle keys are shingles then
+    (a, b) pairs; both partial-aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(CU.word_ngrams("text", 3))).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % 41 != 0)
+    return (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= 2)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+SQL_CROSS_SHINGLE = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+    ELSE [] END)) AS shingle
+  FROM tk),
+b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 41 = 0),
+c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 41 <> 0)
+SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared_shingles
+FROM c JOIN b USING (shingle)
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY 1, 2
+"""
+
+
 def q_corpus_filter_pipeline(spark, sf_dir):
     """Composite training-data curation pass: language gate → quality
     gate → exact-dedup to canonical docs. The shape every pretraining
@@ -2138,6 +2178,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_topk": q_ngram_jaccard_topk,
     "lsh_bucketed_near_dups": q_lsh_bucketed_near_dups,
     "corpus_filter_pipeline": q_corpus_filter_pipeline,
+    "cross_corpus_shingle_join": q_cross_corpus_shingle_join,
     "corpus_profile": q_corpus_profile,
     "decontaminate_overlap": q_decontaminate_overlap,
     "pii_redaction": q_pii_redaction,
@@ -2210,6 +2251,7 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_topk": SQL_NGRAM_JACCARD,
     "lsh_bucketed_near_dups": _sql_lsh_near_dups(),
     "corpus_filter_pipeline": _sql_corpus_filter(),
+    "cross_corpus_shingle_join": SQL_CROSS_SHINGLE,
     "corpus_profile": _sql_corpus_profile(),
     "decontaminate_overlap": SQL_DECON,
     "pii_redaction": _sql_pii(),

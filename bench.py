@@ -79,6 +79,7 @@ EXTRA_QUERIES = [
     "events_user_gaps",
     "embedding_label_centroids",
     "weighted_sample_per_source",
+    "cross_corpus_shingle_join",
     "corpus_profile",
     "decontaminate_overlap",
     "pii_redaction",
