@@ -77,3 +77,56 @@ def _spark():
     from customkb_spark.session import get_spark
 
     return get_spark("tests", cpus=8, shuffle_partitions=8)
+
+
+PII_TEXT = st.text(
+    alphabet=string.ascii_lowercase + string.digits + " .@-+_", max_size=120
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(PII_TEXT, min_size=1, max_size=8))
+def test_pii_scrub_idempotent(texts):
+    """Scrubbing already-scrubbed text changes nothing — redaction
+    tokens must never re-match any PII pattern."""
+    from customkb_spark.operators.curation import pii_scrub
+
+    spark = _spark()
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = pii_scrub(docs).select("doc_id", F.col("redacted").alias("text"))
+    twice = pii_scrub(once).select("doc_id", "redacted")
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.redacted for r in twice.collect()}
+    assert a == b
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=8), st.integers(min_value=1, max_value=5))
+def test_word_ngrams_count_identity(texts, n):
+    """len(ngrams) == max(0, len(tokens) - n + 1) for every doc."""
+    from customkb_spark.operators.curation import word_ngrams
+
+    spark = _spark()
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = docs.select(
+        F.size(X.tokens("text")).alias("nt"),
+        F.size(word_ngrams("text", n)).alias("ng"),
+    ).collect()
+    for r in rows:
+        assert r.ng == max(0, r.nt - n + 1)
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_span_dedup_conservation(texts):
+    """Every span is either a first occurrence or a duplicate:
+    sum(firsts) + sum(dups) == total spans, and dups == 0 when all
+    docs are distinct singleton-span texts."""
+    from customkb_spark.operators.curation import span_dedup_stats
+
+    spark = _spark()
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = span_dedup_stats(docs, span_words=3).collect()
+    for r in rows:
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert 0.0 <= r.dup_span_frac <= 1.0
