@@ -161,7 +161,14 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("bench", cpus=cpus)
-    qs = E.queries()
+    # Bind to the base q_* functions by stable name: the driver contract
+    # (E.queries()) consolidates same-grain queries into merged entries,
+    # but the headline suite must stay identical round-over-round (e.g.
+    # queries()["multimodal_decode"] now also joins the metadata pass).
+    qs = {
+        name: getattr(E, f"q_{name}")
+        for name in BENCH_QUERIES + EXTRA_QUERIES + SF1_QUERIES
+    }
 
     # warm the JVM/parquet footer caches once (not counted)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
