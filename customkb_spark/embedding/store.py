@@ -79,6 +79,21 @@ def load_pq(spark: SparkSession, path: str) -> PQModel:
     return PQModel(books, cents)
 
 
+def content_fingerprint(df: DataFrame, id_col: str, vec_col: str) -> str:
+    """Order-independent content checksum: sum of ``xxhash64(id, vec)``
+    accumulated in DECIMAL(38,0) (overflow-proof, partial-aggregated).
+    A bare row count misses in-place re-embeds under unchanged ids
+    (force re-ingest writes new vectors for the same deterministic ids)
+    — the fingerprint changes whenever any (id, vector) pair changes,
+    in any order, at any parallelism."""
+    row = df.agg(
+        F.sum(
+            F.xxhash64(F.col(id_col), F.col(vec_col)).cast("decimal(38,0)")
+        ).alias("fp")
+    ).collect()[0]
+    return str(row.fp if row.fp is not None else 0)
+
+
 # ----------------------------------------------------- the big artifact
 
 
@@ -127,10 +142,8 @@ def save_vector_index(tier, path: str) -> None:
     """
     spark = tier.vectors.sparkSession
     n = tier.indexed.count() if tier.indexed is not None else tier.vectors.count()
-    spark.createDataFrame(
-        [(tier.kind, int(n), tier.id_col, tier.vec_col)],
-        "kind string, n long, id_col string, vec_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    fp = content_fingerprint(tier.vectors, tier.id_col, tier.vec_col)
+    _write_meta(spark, path, tier.kind, int(n), tier.id_col, tier.vec_col, fp)
     if tier.kind == "flat":
         return
     save_centroids(spark, tier.centroids, f"{path}/centroids")
@@ -139,15 +152,27 @@ def save_vector_index(tier, path: str) -> None:
     write_ivf_table(tier.indexed, f"{path}/indexed")
 
 
-def load_vector_index(spark: SparkSession, path: str, vectors: DataFrame):
-    """Rehydrate a saved tier, refreshing it if the vectors table grew.
+def _write_meta(spark, path, kind, n, id_col, vec_col, fp) -> None:
+    spark.createDataFrame(
+        [(kind, int(n), id_col, vec_col, fp)],
+        "kind string, n long, id_col string, vec_col string, fp string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
-    - row counts match → load as-is (no training, no assignment);
-    - ``ivf`` and vectors grew → ``incremental_index`` the new ids
-      against the frozen centroids (FAISS ``add``), then load;
-    - ``ivfpq`` and vectors grew → return None (residual codes should
-      be retrained/re-encoded; caller rebuilds);
-    - no saved index → None.
+
+def load_vector_index(spark: SparkSession, path: str, vectors: DataFrame):
+    """Rehydrate a saved tier, refreshing it if the vectors table changed.
+
+    Freshness is judged by a CONTENT fingerprint (content_fingerprint),
+    not a bare row count — vectors re-embedded under the same ids (force
+    re-ingest, kb.py) must never serve stale neighbors:
+
+    - fingerprint matches → load as-is (no training, no assignment);
+    - ``ivf`` and the change is a PURE APPEND (the previously-indexed
+      ids' content is byte-identical) → ``incremental_index`` the new
+      ids against the frozen centroids (FAISS ``add``), then load;
+    - any in-place mutation, or ``ivfpq`` with any change → None
+      (residual codes should be retrained/re-encoded; caller rebuilds);
+    - no saved index / pre-fingerprint meta → None.
     """
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -164,20 +189,29 @@ def load_vector_index(spark: SparkSession, path: str, vectors: DataFrame):
 def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
     from customkb_spark.embedding.auto import VectorIndexTier
 
-    n_now = vectors.count()
     if meta.kind == "flat":
+        # the raw vectors table IS the index — nothing can go stale
         return VectorIndexTier("flat", vectors, meta.id_col, meta.vec_col)
-    if n_now != meta.n:
+    fp_old = getattr(meta, "fp", None)
+    if fp_old is None:
+        return None  # pre-fingerprint meta: can't prove freshness → rebuild
+    fp_now = content_fingerprint(vectors, meta.id_col, meta.vec_col)
+    if fp_now != fp_old:
         if meta.kind != "ivf":
+            return None
+        # ivf absorbs PURE appends (FAISS ``add`` after ``train``); any
+        # in-place re-embed under existing ids invalidates the table
+        indexed_ids = spark.read.parquet(f"{path}/indexed").select(meta.id_col)
+        old_subset = vectors.join(indexed_ids, meta.id_col, "left_semi")
+        if content_fingerprint(old_subset, meta.id_col, meta.vec_col) != fp_old:
             return None
         cents = load_centroids(spark, f"{path}/centroids")
         incremental_index(
             vectors, f"{path}/indexed", cents, id_col=meta.id_col, vec_col=meta.vec_col
         )
-        spark.createDataFrame(
-            [(meta.kind, int(n_now), meta.id_col, meta.vec_col)],
-            "kind string, n long, id_col string, vec_col string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        _write_meta(
+            spark, path, meta.kind, vectors.count(), meta.id_col, meta.vec_col, fp_now
+        )
     cents = load_centroids(spark, f"{path}/centroids")
     indexed = spark.read.parquet(f"{path}/indexed")
     if meta.kind == "ivf":

@@ -127,6 +127,12 @@ class KnowledgeBase:
                 else new_log
             )
             log.write.mode("overwrite").parquet(self._p("ingest_log"))
+            # chunk ids are deterministic, so a force re-ingest can change
+            # text/vectors IN PLACE under unchanged ids and row counts —
+            # the persisted ANN/BM25 artifacts are unprovably stale; drop
+            # them so the next query rebuilds (store.py's fingerprint
+            # check is the backstop for out-of-band mutation)
+            self._drop_persisted_indexes()
         else:
             chunks.write.mode("append").parquet(self._p("chunks"))
             log = docs.select(
@@ -203,16 +209,21 @@ class KnowledgeBase:
         the KB dir — the reference's ``customkb bm25`` command, which
         tokenizes the corpus into a persisted NPZ index
         (bm25_manager.py). Skips the build when the persisted index
-        already covers the current chunks (row-count freshness check,
-        the verify-indexes analogue). Returns
+        already covers the current chunks (content-fingerprint freshness
+        check, the verify-indexes analogue). Returns
         ``{n_chunks, avgdl, n_terms, rebuilt}``."""
         from customkb_spark.operators import bm25 as B25
 
+        from customkb_spark.embedding.store import content_fingerprint
+
         chunks = self._read("chunks")
         n, avgdl = B25.corpus_stats(chunks, "originaltext")
+        # content fingerprint, not a bare row count: force re-ingest can
+        # rewrite text under unchanged ids and counts (ADVICE r2)
+        fp = content_fingerprint(chunks, "id", "originaltext")
         if not force and self._exists("bm25_meta"):
             meta = self._read("bm25_meta").collect()[0]
-            if meta.n_chunks == n:
+            if getattr(meta, "chunks_fp", None) == fp:
                 return {
                     "n_chunks": n, "avgdl": avgdl,
                     "n_terms": self._read("term_stats").count(), "rebuilt": False,
@@ -225,7 +236,8 @@ class KnowledgeBase:
         stats = B25.build_term_stats(postings, n)
         stats.write.mode("overwrite").parquet(self._p("term_stats"))
         self.spark.createDataFrame(
-            [(int(n), float(avgdl))], "n_chunks long, avgdl double"
+            [(int(n), float(avgdl), fp)],
+            "n_chunks long, avgdl double, chunks_fp string",
         ).coalesce(1).write.mode("overwrite").parquet(self._p("bm25_meta"))
         self._invalidate()
         return {
@@ -242,9 +254,13 @@ class KnowledgeBase:
             and self._exists("term_stats")
         ):
             return None, None, None
+        from customkb_spark.embedding.store import content_fingerprint
+
         meta = self._read("bm25_meta").collect()[0]
-        if meta.n_chunks != chunks.count():
-            return None, None, None  # stale — rebuild in memory
+        if getattr(meta, "chunks_fp", None) != content_fingerprint(
+            chunks, "id", "originaltext"
+        ):
+            return None, None, None  # stale / pre-fingerprint — rebuild in memory
         return (
             self._read("postings"),
             self._read("term_stats"),
@@ -252,6 +268,16 @@ class KnowledgeBase:
         )
 
     # ---------------------------------------------------------- query
+    def _drop_persisted_indexes(self) -> None:
+        """Delete the persisted derived-index artifacts (vindex dir +
+        BM25 tables). Called on force re-ingest: content may have
+        changed under unchanged ids/counts, which no freshness check on
+        the artifacts alone can prove."""
+        import shutil
+
+        for name in ("vindex", "postings", "term_stats", "bm25_meta"):
+            shutil.rmtree(self._p(name), ignore_errors=True)
+
     def _invalidate(self) -> None:
         """Drop the cached index after a write — unpersisting the old
         cached DataFrames so repeated database/embed/query cycles in a

@@ -153,3 +153,70 @@ def test_streaming_index_maintenance_matches_batch(spark, embeddings, tmp_path):
         for r in assign_clusters(embeddings, cents, "embedding").select("vec_id", "cluster_id").collect()
     }
     assert got == want
+
+
+def test_load_rejects_in_place_vector_mutation(spark, embeddings, tmp_path):
+    """ADVICE r2 (high): vectors re-embedded under the SAME ids and the
+    SAME row count must not load the persisted tier — the content
+    fingerprint, not the row count, decides freshness."""
+    from customkb_spark.embedding.auto import VectorIndexTier
+
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    tier = VectorIndexTier(
+        "ivf", embeddings, "vec_id", "embedding",
+        centroids=cents,
+        indexed=assign_clusters(embeddings, cents, "embedding"),
+    )
+    path = str(tmp_path / "tier")
+    S.save_vector_index(tier, path)
+
+    # unchanged content → loads without training or assignment
+    back = S.load_vector_index(spark, path, embeddings)
+    assert back is not None and back.kind == "ivf"
+
+    # same ids, same count, mutated vectors → must refuse (None)
+    mutated = embeddings.withColumn(
+        "embedding", F.reverse(F.col("embedding"))
+    )
+    assert S.load_vector_index(spark, path, mutated) is None
+
+    # a PURE append still flows through FAISS-add incremental assignment
+    extra = embeddings.limit(3).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    grown = embeddings.unionByName(extra)
+    refreshed = S.load_vector_index(spark, path, grown)
+    assert refreshed is not None
+    assert refreshed.indexed.count() == grown.count()
+
+
+def test_force_reingest_never_serves_stale_results(spark, tmp_path, documents):
+    """End-to-end ADVICE r2 scenario: database(force=True) rewrites text
+    under deterministic ids; the next query must reflect the NEW corpus
+    even though persisted ANN/BM25 artifacts existed."""
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    cfg = KBConfig(query_top_k=5, ann_index="ivf")
+    docs = documents.limit(30).localCheckpoint()
+    kb = KnowledgeBase(spark, str(tmp_path / "kbstale"), cfg)
+    assert kb.database(docs) > 0
+    assert kb.embed() > 0
+    kb.build_bm25()
+    kb.query("spark data query table", log=False)  # persists the tier
+
+    marker = "zephyrquokka"
+    changed = docs.select(
+        "doc_id",
+        F.concat(F.lit(marker + " "), F.col("text")).alias("text"),
+        "source",
+    )
+    assert kb.database(changed, force=True) > 0
+    assert kb.embed() > 0
+    kb.build_bm25()
+
+    # fresh session over the same dir: must rebuild/refresh, not serve
+    # the pre-rewrite neighbors
+    kb2 = KnowledgeBase(spark, str(tmp_path / "kbstale"), cfg)
+    out = kb2.query(marker + " spark data", log=False)
+    assert marker in out
