@@ -201,14 +201,24 @@ def cmd_curate(args) -> int:
         id_col, "n_email", "n_ssn", "n_phone", "n_ipv4"
     )
     spans = CU.span_dedup_stats(docs, text_col, id_col)
-    report = rep.join(pii, id_col).join(spans, id_col)
+    # span stats emit no row for docs with zero non-empty spans (empty/
+    # token-less docs) — left-join + coalesce keeps them in the report
+    # and in the summary aggregates (ADVICE r2)
+    report = (
+        rep.join(pii, id_col)
+        .join(spans, id_col, "left")
+        .withColumn("n_spans", F.coalesce("n_spans", F.lit(0)).cast("long"))
+        .withColumn("dup_spans", F.coalesce("dup_spans", F.lit(0)).cast("long"))
+        .withColumn("dup_span_frac", F.coalesce("dup_span_frac", F.lit(0.0)))
+    )
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         report = report.join(
             CU.decontaminate(docs, bench, n=args.ngram, text_col=text_col, id_col=id_col)
             .select(id_col, "contaminated"),
             id_col,
-        )
+            "left",
+        ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
     if args.out:
         report.write.mode("overwrite").parquet(args.out)
     agg = [

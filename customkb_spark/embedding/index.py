@@ -137,7 +137,13 @@ def ivf_search_batch(
         for c in nearest_clusters([float(x) for x in row[1]], centroids, nprobe)
     ]
     spark = indexed_vectors.sparkSession
-    probe_df = spark.createDataFrame(probes, f"{query_id_col} long, cluster_id int")
+    # qid field type mirrors the caller's query-id column — hardcoding
+    # long breaks string/int-typed query ids at createDataFrame or,
+    # worse, mismatches the join (ADVICE r2)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    probe_df = spark.createDataFrame(
+        probes, f"{query_id_col} {qid_type}, cluster_id int"
+    )
     cand = indexed_vectors.join(F.broadcast(probe_df), "cluster_id").join(
         F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
     )

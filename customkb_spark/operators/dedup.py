@@ -329,8 +329,12 @@ def connected_components(
     round is one join + one partial-aggregated groupBy over the EDGE
     list (never the corpus), localCheckpoint-ed so the plan stays flat.
 
-    Convergence check is one scalar agg: labels only ever decrease, so
-    the label sum is strictly monotone until the fixpoint.
+    Convergence: labels are element-wise monotone non-increasing, so the
+    fixpoint is exactly "no label changed this round" — checked with a
+    changed-label count (label-table join + limit(1)), which is exact
+    for ANY id type. (An aggregate like sum(cluster_id) is null for
+    string ids — null == null would fake convergence after one round
+    and silently return under-merged clusters; ADVICE r2.)
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
@@ -342,14 +346,13 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        labels = (
+        new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 labels["id"],
@@ -359,8 +362,14 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = (
+            labels.select("id", F.col("cluster_id").alias("old_cid"))
+            .join(new_labels, "id")
+            .filter(F.col("cluster_id") != F.col("old_cid"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels

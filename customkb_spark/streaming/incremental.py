@@ -54,10 +54,17 @@ def incremental_embed(
 ) -> StreamingQuery:
     """Stream chunks → vectors table via foreachBatch (the embed stage
     needs the dedup-join shape, so each micro-batch runs the batch
-    embedder — reference checkpoint-group semantics, batch.py:93-177)."""
+    embedder — reference checkpoint-group semantics, batch.py:93-177).
+
+    foreachBatch is only at-least-once for non-idempotent sinks: a
+    task/batch retry would re-run ``handle`` for the same rows. The
+    append is made idempotent by anti-joining the batch's ids against
+    the ids already in the output table (same shape as batch
+    ``store.incremental_index``), so a replayed batch appends nothing."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         vectors = embed_texts(batch_df, "id", "embedtext", model, dimensions)
+        vectors = _drop_already_written(vectors, output_dir, "id")
         vectors.write.mode("append").parquet(output_dir)
 
     return (
@@ -68,12 +75,28 @@ def incremental_embed(
     )
 
 
+def _drop_already_written(batch: DataFrame, table_dir: str, id_col: str) -> DataFrame:
+    """Idempotency guard for foreachBatch appends: drop rows whose id is
+    already in the id-keyed output table. foreachBatch gives at-least-
+    once delivery to non-idempotent sinks — on a batch/task retry the
+    same rows arrive again, and a blind append would duplicate them.
+    The anti-join makes the append a no-op on replay (the streaming
+    twin of batch ``store.incremental_index``'s anti-join)."""
+    spark = batch.sparkSession
+    try:
+        existing = spark.read.parquet(table_dir).select(id_col)
+    except Exception:
+        return batch  # first batch: nothing written yet
+    return batch.join(existing, id_col, "left_anti")
+
+
 def incremental_index_maintenance(
     vectors_stream: DataFrame,
     index_dir: str,
     centroids_path: str,
     checkpoint_dir: str,
     vec_col: str = "vector",
+    id_col: str = "id",
 ) -> StreamingQuery:
     """Stream new vectors into the persisted IVF table (FAISS ``add``
     as a streaming job): each micro-batch is assigned to the FROZEN
@@ -82,8 +105,9 @@ def incremental_index_maintenance(
     cluster_id, so only the touched cluster partitions gain files.
     Retraining is a separate batch decision driven by
     ``embedding.store.index_drift`` — the stream never moves existing
-    rows. Exactly-once via the checkpoint, like the other incremental
-    jobs."""
+    rows. The append itself is made idempotent by an id anti-join
+    against the index table (see ``_drop_already_written``), closing
+    foreachBatch's at-least-once replay window."""
     from customkb_spark.embedding.index import assign_clusters
     from customkb_spark.embedding.store import load_centroids
 
@@ -91,7 +115,8 @@ def incremental_index_maintenance(
     centroids = load_centroids(spark, centroids_path)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        assigned = assign_clusters(batch_df, centroids, vec_col)
+        fresh = _drop_already_written(batch_df, index_dir, id_col)
+        assigned = assign_clusters(fresh, centroids, vec_col)
         assigned.write.mode("append").partitionBy("cluster_id").parquet(index_dir)
 
     return (

@@ -88,3 +88,18 @@ def test_connected_components_long_path_converges(spark):
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 13
+
+
+def test_connected_components_string_ids_converge(spark):
+    """ADVICE r2: string ids made the old sum-based convergence check
+    compare null == null and stop after ONE propagation round — a long
+    chain of string-keyed docs must still collapse to one cluster."""
+    from customkb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(8)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {"doc00"}
+    assert len(got) == 9

@@ -140,7 +140,8 @@ def test_streaming_index_maintenance_matches_batch(spark, embeddings, tmp_path):
         spark.read.parquet(src).schema
     ).parquet(src)
     q = incremental_index_maintenance(
-        stream, str(tmp_path / "ivf_s"), cpath, str(tmp_path / "ckpt"), vec_col="embedding"
+        stream, str(tmp_path / "ivf_s"), cpath, str(tmp_path / "ckpt"),
+        vec_col="embedding", id_col="vec_id",
     )
     q.awaitTermination(120)
 
@@ -153,6 +154,15 @@ def test_streaming_index_maintenance_matches_batch(spark, embeddings, tmp_path):
         for r in assign_clusters(embeddings, cents, "embedding").select("vec_id", "cluster_id").collect()
     }
     assert got == want
+
+    # foreachBatch is at-least-once: a REPLAYED batch must append
+    # nothing (ADVICE r2 — the id anti-join makes the sink idempotent)
+    from customkb_spark.streaming.incremental import _drop_already_written
+
+    replay = _drop_already_written(
+        spark.read.parquet(src), str(tmp_path / "ivf_s"), "vec_id"
+    )
+    assert replay.count() == 0
 
 
 def test_load_rejects_in_place_vector_mutation(spark, embeddings, tmp_path):
