@@ -79,18 +79,73 @@ class HashEmbeddingProvider(EmbeddingProvider):
         return out
 
 
+class LiteLLMEmbeddingProvider(EmbeddingProvider):
+    """Real embedding provider via LiteLLM — reference
+    embedding/litellm_provider.py:60-119 semantics, import-gated exactly
+    like the CrossEncoder path (operators/rerank.py): constructing it
+    without the ``litellm`` package raises ImportError, and CI keeps
+    using the deterministic stub.
+
+    Parity points mirrored from the reference:
+    - model routing: explicit ``provider/model`` strings pass through;
+      bare gemini/google names get the ``gemini/`` prefix; OpenAI
+      ``text-embedding-*`` names are auto-detected by LiteLLM;
+    - per-family batch caps (PROVIDER_BATCH_CAPS — gemini 100, openai
+      2048, bge 64) bound each call from ``embed_texts``'s loop;
+    - retries/backoff come from the base class (F14) — the reference
+      wraps the same call in exp-backoff-with-jitter.
+
+    The sync ``litellm.embedding`` entry point is used: this runs inside
+    executor ``mapInPandas`` workers, which have no event loop, and
+    concurrency comes from Spark's task parallelism rather than asyncio.
+    """
+
+    def __init__(self, model: str, dimensions: int | None = None):
+        import litellm  # dep-gated
+
+        self._litellm = litellm
+        self.name = model
+        self.dimensions = dimensions
+        self.model = self._route(model)
+        low = model.lower()
+        for family, cap in PROVIDER_BATCH_CAPS.items():
+            if family in low:
+                self.batch_cap = cap
+                break
+
+    @staticmethod
+    def _route(model: str) -> str:
+        if "/" in model:
+            return model
+        low = model.lower()
+        if "gemini" in low or "google" in low:
+            return f"gemini/{model}"
+        return model  # OpenAI text-embedding-* auto-detected
+
+    def get_embeddings(self, texts: list[str]) -> np.ndarray:
+        kwargs = {"dimensions": self.dimensions} if self.dimensions else {}
+        resp = self._litellm.embedding(model=self.model, input=texts, **kwargs)
+        return np.asarray([d["embedding"] for d in resp.data], dtype=np.float32)
+
+
 _PROVIDERS = {"stub-hash-embed": HashEmbeddingProvider}
 _provider_singleton: EmbeddingProvider | None = None  # per-executor
 
 
 def get_provider(name: str, dimensions: int) -> EmbeddingProvider:
+    """Per-executor provider singleton. Registered stub names construct
+    locally; any other name is treated as a LiteLLM model string
+    (reference behavior: the model name IS the provider selector)."""
     global _provider_singleton
     if (
         _provider_singleton is None
         or _provider_singleton.name != name
         or _provider_singleton.dimensions != dimensions
     ):
-        _provider_singleton = _PROVIDERS[name](dimensions)
+        if name in _PROVIDERS:
+            _provider_singleton = _PROVIDERS[name](dimensions)
+        else:
+            _provider_singleton = LiteLLMEmbeddingProvider(name, dimensions)
     return _provider_singleton
 
 

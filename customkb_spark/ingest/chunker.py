@@ -132,10 +132,39 @@ def separators_for(file_type: str = "text", extension: str | None = None) -> lis
 
 def token_len_estimate(text: str) -> int:
     """The reference's no-tiktoken token-count fallback, exactly:
-    int(words × 1.3) (database/chunking.py:54-60). tiktoken is not in
-    this container, so this IS the parity path; with tiktoken installed
-    the reference's chunk boundaries would diverge from these."""
+    int(words × 1.3) (database/chunking.py:54-60). With tiktoken
+    installed use ``tiktoken_len`` instead — the reference's primary
+    path — so chunk boundaries match it byte-for-byte."""
     return int(len(text.split()) * 1.3)
+
+
+_TIKTOKEN_ENCODER = None  # per-process singleton (reference caches it too)
+
+
+def tiktoken_len(text: str) -> int:
+    """The reference's PRIMARY length function: tiktoken cl100k_base
+    token count with a cached encoder (database/chunking.py:24-53).
+    Import-gated — raises ImportError when tiktoken is absent; callers
+    select it via ``length='tiktoken'`` and fall back to the estimate."""
+    global _TIKTOKEN_ENCODER
+    if _TIKTOKEN_ENCODER is None:
+        import tiktoken  # dep-gated
+
+        _TIKTOKEN_ENCODER = tiktoken.get_encoding("cl100k_base")
+    return len(_TIKTOKEN_ENCODER.encode(text))
+
+
+def pick_length_fn(length: str):
+    """'chars' → len; 'tokens' → words×1.3 estimate; 'tiktoken' →
+    cl100k_base when importable, else the estimate (the reference's own
+    fallback order, database/chunking.py:24-60)."""
+    if length == "tiktoken":
+        try:
+            tiktoken_len("")  # force the gated import once
+            return tiktoken_len
+        except ImportError:
+            return token_len_estimate
+    return token_len_estimate if length == "tokens" else len
 
 
 def _recursive_split(text: str, seps: list[str], size: int, length_fn=len) -> list[str]:
@@ -180,13 +209,15 @@ def chunk_recursive_pandas(
 
     ``extension`` picks the reference's language-specific separator
     chain (get_language_specific_splitter); ``length='tokens'`` sizes
-    chunks by the reference's fallback token estimate (words × 1.3)
-    instead of characters; ``min_merge_size`` applies the reference's
-    merge_small_chunks post-pass (database/chunking.py:342-389) in the
-    same Arrow batch — per-doc and in-memory, so it adds no shuffle.
+    chunks by the reference's fallback token estimate (words × 1.3),
+    ``length='tiktoken'`` by cl100k_base when the package is importable
+    (the reference's primary path, database/chunking.py:24-60);
+    ``min_merge_size`` applies the reference's merge_small_chunks
+    post-pass (database/chunking.py:342-389) in the same Arrow batch —
+    per-doc and in-memory, so it adds no shuffle.
     """
     seps = separators_for(file_type, extension)
-    length_fn = token_len_estimate if length == "tokens" else len
+    length_fn = pick_length_fn(length)
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -81,11 +81,65 @@ class ExtractiveStubLLM(LLMProvider):
         return " ".join(best) if best else "No relevant reference found."
 
 
+class LiteLLMChatLLM(LLMProvider):
+    """Real chat provider via LiteLLM — reference query/llm.py:92-218
+    semantics, import-gated (ImportError without the package; the stub
+    stays the CI path). Sync ``litellm.completion`` with
+    ``drop_params=True`` (the reference's call shape), empty responses
+    rejected, and F14 exp-backoff-with-jitter retries around transient
+    failures (the reference wraps calls the same way)."""
+
+    def __init__(
+        self,
+        model: str,
+        temperature: float = 0.7,
+        max_retries: int = 5,
+    ):
+        import litellm  # dep-gated
+
+        self._litellm = litellm
+        self.name = model
+        self.model = model
+        self.temperature = temperature
+        self.max_retries = max_retries
+
+    def complete(self, system: str, user: str, max_tokens: int = 512) -> str:
+        import random
+        import time
+
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                resp = self._litellm.completion(
+                    model=self.model,
+                    messages=[
+                        {"role": "system", "content": system},
+                        {"role": "user", "content": user},
+                    ],
+                    temperature=self.temperature,
+                    max_tokens=max_tokens,
+                    drop_params=True,
+                )
+                content = resp.choices[0].message.content
+                if not content:
+                    raise RuntimeError(f"empty response from {self.model}")
+                return content
+            except Exception as e:
+                last = e
+                time.sleep(min(attempt**2, 30) + random.random())
+        raise last  # type: ignore[misc]
+
+
 _LLM_PROVIDERS: dict[str, type[LLMProvider]] = {"stub-extractive": ExtractiveStubLLM}
 
 
 def get_llm(name: str = "stub-extractive") -> LLMProvider:
-    return _LLM_PROVIDERS[name]()
+    """Registered stub names construct locally; any other name is a
+    LiteLLM model string (the reference's model-name-as-provider
+    convention, query/llm.py)."""
+    if name in _LLM_PROVIDERS:
+        return _LLM_PROVIDERS[name]()
+    return LiteLLMChatLLM(name)
 
 
 def generate_answer(
