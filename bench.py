@@ -91,6 +91,16 @@ EXTRA_QUERIES = [
     "unigram_surprisal",
 ]
 
+# curation operators re-run at 100× documents (sf10): at sf1 the 50k-doc
+# corpus is still overhead-bound (~1.0x ratios, no signal); at 500k docs
+# the explode/shuffle cost dominates and near-linearity is measurable
+SF10_QUERIES = [
+    "span_dedup_stats",
+    "corpus_filter_pipeline",
+    "cross_corpus_shingle_join",
+    "minhash_lsh_dedup",
+]
+
 # the data-bound subset re-run at 10×: linear scans/aggs/shuffles where
 # the sf0.1→sf1 ratio measures plan scaling, not job overhead
 SF1_QUERIES = [
@@ -131,6 +141,75 @@ def _run(qs, spark, names, sf_dir, runs=2) -> dict[str, float]:
     return timings
 
 
+def _ann_build_search(spark, sf_dir: str) -> dict[str, float]:
+    """Split ANN metrics the way the reference baseline does (insert vs
+    query, docs/vector-db-evaluation.md): time index BUILD (train +
+    assign/encode + materialize) once, then time SEARCH-ONLY against the
+    materialized artifacts. The per-query suite numbers conflate the
+    two (each bench run retrains); these are the honest split."""
+    import __spark_entry__ as EE
+    from customkb_spark.embedding.index import assign_clusters, ivf_search, train_centroids
+    from customkb_spark.embedding.pq import encode_pq, pq_topk, train_pq
+
+    emb = EE._t(spark, sf_dir, "embeddings")
+    qv = EE._query_vec(spark, sf_dir, 0)
+    out: dict[str, float] = {}
+
+    t0 = time.time()
+    cents = train_centroids(emb, "embedding", nlist=16)
+    indexed = assign_clusters(emb, cents, "embedding").cache()
+    indexed.count()
+    out["ann_ivf_build"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        ivf_search(indexed, cents, qv, k=10, nprobe=4, id_col="vec_id", vec_col="embedding").count()
+        best = min(best, time.time() - t0)
+    out["ann_ivf_search"] = round(best, 3)
+
+    t0 = time.time()
+    pq = train_pq(emb, "embedding", m=8, nbits=6, centroids=cents)
+    codes = encode_pq(emb, pq, "vec_id", "embedding").cache()
+    codes.count()
+    out["ann_pq_build"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        pq_topk(
+            codes, pq, qv, k=10, nprobe=8, metric="ip",
+            id_col="vec_id", vectors=emb, vec_col="embedding",
+        ).count()
+        best = min(best, time.time() - t0)
+    out["ann_pq_search"] = round(best, 3)
+    indexed.unpersist()
+    codes.unpersist()
+    for name, t in out.items():
+        print(f"# {name}: {t}s", file=sys.stderr)
+    return out
+
+
+def _sf10_dir() -> str | None:
+    """Documents-only 100× tables for the curation scale point."""
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        return None
+    dst = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
+    if os.path.isdir(dst) and os.path.exists(f"{dst}/documents.parquet"):
+        return dst
+    src = "/root/testdata/sf0.1"
+    if not os.path.isdir(src):
+        return None
+    try:
+        from tools.make_sf import make_sf
+
+        t0 = time.time()
+        make_sf(src, dst, 100, tables=["documents"])
+        print(f"# generated {dst} in {time.time()-t0:.1f}s", file=sys.stderr)
+        return dst
+    except Exception as e:
+        print(f"# sf10 generation failed: {e}", file=sys.stderr)
+        return None
+
+
 def _sf1_dir() -> str | None:
     """Locate or deterministically generate the 10× tables."""
     if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
@@ -167,7 +246,7 @@ def main() -> None:
     # queries()["multimodal_decode"] now also joins the metadata pass).
     qs = {
         name: getattr(E, f"q_{name}")
-        for name in BENCH_QUERIES + EXTRA_QUERIES + SF1_QUERIES
+        for name in BENCH_QUERIES + EXTRA_QUERIES + SF1_QUERIES + SF10_QUERIES
     }
 
     # warm the JVM/parquet footer caches once (not counted)
@@ -185,12 +264,20 @@ def main() -> None:
     extras = _run(qs, spark, [q for q in EXTRA_QUERIES if q in qs], sf_dir)
     out["extra_queries"] = extras
 
+    out["ann"] = _ann_build_search(spark, sf_dir)
+
     sf1 = _sf1_dir()
     if sf1:
         sf1_timings = _run(qs, spark, SF1_QUERIES, sf1, runs=1)
         out["sf1_queries"] = sf1_timings
         out["sf1_total"] = round(sum(sf1_timings.values()), 3)
         out["sf1"] = 1.0
+
+    sf10 = _sf10_dir()
+    if sf10:
+        sf10_timings = _run(qs, spark, SF10_QUERIES, sf10, runs=1)
+        out["sf10_queries"] = sf10_timings
+        out["sf10_total"] = round(sum(sf10_timings.values()), 3)
 
     print(json.dumps(out))
 

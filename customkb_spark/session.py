@@ -35,26 +35,52 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    gpus_per_task: float | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS or 32 (the driver's local
     harness); on a real cluster the master is taken from the environment
     and this arg is ignored.
+
+    ``gpus_per_task`` (or $SPARK_GRAFT_GPUS_PER_TASK) sets
+    ``spark.task.resource.gpu.amount`` — the cluster-scheduling
+    equivalent of the reference's GPU FAISS / GPU cross-encoder path
+    (utils/gpu_utils.py:115-148, utils/faiss_loader.py:21-108): with it
+    set, Spark co-schedules the model-inference pandas-UDF stages
+    (embed M1, rerank M3) onto GPU-bearing executors, and the UDF reads
+    its assigned device from ``TaskContext.get().resources()['gpu']``.
+    Fractional values share one GPU between concurrent tasks (e.g. 0.25
+    = 4 rerank tasks per device — the memory-aware batching the
+    reference does per-process). No-op on this CPU-only container.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
-    conf = dict(_BASE_CONF)
-    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
-    if extra_conf:
-        conf.update(extra_conf)
-    for k, v in conf.items():
+    for k, v in build_conf(cpus, shuffle_partitions, extra_conf, gpus_per_task).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def build_conf(
+    cpus: int,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    gpus_per_task: float | None = None,
+) -> dict[str, str]:
+    """Assemble the session conf (separated from get_spark so the
+    GPU/extra-conf plumbing is testable without starting a session)."""
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    gpus = gpus_per_task or os.environ.get("SPARK_GRAFT_GPUS_PER_TASK")
+    if gpus:
+        conf["spark.task.resource.gpu.amount"] = str(gpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    return conf
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -104,3 +104,18 @@ def test_convert_files_to_utf8(spark, tmp_path):
     # file rewritten as utf-8, backup kept
     assert (d / "legacy.txt").read_text(encoding="utf-8") == "café legacy"
     assert (d / "legacy.txt.bak").exists()
+
+
+def test_gpu_conf_plumbing(monkeypatch):
+    """spark.task.resource.gpu.amount flows from arg or env into the
+    session conf (reference GPU scheduling analogue, gpu_utils.py)."""
+    from customkb_spark.session import build_conf
+
+    assert "spark.task.resource.gpu.amount" not in build_conf(32)
+    assert build_conf(32, gpus_per_task=0.25)[
+        "spark.task.resource.gpu.amount"
+    ] == "0.25"
+    monkeypatch.setenv("SPARK_GRAFT_GPUS_PER_TASK", "1")
+    c = build_conf(8, shuffle_partitions=64)
+    assert c["spark.task.resource.gpu.amount"] == "1"
+    assert c["spark.sql.shuffle.partitions"] == "64"

@@ -36,14 +36,21 @@ OFFSETS = {
 DIMS = ["region", "nation", "supplier", "part"]
 
 
-def make_sf(src: str, dst: str, factor: int) -> None:
+def make_sf(src: str, dst: str, factor: int, tables: list[str] | None = None) -> None:
+    """``tables`` restricts the output (e.g. only ``documents`` for a
+    curation-suite scale point — generating 100× lineitem just to bench
+    text operators would waste minutes and disk)."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in DIMS:
+        if tables is not None and t not in tables:
+            continue
         con.execute(
             f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
     for t, offs in OFFSETS.items():
+        if tables is not None and t not in tables:
+            continue
         cols = [
             c[0]
             for c in con.execute(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()
