@@ -133,9 +133,14 @@ _provider_singleton: EmbeddingProvider | None = None  # per-executor
 
 
 def get_provider(name: str, dimensions: int) -> EmbeddingProvider:
-    """Per-executor provider singleton. Registered stub names construct
-    locally; any other name is treated as a LiteLLM model string
+    """Per-executor provider singleton. Names resolve through the
+    model-alias registry first (models.resolve_model, reference
+    customkb.py:566-571); registered stub names construct locally; any
+    other canonical name is treated as a LiteLLM model string
     (reference behavior: the model name IS the provider selector)."""
+    from customkb_spark.models import resolve_model
+
+    name = resolve_model(name)
     global _provider_singleton
     if (
         _provider_singleton is None

@@ -96,10 +96,18 @@ def enhance_query(
     q: str, spell: bool = True, synonyms: bool = True, max_variants: int = 3
 ) -> str:
     """F6+F8+F7 in the reference's order (enhancement.py:404-444):
-    normalize → correct → expand."""
+    normalize → correct → expand. The spell step auto-upgrades to
+    TextBlob word-wise correction when the package is importable
+    (reference enhancement.py:146-160, dep-gated via functions/nlp);
+    without it — the CI path — the double-letter heuristic runs."""
     out = normalize_query_text(q)
     if spell:
-        out = correct_spelling(out)
+        from customkb_spark.functions.nlp import correct_spelling_py, has_module
+
+        if has_module("textblob"):
+            out = _WORD_RE.sub(lambda m: correct_spelling_py(m.group(0)), out)
+        else:
+            out = correct_spelling(out)
     if synonyms:
         out = expand_synonyms(out, max_variants=max_variants)
     return out

@@ -109,10 +109,13 @@ _keep = re.compile(r"[^\w\s.!?:;-]")
 _ws = re.compile(r"\s+")
 
 
-def _enhanced_clean_one(text: str) -> str:
-    """F2 (text_utils.py:105-186) minus lemmatization: preserve
-    URLs/emails via placeholders, strip HTML, lowercase, keep sentence
-    punctuation, drop essential stopwords, restore placeholders."""
+def _enhanced_clean_one(text: str, lemmatizer=None) -> str:
+    """F2 (text_utils.py:105-186): preserve URLs/emails via
+    placeholders, strip HTML, lowercase, keep sentence punctuation,
+    drop essential stopwords (and pure-punctuation tokens), optionally
+    lemmatize each surviving token (the reference's WordNet step,
+    text_utils.py:160-170 — pass a lemmatizer with a ``.lemmatize``
+    method), restore placeholders."""
     if not text:
         return ""
     preserved: list[str] = []
@@ -126,19 +129,41 @@ def _enhanced_clean_one(text: str) -> str:
     out = out.lower()
     out = _keep.sub(" ", out)
     toks = [t for t in _ws.split(out) if t and t not in _STOPWORDS]
+    if lemmatizer is not None:
+        toks = [
+            lemmatizer.lemmatize(t)
+            for t in toks
+            if not all(c in ".,!?:;-" for c in t)
+        ]
     out = " ".join(toks)
     for i, p in enumerate(preserved):
         out = out.replace(f"xplaceholderx{i}x", p)
     return out.strip()
 
 
-def enhanced_clean_text(df: DataFrame, text_col: str, out_col: str = "embedtext") -> DataFrame:
+def enhanced_clean_text(
+    df: DataFrame, text_col: str, out_col: str = "embedtext", lemmatize: bool = False
+) -> DataFrame:
     """F2 as an Arrow-batched pandas UDF (regexes compiled once per
-    process at module import)."""
+    process at module import). ``lemmatize=True`` enables the
+    reference's WordNet step when NLTK is importable on the workers
+    (dep-gated, functions/nlp.get_lemmatizer — loaded once per worker
+    process); absent NLTK it degrades to the no-lemmatizer pipeline,
+    exactly the reference's lemmatizer=None path."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _clean(col: pd.Series) -> pd.Series:
-        return col.map(lambda t: _enhanced_clean_one(t) if t is not None else None)
+        lem = None
+        if lemmatize:
+            try:
+                from customkb_spark.functions.nlp import get_lemmatizer
+
+                lem = get_lemmatizer()
+            except ImportError:
+                lem = None
+        return col.map(
+            lambda t: _enhanced_clean_one(t, lem) if t is not None else None
+        )
 
     return df.withColumn(out_col, _clean(F.col(text_col)))

@@ -134,9 +134,13 @@ _LLM_PROVIDERS: dict[str, type[LLMProvider]] = {"stub-extractive": ExtractiveStu
 
 
 def get_llm(name: str = "stub-extractive") -> LLMProvider:
-    """Registered stub names construct locally; any other name is a
-    LiteLLM model string (the reference's model-name-as-provider
-    convention, query/llm.py)."""
+    """Registered stub names construct locally; any other name resolves
+    through the model-alias registry (models.resolve_model — the
+    reference rewrites args.model via get_canonical_model,
+    customkb.py:566-571) and is then a LiteLLM model string."""
+    from customkb_spark.models import resolve_model
+
+    name = resolve_model(name)
     if name in _LLM_PROVIDERS:
         return _LLM_PROVIDERS[name]()
     return LiteLLMChatLLM(name)
