@@ -766,7 +766,7 @@ def q_doc_token_stats(spark, sf_dir):
     return _longs(
         docs.select(
             "doc_id",
-            F.size(X.bm25_token_set("text")).alias("doc_length"),
+            F.size(X.bm25_token_set("text", ordered=False)).alias("doc_length"),
             F.size(X.tokens("text")).alias("n_tokens"),
         )
     )
@@ -879,8 +879,7 @@ def q_bm25_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     postings = B.build_postings(docs, "doc_id", "text")
     n, avgdl = B.corpus_stats(docs, "text")
-    stats = B.build_term_stats(postings, n)
-    return B.bm25_score(postings, stats, QUERY_TERMS, avgdl, 1.2, 0.75, 20)
+    return B.bm25_score(postings, None, QUERY_TERMS, avgdl, 1.2, 0.75, 20, corpus_size=n)
 
 
 SQL_BM25 = f"""
@@ -908,12 +907,11 @@ def q_bm25_score_batch(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     postings = B.build_postings(docs, "doc_id", "text")
     n, avgdl = B.corpus_stats(docs, "text")
-    stats = B.build_term_stats(postings, n)
     qt = spark.createDataFrame(
         [(0, t) for t in QUERY_TERMS] + [(1, t) for t in QUERY2_TERMS],
         ["qid", "term"],
     )
-    return B.bm25_score_batch(postings, stats, qt, avgdl, 1.2, 0.75, 20)
+    return B.bm25_score_batch(postings, None, qt, avgdl, 1.2, 0.75, 20, corpus_size=n)
 
 
 SQL_BM25_BATCH = f"""
@@ -976,11 +974,13 @@ def _vec_hits(spark, sf_dir, k=50):
 
 
 def _bm25_hits(spark, sf_dir, k=50):
+    # inline-stats path: df for the query terms comes from the matched
+    # postings window, so the plan tokenizes the corpus twice (stats
+    # scalar + matched) instead of three times with a full-vocab shuffle
     docs = _t(spark, sf_dir, "documents")
     postings = B.build_postings(docs, "doc_id", "text")
     n, avgdl = B.corpus_stats(docs, "text")
-    stats = B.build_term_stats(postings, n)
-    return B.bm25_score(postings, stats, QUERY_TERMS, avgdl, 1.2, 0.75, k)
+    return B.bm25_score(postings, None, QUERY_TERMS, avgdl, 1.2, 0.75, k, corpus_size=n)
 
 
 def q_vector_topk_cosine(spark, sf_dir):
@@ -2247,7 +2247,7 @@ def q_doc_text_signals(spark, sf_dir):
             X.quality_score("text").alias("quality"),
             F.size(ws).alias("n_ws_tokens"),
             X.token_count_bpe_ish("text").alias("n_bpe_approx"),
-            F.size(X.bm25_token_set("text")).alias("doc_length"),
+            F.size(X.bm25_token_set("text", ordered=False)).alias("doc_length"),
             F.size(X.tokens("text")).alias("n_tokens"),
         )
     )

@@ -30,7 +30,10 @@ def build_postings(chunks: DataFrame, id_col: str = "id", text_col: str = "text"
     the F3 token set (dedup + single-char/essential-stopword removal,
     text.bm25_token_set)."""
     toks = chunks.select(
-        F.col(id_col).alias("id"), X.bm25_token_set(text_col).alias("toks")
+        F.col(id_col).alias("id"),
+        # unordered: the set is only exploded/sized here, and the
+        # per-row sort is ~25% of the tokenization pass
+        X.bm25_token_set(text_col, ordered=False).alias("toks"),
     )
     # explode_OUTER, not explode: for a plain explode Catalyst infers
     # `isnotnull(toks) AND size(toks) > 0` and pushes it below the
@@ -56,12 +59,13 @@ def build_term_stats(postings: DataFrame, corpus_size: int) -> DataFrame:
 
 def bm25_score(
     postings: DataFrame,
-    term_stats: DataFrame,
+    term_stats: DataFrame | None,
     query_terms: list[str],
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
     limit: int = 1000,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Score all documents against ``query_terms``; top-``limit`` rows
     (score desc, id asc), positive scores only.
@@ -69,10 +73,19 @@ def bm25_score(
     Plan: postings are filtered to the query terms FIRST (pushed to the
     scan), then joined to the broadcast term_stats slice — the shuffle
     carries only matching postings, not the corpus.
+
+    With ``term_stats=None`` (pass ``corpus_size``), each query term's
+    df is derived from the matched postings themselves via a per-term
+    count window: df(t) = |{id : (id,t) ∈ postings}| is exactly the
+    matched-partition row count, so no corpus-wide stats build (a
+    second full tokenization pass + full-vocabulary shuffle) is needed.
+    Use this for ad-hoc scoring without a persisted index; the
+    term_stats path is for the materialized-index flow (kb.build_bm25).
     """
+    from pyspark.sql import Window
+
     qt = sorted(set(t.lower() for t in query_terms))
     matched = postings.filter(F.col("term").isin(qt))
-    stats = F.broadcast(term_stats.filter(F.col("term").isin(qt)))
     # tf = 1 (dedup semantics) → the classic numerator reduces to (k1+1)
     # and the denominator to 1 + k1·(1 − b + b·dl/avgdl).
     score_term = (
@@ -80,9 +93,19 @@ def bm25_score(
         * (k1 + 1.0)
         / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl)))
     )
+    if term_stats is None:
+        if corpus_size is None:
+            raise ValueError("bm25_score: corpus_size required when term_stats is None")
+        n = float(corpus_size)
+        df_col = F.count("*").over(Window.partitionBy("term"))
+        scored_src = matched.withColumn(
+            "idf", F.log((F.lit(n) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+        )
+    else:
+        stats = F.broadcast(term_stats.filter(F.col("term").isin(qt)))
+        scored_src = matched.join(stats, "term")
     return (
-        matched.join(stats, "term")
-        .groupBy("id")
+        scored_src.groupBy("id")
         .agg(F.round(F.sum(score_term), 6).alias("score"))
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("id"))
@@ -92,7 +115,7 @@ def bm25_score(
 
 def corpus_stats(chunks: DataFrame, text_col: str = "text") -> tuple[int, float]:
     """(corpus_size, avgdl) over BM25-token-set document lengths."""
-    row = chunks.select(X.bm25_token_set(text_col).alias("toks")).agg(
+    row = chunks.select(X.bm25_token_set(text_col, ordered=False).alias("toks")).agg(
         F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
     ).collect()[0]
     return int(row["n"]), float(row["avgdl"])
@@ -114,12 +137,13 @@ def needs_rebuild(
 
 def bm25_score_batch(
     postings: DataFrame,
-    term_stats: DataFrame,
+    term_stats: DataFrame | None,
     query_terms: DataFrame,
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
     limit: int = 1000,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Score a whole query SET in one corpus pass.
 
@@ -127,24 +151,40 @@ def bm25_score_batch(
     (small: Q × terms-per-query → broadcast). Returns (qid, id, score),
     top-``limit`` per query. One postings scan serves every query; the
     shuffle carries only matching (qid, posting) rows.
+
+    ``term_stats=None`` (with ``corpus_size``): df comes from a count
+    window over the matched rows — postings hold one row per (id,term)
+    and the broadcast join adds qid, so the (qid,term) partition count
+    IS that term's corpus df. Skips the corpus-wide stats build; use
+    for ad-hoc batches, keep the term_stats path for the persisted
+    index (plans/hybrid.py).
     """
     from pyspark.sql import Window
 
     q = F.broadcast(query_terms.select("qid", F.lower("term").alias("term")).distinct())
     matched = postings.join(q, "term")
-    # slice term_stats to the query vocabulary (tiny) and broadcast —
-    # the corpus-wide stats table must never shuffle for a query batch
-    stats_slice = F.broadcast(
-        term_stats.join(q.select("term").distinct(), "term", "left_semi")
-    )
     score_term = (
         F.col("idf")
         * (k1 + 1.0)
         / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl)))
     )
+    if term_stats is None:
+        if corpus_size is None:
+            raise ValueError("bm25_score_batch: corpus_size required when term_stats is None")
+        n = float(corpus_size)
+        df_col = F.count("*").over(Window.partitionBy("qid", "term"))
+        scored_src = matched.withColumn(
+            "idf", F.log((F.lit(n) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+        )
+    else:
+        # slice term_stats to the query vocabulary (tiny) and broadcast —
+        # the corpus-wide stats table must never shuffle for a query batch
+        stats_slice = F.broadcast(
+            term_stats.join(q.select("term").distinct(), "term", "left_semi")
+        )
+        scored_src = matched.join(stats_slice, "term")
     scored = (
-        matched.join(stats_slice, "term")
-        .groupBy("qid", "id")
+        scored_src.groupBy("qid", "id")
         .agg(F.round(F.sum(score_term), 6).alias("score"))
         .filter(F.col("score") > 0)
     )

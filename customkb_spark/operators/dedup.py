@@ -248,7 +248,8 @@ def simhash_fingerprints(
     ONCE, then a single aggregate pass updates all ``bits`` counters via
     zip_with — no explode, no shuffle, map-side at any scale."""
     toks = docs.select(
-        F.col(id_col).alias("id"), X.unique_tokens(text_col).alias("toks")
+        F.col(id_col).alias("id"),
+        X.unique_tokens(text_col, ordered=False).alias("toks"),
     )
     dig = toks.select("id", F.transform("toks", lambda t: F.md5(t)).alias("digests"))
 

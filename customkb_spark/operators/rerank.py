@@ -56,7 +56,7 @@ def overlap_score(query_terms: list[str], text_col) -> "F.Column":
     """Deterministic rerank score: |Q ∩ T| / |Q ∪ T| over unique
     lowercase tokens. JVM-side, no Python."""
     q = F.array(*[F.lit(t) for t in dict.fromkeys(query_terms)])
-    toks = X.unique_tokens(text_col)
+    toks = X.unique_tokens(text_col, ordered=False)
     n_inter = F.size(F.array_intersect(toks, q))
     n_union = F.size(F.array_union(toks, q))
     return F.round(

@@ -199,7 +199,7 @@ def hybrid_search_batch(
     # the tokenizer (see bm25.build_postings)
     terms = queries.select(
         "qid",
-        F.explode_outer(X.bm25_token_set("query_text")).alias("term"),
+        F.explode_outer(X.bm25_token_set("query_text", ordered=False)).alias("term"),
     ).filter(F.length("term") >= cfg.bm25_min_token_length)
     kw_hits = B.bm25_score_batch(
         index.postings,

@@ -81,7 +81,8 @@ def incremental_bm25_stats(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         toks = batch_df.select(
-            F.col(id_col).alias("id"), X.bm25_token_set(text_col).alias("toks")
+            F.col(id_col).alias("id"),
+            X.bm25_token_set(text_col, ordered=False).alias("toks"),
         )
         n_batch = toks.count()
         if not n_batch:

@@ -55,6 +55,34 @@ def test_bm25_formula_hand_check(spark):
     assert 3 not in out
 
 
+def test_bm25_inline_stats_matches_stats_path(spark, documents):
+    """term_stats=None derives each query term's df from the matched
+    postings window — scores must be IDENTICAL to the materialized
+    term_stats path (same df values by construction)."""
+    postings = B.build_postings(documents, "doc_id", "text")
+    n, avgdl = B.corpus_stats(documents, "text")
+    stats = B.build_term_stats(postings, n)
+    terms = ["data", "query", "merge"]
+    a = {r["id"]: r["score"] for r in B.bm25_score(postings, stats, terms, avgdl, limit=50).collect()}
+    b = {
+        r["id"]: r["score"]
+        for r in B.bm25_score(postings, None, terms, avgdl, limit=50, corpus_size=n).collect()
+    }
+    assert a == b and a
+
+    qt = spark.createDataFrame([(0, t) for t in terms] + [(1, "data")], ["qid", "term"])
+    a2 = {(r["qid"], r["id"]): r["score"] for r in B.bm25_score_batch(postings, stats, qt, avgdl).collect()}
+    b2 = {
+        (r["qid"], r["id"]): r["score"]
+        for r in B.bm25_score_batch(postings, None, qt, avgdl, corpus_size=n).collect()
+    }
+    assert a2 == b2 and a2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        B.bm25_score(postings, None, terms, avgdl)
+
+
 def test_rrf_formula(spark):
     vec = spark.createDataFrame([(1, 0.9), (2, 0.8)], ["id", "score"])
     kw = spark.createDataFrame([(2, 5.0), (3, 4.0)], ["id", "score"])
