@@ -69,9 +69,29 @@ SQL_COS = (
 )
 
 
+# Tables whose queries do heavy per-row compute (regex tokenization,
+# shingle explodes, vector arithmetic). The driver's parquet files are
+# single-row-group, so Spark gives the SCAN one task and every map-side
+# stage runs on one core (measured: embedding_near_dups 87.8s -> 5.5s,
+# cross_corpus_shingle_join 4.0s -> 0.9s at sf0.1 after fan-out). The
+# guard makes this a no-op on well-split inputs — at cluster scale a
+# 100 TB scan has thousands of splits and never re-shuffles here.
+# Relational/events tables are NOT fanned out: their per-row work is
+# light and the round-robin exchange measured as a net loss.
+_FAN_TABLES = {"documents", "embeddings"}
+_FAN_WIDTH = 32
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _FAN_TABLES:
+        # fixed fan width, NOT defaultParallelism: partitioning decides
+        # double-sum accumulation order, and a constant keeps results
+        # bit-identical between this session and the driver's (local[8]
+        # vs local[32] would otherwise disagree in the last ulp)
+        if df.rdd.getNumPartitions() * 2 < _FAN_WIDTH:
+            df = df.repartition(_FAN_WIDTH)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -1873,7 +1893,10 @@ def q_corpus_profile(spark, sf_dir):
     per (source, lang) doc counts, token-length distribution (exact
     interpolated percentiles; swap for approx_percentile at 100 TB),
     and mean quality. One scan + one partial-aggregated groupBy."""
-    docs = _t(spark, sf_dir, "documents")
+    return _profile_docs(_t(spark, sf_dir, "documents"))
+
+
+def _profile_docs(docs):
     toks = F.size(X.tokens("text"))
     return (
         docs.select(
@@ -1887,7 +1910,14 @@ def q_corpus_profile(spark, sf_dir):
             F.sum("n_toks").cast("long").alias("total_tokens"),
             F.round(F.expr("percentile(n_toks, 0.5)"), 6).alias("p50_tokens"),
             F.round(F.expr("percentile(n_toks, 0.95)"), 6).alias("p95_tokens"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            # decimal sum: per-doc q is already round-6, so the decimal
+            # accumulation is exact and ORDER-INDEPENDENT — a double avg
+            # here drifts in the last ulp with partitioning (the scan is
+            # fanned out now) and flips the round-6 boundary
+            F.round(
+                (F.sum(F.col("q").cast("decimal(28,6)")) / F.count("*")).cast("double"),
+                6,
+            ).alias("avg_quality"),
         )
         .orderBy("source", "lang")
     )
@@ -1912,7 +1942,7 @@ SELECT source, lang,
        CAST(sum(n_toks) AS BIGINT) AS total_tokens,
        round(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
        round(quantile_cont(n_toks, 0.95), 6) AS p95_tokens,
-       round(avg(q), 6) AS avg_quality
+       round(CAST(sum(CAST(q AS DECIMAL(28,6))) / count(*) AS DOUBLE), 6) AS avg_quality
 FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """
 

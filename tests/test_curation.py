@@ -312,3 +312,18 @@ def test_weighted_sample_deterministic_and_sized(spark, documents):
 
     per_src = Counter(s for s, _ in ra)
     assert all(v == 3 for v in per_src.values())
+
+
+def test_corpus_profile_partitioning_invariant(spark, documents):
+    """The driver compares value hashes against a fixed DuckDB oracle,
+    and __spark_entry__ fans the documents scan out — so every float
+    aggregate in the profile must be ACCUMULATION-ORDER independent
+    (decimal sums, not double). Pin: identical output at 1, 8, and 32
+    partitions."""
+    import __spark_entry__ as E
+
+    base = None
+    for parts in (1, 8, 32):
+        out = [tuple(r) for r in E._profile_docs(documents.repartition(parts)).collect()]
+        base = out if base is None else base
+        assert out == base
