@@ -1689,8 +1689,13 @@ def q_cross_corpus_shingle_join(spark, sf_dir):
         F.col("doc_id"),
         F.explode(F.array_distinct(CU.word_ngrams("text", 3))).alias("shingle"),
     )
-    bench = sh.filter(F.col("doc_id") % 41 == 0).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+    # bench slice is 1/41 of the corpus — broadcast it so the corpus
+    # side's shingles never shuffle (decontaminate_overlap's shape; at
+    # 100 TB the benchmark side is always the bounded one)
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % 41 == 0).select(
+            F.col("doc_id").alias("bench_id"), "shingle"
+        )
     )
     corpus = sh.filter(F.col("doc_id") % 41 != 0)
     return (

@@ -204,8 +204,12 @@ def cmd_curate(args) -> int:
     # span stats emit no row for docs with zero non-empty spans (empty/
     # token-less docs) — left-join + coalesce keeps them in the report
     # and in the summary aggregates (ADVICE r2)
+    gopher = CU.gopher_quality_filter(docs, text_col, id_col).select(
+        id_col, "n_words", "mean_word_len", "alpha_word_frac", "gopher_pass"
+    )
     report = (
         rep.join(pii, id_col)
+        .join(gopher, id_col)
         .join(spans, id_col, "left")
         .withColumn("n_spans", F.coalesce("n_spans", F.lit(0)).cast("long"))
         .withColumn("dup_spans", F.coalesce("dup_spans", F.lit(0)).cast("long"))
@@ -227,6 +231,7 @@ def cmd_curate(args) -> int:
         F.round(F.avg("top_ngram_frac"), 4).alias("avg_top_ngram_frac"),
         F.round(F.avg("dup_span_frac"), 4).alias("avg_dup_span_frac"),
         F.sum((F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4") > 0).cast("long")).alias("docs_with_pii"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("gopher_pass_docs"),
     ]
     if args.benchmark:
         agg.append(F.sum(F.col("contaminated").cast("long")).alias("contaminated_docs"))

@@ -203,6 +203,146 @@ def repetition_signals(
     )
 
 
+# Gopher §A1's "essential English words" gate set (Rae et al. 2021,
+# published thresholds): a doc must contain ≥ 2 of these.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality-filter signals (Rae et al. 2021
+    §A1.1, the non-repetition half — repetition_signals covers the
+    rest). ALL pure column expressions — zero shuffles, scan-speed at
+    any corpus size:
+
+    - ``n_words``, ``mean_word_len`` — whitespace words;
+    - ``symbol_word_ratio`` — '#' or '…'/'...' occurrences per word;
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting
+      with a bullet mark / ending in an ellipsis;
+    - ``alpha_word_frac`` — words containing ≥ 1 alphabetic char;
+    - ``n_stop_hits`` — how many of the 8 Gopher essential words occur.
+    """
+    c = F.col(text_col)
+    words = F.regexp_extract_all(c, F.lit(r"\S+"), 0)
+    n_words = F.size(words)
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, "#|…", ""))
+        + F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0)) * 2
+    )
+    toks = X.tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(n_symbols / F.greatest(n_words, F.lit(1)), 6).alias("symbol_word_ratio"),
+        F.round(
+            F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]")))
+            / n_lines, 6,
+        ).alias("bullet_line_frac"),
+        F.round(
+            F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+            / n_lines, 6,
+        ).alias("ellipsis_line_frac"),
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("alpha_word_frac"),
+        F.size(
+            F.filter(stop_arr, lambda s: F.array_contains(toks, s))
+        ).cast("long").alias("n_stop_hits"),
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher's published accept/reject rule over the signals (defaults
+    are the paper's §A1.1 thresholds). Returns (id, …signals…,
+    gopher_pass) — callers filter or inspect; joins nothing, shuffles
+    nothing."""
+    sig = gopher_quality_signals(df, text_col, id_col)
+    passed = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return sig.withColumn("gopher_pass", passed)
+
+
+def tfidf_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keyphrases per document — the distributed form
+    of the reference's per-chunk keyphrase concept (its chunks table
+    carries a ``keyphrase_processed`` flag for exactly this pass).
+
+    Plan: one explode → (doc, term) partial-agg count → vocabulary df
+    (term-keyed partial agg, vocabulary-sized not corpus-sized) joined
+    back → per-doc rank window (partitioned by doc — never a global
+    window) → collect_list of the ordered head. idf = ln((N+1)/(df+1))
+    + 1 (smoothed, sklearn convention), score rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(X.tokens(text_col), lambda t: F.length(t) >= min_token_len)
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    vocab_df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(vocab_df, "term").select(
+        id_col, "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_rn", "term", "tfidf"))
+            ).alias("_ranked")
+        )
+        .select(
+            id_col,
+            F.transform("_ranked", lambda s: s["term"]).alias("keyphrases"),
+            F.transform("_ranked", lambda s: s["tfidf"]).alias("scores"),
+        )
+    )
+
+
 # ------------------------------------------------ span-level dedup
 
 

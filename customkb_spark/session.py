@@ -58,6 +58,13 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+        # local mode runs every task in the driver JVM, whose default
+        # heap is 1g — 32 concurrent explode tasks at the sf10 scale
+        # point OOM there. Sized for the harness (128 GiB box); on a
+        # real cluster the executor memory conf governs instead.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
     for k, v in build_conf(cpus, shuffle_partitions, extra_conf, gpus_per_task).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -327,3 +327,68 @@ def test_corpus_profile_partitioning_invariant(spark, documents):
         out = [tuple(r) for r in E._profile_docs(documents.repartition(parts)).collect()]
         base = out if base is None else base
         assert out == base
+
+
+def test_gopher_signals_hand_check(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the words be long enough to have value and that is fine with us"),
+            (2, "- a\n- b\n- c"),            # all bullet lines
+            (3, "so it goes...\nmore here…"),  # all ellipsis lines
+            (4, "### # # 1 2 3"),              # symbol soup, no alpha
+        ],
+        ["doc_id", "text"],
+    )
+    sig = {r["doc_id"]: r.asDict() for r in C.gopher_quality_signals(docs).collect()}
+    assert sig[1]["n_words"] == 14 and sig[1]["n_stop_hits"] >= 4
+    assert sig[1]["alpha_word_frac"] == 1.0
+    assert sig[2]["bullet_line_frac"] == 1.0
+    assert sig[3]["ellipsis_line_frac"] == 1.0
+    assert sig[4]["alpha_word_frac"] == 0.0
+    assert sig[4]["symbol_word_ratio"] > 0.5
+    # mean word length exact: (3+5+2+4+6+2+4+5+3+4+2+4+4+2)/14
+    exp = sum(len(w) for w in "the words be long enough to have value and that is fine with us".split()) / 14
+    assert abs(sig[1]["mean_word_len"] - exp) < 1e-6
+
+
+def test_gopher_filter_thresholds(spark):
+    good = "the quick brown fox jumps over the lazy dog and then runs away to have " \
+           "a long rest with friends that arrive late but happy " * 3
+    docs = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, "- a\n" * 60 + good)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["gopher_pass"] for r in C.gopher_quality_filter(docs).collect()}
+    assert out[1] is True
+    assert out[2] is False          # under 50 words
+    assert out[3] is False          # bullet fraction > 0.9
+
+
+def test_tfidf_keyphrases_ranks_distinctive_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark catalyst common common"),
+            (2, "duckdb duckdb oracle common common"),
+            (3, "python python common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in C.tfidf_keyphrases(docs, k=2).collect()}
+    # distinctive high-tf terms beat corpus-wide 'common'
+    assert out[1]["keyphrases"][0] == "spark"
+    assert out[2]["keyphrases"][0] == "duckdb"
+    assert out[3]["keyphrases"][0] == "python"
+    # scores sorted desc, arrays aligned
+    for r in out.values():
+        assert len(r["keyphrases"]) == len(r["scores"]) <= 2
+        assert r["scores"] == sorted(r["scores"], reverse=True)
+    # hand-check doc1 'spark': tf=3, df=1, N=3 -> 3 * (ln(4/2)+1)
+    import math
+    exp = round(3 * (math.log(4 / 2) + 1), 6)
+    assert abs(out[1]["scores"][0] - exp) < 1e-6
+
+
+def test_tfidf_keyphrases_deterministic_ties(spark):
+    docs = spark.createDataFrame([(1, "zebra apple zebra apple")], ["doc_id", "text"])
+    out = C.tfidf_keyphrases(docs, k=2).collect()[0]
+    assert out["keyphrases"] == ["apple", "zebra"]  # tie -> term asc
