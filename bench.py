@@ -252,7 +252,10 @@ def main() -> None:
     # warm the JVM/parquet footer caches once (not counted)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    timings = _run(qs, spark, BENCH_QUERIES, sf_dir)
+    # min of 3 for the headline: the container shows intermittent
+    # multi-second stalls (an unlucky 2-run min recorded a 10s
+    # rerank_topk that re-measures at 0.8s); 3 runs bound the damage
+    timings = _run(qs, spark, BENCH_QUERIES, sf_dir, runs=3)
     out = {
         "metric": "headline_suite_total",
         "value": round(sum(timings.values()), 3),

@@ -60,7 +60,22 @@ def make_sf(src: str, dst: str, factor: int, tables: list[str] | None = None) ->
             exprs = ", ".join(
                 f"{c} + {r * off} AS {c}"
                 if (off := offs.get(c)) and r
-                else c
+                else (
+                    # Salt every 3rd word of replica r>0 with the replica id.
+                    # Verbatim replication makes the corpus 99% duplicates at
+                    # high factors, so pair-emitting queries (MinHash,
+                    # cross-corpus shingle join) measure the synthetic data's
+                    # quadratic duplicate mass instead of plan scaling. Every
+                    # 3-word shingle contains a salted word, so cross-replica
+                    # shingle overlap is zero, while ~2/3 of tokens (stopword
+                    # markers, BM25 query terms) survive for the term-matching
+                    # queries to stay data-proportional. Within-replica
+                    # structure (lengths, planted near-dups) is unchanged.
+                    f"regexp_replace({c}, '(\\S+ \\S+ )(\\S+)', "
+                    f"'\\1\\2~r{r}', 'g') AS {c}"
+                    if t == "documents" and c == "text" and r
+                    else c
+                )
                 for c in cols
             )
             selects.append(f"SELECT {exprs} FROM '{src}/{t}.parquet'")
