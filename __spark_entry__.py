@@ -90,7 +90,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # double-sum accumulation order, and a constant keeps results
         # bit-identical between this session and the driver's (local[8]
         # vs local[32] would otherwise disagree in the last ulp)
-        if df.rdd.getNumPartitions() * 2 < _FAN_WIDTH:
+        # strict `<`: DuckDB-written files arrive as a handful of
+        # UNEVEN row-group splits (sf10: 17 splits with 4 straggler
+        # tasks carrying most rows); round-robin evens them out
+        if df.rdd.getNumPartitions() < _FAN_WIDTH:
             df = df.repartition(_FAN_WIDTH)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -1685,9 +1688,12 @@ def q_cross_corpus_shingle_join(spark, sf_dir):
     family) — never a cross join. Shuffle keys are shingles then
     (a, b) pairs; both partial-aggregate."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id"),
-        F.explode(F.array_distinct(CU.word_ngrams("text", 3))).alias("shingle"),
+    # token array staged in its own projection — see
+    # curation.ngrams_from_tokens (inlined tokenizer re-evaluates per
+    # slice under the lambda; measured 2.9x at sf10)
+    sh = docs.select(F.col("doc_id"), X.tokens("text").alias("_toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(CU.ngrams_from_tokens("_toks", 3))).alias("shingle"),
     )
     # bench slice is 1/41 of the corpus — broadcast it so the corpus
     # side's shingles never shuffle (decontaminate_overlap's shape; at

@@ -71,8 +71,14 @@ def make_sf(src: str, dst: str, factor: int, tables: list[str] | None = None) ->
                     # markers, BM25 query terms) survive for the term-matching
                     # queries to stay data-proportional. Within-replica
                     # structure (lengths, planted near-dups) is unchanged.
+                    # the salt attaches with NO separator ('datar7', not
+                    # 'data~r7'): the tokenizer is [a-z0-9]+ runs, so a
+                    # separator would split the salt into its own token,
+                    # inserting a positionally-aligned wildcard that
+                    # RAISES cross-doc shingle collisions (measured 30x
+                    # pair inflation at sf10) instead of lowering them
                     f"regexp_replace({c}, '(\\S+ \\S+ )(\\S+)', "
-                    f"'\\1\\2~r{r}', 'g') AS {c}"
+                    f"'\\1\\2r{r}', 'g') AS {c}"
                     if t == "documents" and c == "text" and r
                     else c
                 )
