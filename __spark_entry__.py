@@ -1325,7 +1325,10 @@ ORDER BY e.vec_id
 def q_lang_id(spark, sf_dir):
     """Stopword-marker language-ID heuristic (F9 stand-in)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.detect_language_heuristic("text").alias("lang_pred"))
+    return docs.select("doc_id", X.tokens("text").alias("_toks")).select(
+        "doc_id",
+        X.detect_language_heuristic(F.lit(""), toks=F.col("_toks")).alias("lang_pred"),
+    )
 
 
 def _sql_lang_id() -> str:
@@ -1351,10 +1354,11 @@ def q_quality_scores(spark, sf_dir):
     """Text-quality scoring (length/stopword/punctuation heuristics)."""
     docs = _t(spark, sf_dir, "documents")
     return _longs(
-        docs.select(
+        docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
+        .select(
             "doc_id",
-            X.word_count("text").alias("word_count"),
-            X.quality_score("text").alias("quality"),
+            X.word_count("text", toks=F.col("_toks")).alias("word_count"),
+            X.quality_score("text", toks=F.col("_toks")).alias("quality"),
         )
     )
 
@@ -1735,9 +1739,12 @@ def q_corpus_filter_pipeline(spark, sf_dir):
     pipeline runs first; one scan feeds all three predicates, the only
     shuffle is the dedup groupBy on the content hash."""
     docs = _t(spark, sf_dir, "documents")
-    gated = docs.filter(
-        (X.detect_language_heuristic("text") == "en")
-        & (X.quality_score("text") >= 0.5)
+    # token array staged once; the lang/quality filter lambdas would
+    # otherwise each re-evaluate the tokenizer (no CSE across lambdas)
+    toked = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
+    gated = toked.filter(
+        (X.detect_language_heuristic("text", toks=F.col("_toks")) == "en")
+        & (X.quality_score("text", toks=F.col("_toks")) >= 0.5)
     )
     canonical = (
         gated.select(F.col("doc_id").alias("id"), D.content_hash("text").alias("text_hash"))
@@ -1908,12 +1915,12 @@ def q_corpus_profile(spark, sf_dir):
 
 
 def _profile_docs(docs):
-    toks = F.size(X.tokens("text"))
     return (
-        docs.select(
+        docs.select("source", "lang", "text", X.tokens("text").alias("_toks"))
+        .select(
             "source", "lang",
-            toks.alias("n_toks"),
-            X.quality_score("text").alias("q"),
+            F.size("_toks").alias("n_toks"),
+            X.quality_score("text", toks=F.col("_toks")).alias("q"),
         )
         .groupBy("source", "lang")
         .agg(
@@ -2280,16 +2287,17 @@ def q_doc_text_signals(spark, sf_dir):
     expressions, one contract entry."""
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.col("text"), F.lit("[^ \\t\\n\\x0B\\f\\r]+"), 0)
+    toked = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
     return _longs(
-        docs.select(
+        toked.select(
             "doc_id",
-            X.detect_language_heuristic("text").alias("lang_pred"),
-            X.word_count("text").alias("word_count"),
-            X.quality_score("text").alias("quality"),
+            X.detect_language_heuristic("text", toks=F.col("_toks")).alias("lang_pred"),
+            X.word_count("text", toks=F.col("_toks")).alias("word_count"),
+            X.quality_score("text", toks=F.col("_toks")).alias("quality"),
             F.size(ws).alias("n_ws_tokens"),
             X.token_count_bpe_ish("text").alias("n_bpe_approx"),
             F.size(X.bm25_token_set("text", ordered=False)).alias("doc_length"),
-            F.size(X.tokens("text")).alias("n_tokens"),
+            F.size("_toks").alias("n_tokens"),
         )
     )
 

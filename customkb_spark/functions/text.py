@@ -123,8 +123,8 @@ def normalize_query(col: Column | str) -> Column:
     return F.trim(c)
 
 
-def word_count(col: Column | str) -> Column:
-    return F.size(tokens(col))
+def word_count(col: Column | str, toks: Column | None = None) -> Column:
+    return F.size(tokens(col) if toks is None else toks)
 
 
 def char_length(col: Column | str) -> Column:
@@ -132,11 +132,20 @@ def char_length(col: Column | str) -> Column:
     return F.length(c)
 
 
-def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio(
+    col: Column | str,
+    stopwords: list[str] | None = None,
+    toks: Column | None = None,
+) -> Column:
     """Fraction of tokens that are (English) stopwords — a cheap
-    quality / language signal computed fully JVM-side."""
+    quality / language signal computed fully JVM-side.
+
+    Hot paths should pass ``toks`` — a token array MATERIALIZED in its
+    own projection: the filter lambda below bypasses codegen CSE, so an
+    inlined tokenizer re-evaluates its regex per reference (measured 2×
+    on the sf10 quality scan; see curation.ngrams_from_tokens)."""
     sw = F.array(*[F.lit(s) for s in (stopwords or ESSENTIAL_STOPWORDS)])
-    toks = tokens(col)
+    toks = tokens(col) if toks is None else toks
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -147,13 +156,14 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, toks: Column | None = None) -> Column:
     """Composite document-quality heuristic for training-data filtering:
     rewards mid-length docs, penalizes punctuation soup and stopword
-    deserts. Deterministic + SQL-expressible (oracle-checkable)."""
-    wc = word_count(col).cast("double")
+    deserts. Deterministic + SQL-expressible (oracle-checkable).
+    Pass a staged ``toks`` on hot paths (see stopword_ratio)."""
+    wc = word_count(col, toks=toks).cast("double")
     length_term = F.least(wc / F.lit(100.0), F.lit(1.0))
-    sw_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col, toks=toks) * 4, F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 10, F.lit(1.0))
     return F.round((length_term + sw_term + punct_term) / 3, 6)
 
@@ -168,13 +178,15 @@ LANG_MARKERS: list[tuple[str, list[str]]] = [
 ]
 
 
-def detect_language_heuristic(col: Column | str) -> Column:
+def detect_language_heuristic(col: Column | str, toks: Column | None = None) -> Column:
     """N-gram/stopword language-ID heuristic (stand-in for the
     reference's langdetect call, utils/language_detector.py:36-118):
     scores per-language stopword hit-rates and picks the argmax with a
     fixed priority order for ties. Pure column algebra — runs at scan
-    speed, no Python."""
-    toks = tokens(col)
+    speed, no Python. Pass a staged ``toks`` on hot paths: the 4
+    per-language filter lambdas below each re-evaluate an inlined
+    tokenizer (codegen CSE does not cross lambdas)."""
+    toks = tokens(col) if toks is None else toks
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     scores = []
     for _, markers in LANG_MARKERS:
