@@ -232,14 +232,40 @@ def _sf1_dir() -> str | None:
         return None
 
 
+def _leg(leg_name: str) -> dict[str, float] | None:
+    """Run a scale leg in a FRESH python/JVM subprocess.
+
+    Measured in-session: after the ~70-query headline+extras pass, the
+    same scale queries run 5-20x slower in the accumulated JVM
+    (span_dedup sf10: 265s in-session vs 3.8s fresh -- old-gen pressure
+    from thousands of finished tasks, not the plans). A subprocess
+    gives each leg the same warmed-but-clean profile the headline gets."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_LEG=leg_name)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+            return parsed or None
+        except json.JSONDecodeError:
+            continue
+    print(f"# {leg_name} leg failed (rc={proc.returncode})", file=sys.stderr)
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    leg = os.environ.get("SPARK_GRAFT_BENCH_LEG")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
-    spark = get_spark("bench", cpus=cpus)
     # Bind to the base q_* functions by stable name: the driver contract
     # (E.queries()) consolidates same-grain queries into merged entries,
     # but the headline suite must stay identical round-over-round (e.g.
@@ -249,6 +275,18 @@ def main() -> None:
         for name in BENCH_QUERIES + EXTRA_QUERIES + SF1_QUERIES + SF10_QUERIES
     }
 
+    if leg:  # child process: one scale leg only, one JSON line
+        spark = get_spark(f"bench-{leg}", cpus=cpus)
+        d = _sf1_dir() if leg == "sf1" else _sf10_dir()
+        if not d:
+            print(json.dumps({}))
+            return
+        names = SF1_QUERIES if leg == "sf1" else SF10_QUERIES
+        spark.read.parquet(f"{d}/documents.parquet").count()  # warm
+        print(json.dumps(_run(qs, spark, names, d, runs=1)))
+        return
+
+    spark = get_spark("bench", cpus=cpus)
     # warm the JVM/parquet footer caches once (not counted)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
@@ -269,18 +307,18 @@ def main() -> None:
 
     out["ann"] = _ann_build_search(spark, sf_dir)
 
-    sf1 = _sf1_dir()
-    if sf1:
-        sf1_timings = _run(qs, spark, SF1_QUERIES, sf1, runs=1)
-        out["sf1_queries"] = sf1_timings
-        out["sf1_total"] = round(sum(sf1_timings.values()), 3)
-        out["sf1"] = 1.0
+    if _sf1_dir():
+        sf1_timings = _leg("sf1")
+        if sf1_timings:
+            out["sf1_queries"] = sf1_timings
+            out["sf1_total"] = round(sum(sf1_timings.values()), 3)
+            out["sf1"] = 1.0
 
-    sf10 = _sf10_dir()
-    if sf10:
-        sf10_timings = _run(qs, spark, SF10_QUERIES, sf10, runs=1)
-        out["sf10_queries"] = sf10_timings
-        out["sf10_total"] = round(sum(sf10_timings.values()), 3)
+    if _sf10_dir():
+        sf10_timings = _leg("sf10")
+        if sf10_timings:
+            out["sf10_queries"] = sf10_timings
+            out["sf10_total"] = round(sum(sf10_timings.values()), 3)
 
     print(json.dumps(out))
 
