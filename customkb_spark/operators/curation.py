@@ -223,13 +223,10 @@ def repetition_signals(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document Gopher quality-filter signals (Rae et al. 2021
-    §A1.1, the non-repetition half — repetition_signals covers the
-    rest). ALL pure column expressions — zero shuffles, scan-speed at
-    any corpus size:
+def gopher_signal_columns(text_col: str = "text") -> dict[str, Column]:
+    """The Gopher §A1.1 non-repetition signals as NAMED column
+    expressions (composable onto any frame, batch or streaming —
+    streaming/curation.py attaches them without a join):
 
     - ``n_words``, ``mean_word_len`` — whitespace words;
     - ``symbol_word_ratio`` — '#' or '…'/'...' occurrences per word;
@@ -245,36 +242,46 @@ def gopher_quality_signals(
     n_lines = F.greatest(F.size(lines), F.lit(1))
     n_symbols = (
         F.length(c) - F.length(F.regexp_replace(c, "#|…", ""))
-        + F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0)) * 2
+        + F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.", ), 0)) * 2
     )
     toks = X.tokens(text_col)
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(
             F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
             / F.greatest(n_words, F.lit(1)),
             6,
-        ).alias("mean_word_len"),
-        F.round(n_symbols / F.greatest(n_words, F.lit(1)), 6).alias("symbol_word_ratio"),
-        F.round(
+        ),
+        "symbol_word_ratio": F.round(n_symbols / F.greatest(n_words, F.lit(1)), 6),
+        "bullet_line_frac": F.round(
             F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]")))
             / n_lines, 6,
-        ).alias("bullet_line_frac"),
-        F.round(
+        ),
+        "ellipsis_line_frac": F.round(
             F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
             / n_lines, 6,
-        ).alias("ellipsis_line_frac"),
-        F.round(
+        ),
+        "alpha_word_frac": F.round(
             F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
             / F.greatest(n_words, F.lit(1)),
             6,
-        ).alias("alpha_word_frac"),
-        F.size(
+        ),
+        "n_stop_hits": F.size(
             F.filter(stop_arr, lambda s: F.array_contains(toks, s))
-        ).cast("long").alias("n_stop_hits"),
-    )
+        ).cast("long"),
+    }
+
+
+def gopher_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality-filter signals (Rae et al. 2021
+    §A1.1, the non-repetition half — repetition_signals covers the
+    rest). ALL pure column expressions — zero shuffles, scan-speed at
+    any corpus size. See gopher_signal_columns for the signal list."""
+    sig = gopher_signal_columns(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in sig.items()])
 
 
 def gopher_quality_filter(
@@ -296,7 +303,29 @@ def gopher_quality_filter(
     gopher_pass) — callers filter or inspect; joins nothing, shuffles
     nothing."""
     sig = gopher_quality_signals(df, text_col, id_col)
-    passed = (
+    passed = gopher_pass_from_signals(
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, max_bullet_frac, max_ellipsis_frac,
+        min_alpha_frac, min_stop_hits,
+    )
+    return sig.withColumn("gopher_pass", passed)
+
+
+def gopher_pass_from_signals(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The accept predicate over ALREADY-ATTACHED signal columns (the
+    names gopher_signal_columns emits) — shared by the batch filter and
+    the streaming gate (streaming/curation.py)."""
+    return (
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
         & (F.col("symbol_word_ratio") <= max_symbol_ratio)
@@ -305,7 +334,6 @@ def gopher_quality_filter(
         & (F.col("alpha_word_frac") >= min_alpha_frac)
         & (F.col("n_stop_hits") >= min_stop_hits)
     )
-    return sig.withColumn("gopher_pass", passed)
 
 
 def tfidf_keyphrases(

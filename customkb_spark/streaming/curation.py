@@ -1,0 +1,73 @@
+"""Streaming corpus curation — the quality/PII/decontamination gates
+as a continuous pipeline.
+
+A production training-data flow curates documents AS THEY ARRIVE
+(crawl → filter → store), not in periodic batch sweeps. Everything in
+the batch curation suite that is per-row column algebra (quality
+score, language gate, Gopher signals, PII scrub, decontamination
+against a bounded benchmark set) lifts to Structured Streaming
+UNCHANGED — the same expressions run per micro-batch with ZERO state:
+no watermark, no shuffle, one output row per surviving input row, the
+shape that keeps up with an unbounded crawl. Only the corpus-global
+signals (span dedup, vocabulary, surprisal) genuinely need
+batch/stateful passes, and exact dedup has its own watermark-bounded
+streaming form (streaming/dedup.py).
+
+The twin-ness is the tested contract: for any input, the streaming
+pipeline under an availableNow trigger produces exactly the batch
+operators' output (tests/test_streaming_curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import text as X
+from customkb_spark.operators import curation as CU
+
+
+def curate_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark_ngrams: list[str] | None = None,
+    ngram_n: int = 8,
+    min_quality: float = 0.0,
+    language: str | None = None,
+    gopher: bool = True,
+) -> DataFrame:
+    """The stateless curation gate over a (streaming or batch) frame:
+
+    - stages the token array once (curation.ngrams_from_tokens CSE
+      rationale);
+    - adds ``language`` (JVM heuristic), ``quality``, the Gopher
+      signal columns + ``gopher_pass`` (paper thresholds);
+    - PII-scrubs the text into ``text_redacted`` + per-kind counts;
+    - with ``benchmark_ngrams`` (a driver-side list — eval suites are
+      bounded by construction, GPT-3 appx C scale is ~10^5 n-grams;
+      it ships to executors as one broadcast literal array), flags
+      ``contaminated`` per row via array_intersect — no stream-stream
+      join, no state;
+    - optionally filters to ``language`` / ``min_quality``.
+    """
+    toked = docs_stream.withColumn("_toks", X.tokens(text_col))
+    out = toked.withColumn(
+        "language", X.detect_language_heuristic(text_col, toks=F.col("_toks"))
+    ).withColumn("quality", X.quality_score(text_col, toks=F.col("_toks")))
+    if gopher:
+        for name, col in CU.gopher_signal_columns(text_col).items():
+            out = out.withColumn(name, col)
+        out = out.withColumn("gopher_pass", CU.gopher_pass_from_signals())
+    out = CU.pii_scrub(out, text_col, out_col="text_redacted")
+    if benchmark_ngrams is not None:
+        bench = F.array(*[F.lit(g) for g in sorted(set(benchmark_ngrams))])
+        grams = CU.ngrams_from_tokens("_toks", ngram_n)
+        out = out.withColumn(
+            "contaminated", F.size(F.array_intersect(grams, bench)) > 0
+        )
+    if language is not None:
+        out = out.filter(F.col("language") == language)
+    if min_quality > 0.0:
+        out = out.filter(F.col("quality") >= min_quality)
+    return out.drop("_toks")

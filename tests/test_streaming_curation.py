@@ -1,0 +1,95 @@
+"""Streaming curation gate (streaming/curation.py): the availableNow
+streaming pipeline must equal its batch twin row-for-row — the
+stateless-expressions contract."""
+
+from pyspark.sql import functions as F
+
+from customkb_spark.functions import text as X
+from customkb_spark.operators import curation as CU
+from customkb_spark.streaming.curation import curate_stream
+
+_SENT1 = ("the cat and the dog went to the house of the king and stayed for a while "
+          "because the weather that day was that bad with rain to have cover from ")
+_SENT5 = ("the quick brown fox jumps over the lazy dog near the river bank to have fun "
+          "with friends that arrive at noon and stay for the whole long summer day ")
+ROWS = [
+    (1, (_SENT1 * 3).strip()),  # ≥50 words → inside the Gopher band
+    (2, "el la de que los una por el la de que"),
+    (3, "contact me at alice@example.com or 555-123-4567 for the data files"),
+    (4, "short"),
+    (5, (_SENT5 * 3).strip()),
+]
+
+
+def _batch(spark):
+    return spark.createDataFrame(ROWS, "doc_id: long, text: string")
+
+
+def _run_stream(spark, tmp_path, **kwargs):
+    src = str(tmp_path / "src")
+    _batch(spark).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    name = "curate_out"
+    q = (
+        curate_stream(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_equals_batch_twin(spark, tmp_path):
+    bench = ["the quick brown fox jumps over the lazy dog"]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in _run_stream(
+            spark, tmp_path, benchmark_ngrams=bench, ngram_n=9
+        ).collect()
+    }
+    # batch twin: same operators applied to the static frame
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in curate_stream(
+            _batch(spark), benchmark_ngrams=bench, ngram_n=9
+        ).collect()
+    }
+    assert got == exp and len(got) == len(ROWS)
+
+    # spot semantics: es doc detected, PII redacted, benchmark doc flagged
+    assert got[2]["language"] == "es"
+    assert "<EMAIL>" in got[3]["text_redacted"] and "<PHONE>" in got[3]["text_redacted"]
+    assert got[5]["contaminated"] is True and got[1]["contaminated"] is False
+    # gopher gate: long natural-language docs pass, "short" fails
+    assert got[1]["gopher_pass"] is True and got[4]["gopher_pass"] is False
+
+
+def test_streaming_filters_are_stateless_gates(spark, tmp_path):
+    out = _run_stream(spark, tmp_path, language="en", min_quality=0.3)
+    langs = {r["doc_id"]: r["language"] for r in out.collect()}
+    assert set(langs.values()) == {"en"}
+    assert 2 not in langs  # es filtered
+    # quality/gopher columns rode along
+    assert {"quality", "gopher_pass", "text_redacted"} <= set(out.columns)
+
+
+def test_gopher_signals_match_filter_operator(spark):
+    """gopher_signal_columns composed manually == gopher_quality_filter
+    (the shared-predicate refactor contract)."""
+    df = _batch(spark)
+    via_filter = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in CU.gopher_quality_filter(df).collect()
+    }
+    manual = df
+    for name, col in CU.gopher_signal_columns("text").items():
+        manual = manual.withColumn(name, col)
+    via_cols = {
+        r["doc_id"]: r["p"]
+        for r in manual.withColumn("p", CU.gopher_pass_from_signals())
+        .select("doc_id", "p").collect()
+    }
+    assert via_filter == via_cols
