@@ -27,6 +27,11 @@ _BASE_CONF = {
     # The driver's events table stores TIMESTAMP(NANOS) (unsupported by
     # Spark's reader) — read as long and convert (see schema.read_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ContextCleaner only reclaims shuffle files / broadcast blocks when
+    # the DRIVER GCs; with a 32 GiB heap that's rare, and a long session
+    # (70-query bench, oracle sweeps) accumulates enough state to run
+    # 5-20× slower by the end (measured). Force the cleanup cycle.
+    "spark.cleaner.periodicGC.interval": "2min",
 }
 
 

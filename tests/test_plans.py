@@ -124,6 +124,30 @@ def test_bm25_batch_broadcasts_stats_slice(spark, documents):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_bm25_inline_stats_scans_corpus_once(spark, documents):
+    """term_stats=None derives df from the matched postings window, so
+    the whole scoring plan reads the corpus ONE time; the materialized-
+    stats path pays a second scan subtree for the stats build. Pinning
+    the scan count pins the saved tokenization pass."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from customkb_spark.operators import bm25 as B
+
+    postings = B.build_postings(documents, "doc_id", "text")
+    inline = B.bm25_score(postings, None, ["data", "query"], 10.0, corpus_size=500)
+    assert explain_str(inline, "simple").count("Scan parquet") == 1
+    stats = B.build_term_stats(postings, 500)
+    full = B.bm25_score(postings, stats, ["data", "query"], 10.0)
+    assert explain_str(full, "simple").count("Scan parquet") == 2
+
+
+def test_cross_corpus_bench_side_broadcasts(spark):
+    plan = explain_str(E.q_cross_corpus_shingle_join(spark, SF), "simple")
+    # the benchmark slice joins as a broadcast: corpus shingles never
+    # shuffle for the join (only the pair-count aggregation shuffles)
+    assert "BroadcastHashJoin" in plan
+
+
 def test_asof_join_single_shuffle(spark):
     import datetime as dt
 
