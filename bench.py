@@ -283,7 +283,10 @@ def main() -> None:
             return
         names = SF1_QUERIES if leg == "sf1" else SF10_QUERIES
         spark.read.parquet(f"{d}/documents.parquet").count()  # warm
-        print(json.dumps(_run(qs, spark, names, d, runs=1)))
+        # min of 2: the container shows random multi-second stalls that
+        # strike a different query each session; a single run records
+        # them as 10-20x per-query outliers
+        print(json.dumps(_run(qs, spark, names, d, runs=2)))
         return
 
     spark = get_spark("bench", cpus=cpus)

@@ -75,15 +75,16 @@ def bm25_score(
     carries only matching postings, not the corpus.
 
     With ``term_stats=None`` (pass ``corpus_size``), each query term's
-    df is derived from the matched postings themselves via a per-term
-    count window: df(t) = |{id : (id,t) ∈ postings}| is exactly the
-    matched-partition row count, so no corpus-wide stats build (a
-    second full tokenization pass + full-vocabulary shuffle) is needed.
+    df is derived from the matched postings themselves:
+    df(t) = |{id : (id,t) ∈ postings}| — aggregated with a map-side
+    partial agg into a ≤|query|-row frame that broadcast-joins back.
+    No corpus-wide stats build (the full-vocabulary shuffle) is needed,
+    and the matched rows never shuffle BY TERM — a per-term count
+    window here would route every matched posting through ≤|query|
+    reducers (measured as a 2-partition straggler stage at sf1).
     Use this for ad-hoc scoring without a persisted index; the
     term_stats path is for the materialized-index flow (kb.build_bm25).
     """
-    from pyspark.sql import Window
-
     qt = sorted(set(t.lower() for t in query_terms))
     matched = postings.filter(F.col("term").isin(qt))
     # tf = 1 (dedup semantics) → the classic numerator reduces to (k1+1)
@@ -97,10 +98,15 @@ def bm25_score(
         if corpus_size is None:
             raise ValueError("bm25_score: corpus_size required when term_stats is None")
         n = float(corpus_size)
-        df_col = F.count("*").over(Window.partitionBy("term"))
-        scored_src = matched.withColumn(
-            "idf", F.log((F.lit(n) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+        stats = F.broadcast(
+            matched.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .withColumn(
+                "idf", F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            )
+            .drop("df")
         )
+        scored_src = matched.join(stats, "term")
     else:
         stats = F.broadcast(term_stats.filter(F.col("term").isin(qt)))
         scored_src = matched.join(stats, "term")
@@ -152,12 +158,14 @@ def bm25_score_batch(
     top-``limit`` per query. One postings scan serves every query; the
     shuffle carries only matching (qid, posting) rows.
 
-    ``term_stats=None`` (with ``corpus_size``): df comes from a count
-    window over the matched rows — postings hold one row per (id,term)
-    and the broadcast join adds qid, so the (qid,term) partition count
-    IS that term's corpus df. Skips the corpus-wide stats build; use
-    for ad-hoc batches, keep the term_stats path for the persisted
-    index (plans/hybrid.py).
+    ``term_stats=None`` (with ``corpus_size``): per-term df comes from
+    a map-side partial aggregation of the matched postings (one row per
+    (id,term), so the count IS the corpus df), broadcast-joined back.
+    Skips the corpus-wide stats build, and the matched rows never
+    shuffle by term — a count window here collapses to ≤|query vocab|
+    reducers (measured: a 2-partition straggler stage at sf1). Use for
+    ad-hoc batches; keep the term_stats path for the persisted index
+    (plans/hybrid.py).
     """
     from pyspark.sql import Window
 
@@ -172,10 +180,18 @@ def bm25_score_batch(
         if corpus_size is None:
             raise ValueError("bm25_score_batch: corpus_size required when term_stats is None")
         n = float(corpus_size)
-        df_col = F.count("*").over(Window.partitionBy("qid", "term"))
-        scored_src = matched.withColumn(
-            "idf", F.log((F.lit(n) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+        # df is per TERM (not per qid): count once over term-distinct
+        # postings, then broadcast to every (qid, term) matched row
+        stats = F.broadcast(
+            postings.join(q.select("term").distinct(), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .withColumn(
+                "idf", F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            )
+            .drop("df")
         )
+        scored_src = matched.join(stats, "term")
     else:
         # slice term_stats to the query vocabulary (tiny) and broadcast —
         # the corpus-wide stats table must never shuffle for a query batch

@@ -124,21 +124,25 @@ def test_bm25_batch_broadcasts_stats_slice(spark, documents):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
-def test_bm25_inline_stats_scans_corpus_once(spark, documents):
-    """term_stats=None derives df from the matched postings window, so
-    the whole scoring plan reads the corpus ONE time; the materialized-
-    stats path pays a second scan subtree for the stats build. Pinning
-    the scan count pins the saved tokenization pass."""
-    from pyspark.sql import functions as F  # noqa: F811
-
+def test_bm25_inline_stats_no_term_window(spark, documents):
+    """term_stats=None derives df via map-side partial agg + broadcast
+    join back. The plan must contain NO window and no sort-merge join:
+    a per-term count window routes every matched posting through
+    ≤|query| reducers (measured as a 2-partition straggler stage at
+    sf1); broadcast keeps the matched rows where they are."""
     from customkb_spark.operators import bm25 as B
 
     postings = B.build_postings(documents, "doc_id", "text")
     inline = B.bm25_score(postings, None, ["data", "query"], 10.0, corpus_size=500)
-    assert explain_str(inline, "simple").count("Scan parquet") == 1
-    stats = B.build_term_stats(postings, 500)
-    full = B.bm25_score(postings, stats, ["data", "query"], 10.0)
-    assert explain_str(full, "simple").count("Scan parquet") == 2
+    plan = explain_str(inline, "simple")
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    qt = spark.createDataFrame([(0, "data"), (1, "query")], ["qid", "term"])
+    batch = B.bm25_score_batch(postings, None, qt, 10.0, corpus_size=500)
+    bplan = explain_str(batch, "simple")
+    # the rank window partitions by qid (bounded output), never by term
+    assert "SortMergeJoin" not in bplan and bplan.count("BroadcastHashJoin") >= 2
 
 
 def test_cross_corpus_bench_side_broadcasts(spark):
