@@ -130,3 +130,45 @@ def test_span_dedup_conservation(texts):
     for r in rows:
         assert 0 <= r.dup_spans <= r.n_spans
         assert 0.0 <= r.dup_span_frac <= 1.0
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_gopher_signals_bounded(texts):
+    from customkb_spark.operators.curation import gopher_quality_signals
+
+    spark = _spark()
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for r in gopher_quality_signals(docs).collect():
+        assert r["n_words"] >= 0 and r["n_stop_hits"] >= 0
+        for frac in ("symbol_word_ratio", "bullet_line_frac",
+                     "ellipsis_line_frac", "alpha_word_frac"):
+            # ratios-of-counts: fractions of lines/words stay in [0, 1]
+            # (symbol ratio can exceed 1 only when symbols outnumber
+            # words, which '#'-only docs can produce — lower bound only)
+            assert r[frac] >= 0.0
+        assert r["bullet_line_frac"] <= 1.0
+        assert r["ellipsis_line_frac"] <= 1.0
+        assert r["alpha_word_frac"] <= 1.0
+        assert r["mean_word_len"] >= 0.0
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=2, max_size=8))
+def test_tfidf_keyphrases_partitioning_invariant(texts):
+    from customkb_spark.operators.curation import tfidf_keyphrases
+
+    spark = _spark()
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    a = {
+        r["doc_id"]: (r["keyphrases"], r["scores"])
+        for r in tfidf_keyphrases(docs.repartition(1), k=3).collect()
+    }
+    b = {
+        r["doc_id"]: (r["keyphrases"], r["scores"])
+        for r in tfidf_keyphrases(docs.repartition(7), k=3).collect()
+    }
+    assert a == b  # rank + tie-break fully deterministic under shuffles
+    for phrases, scores in a.values():
+        assert len(phrases) == len(scores) <= 3
+        assert scores == sorted(scores, reverse=True)
