@@ -689,3 +689,88 @@ def stratified_sample(
     )
     thr = F.coalesce(F.element_at(mapping, F.col(strata_col)), thr)
     return df.filter(hash_bucket_hex(F.col(key_col), seed) < thr)
+
+
+# ------------------------------------------- importance resampling
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets_hex: int = 2,
+    alpha: float = 0.5,
+    seed: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw document by how much
+    more likely its hashed bag-of-words is under the TARGET domain's
+    unigram model than under the raw corpus's — the principled version
+    of "select data that looks like the domain I care about", used to
+    up-sample domain-relevant web data before training.
+
+    ``target_pred`` marks the in-domain rows (e.g. ``col('source') ==
+    'wiki'``). Features are tokens hashed into ``16**n_buckets_hex``
+    buckets (the hash-trick keeps the parameter table fixed-size
+    regardless of vocabulary). With Laplace smoothing ``alpha``::
+
+        log_w(doc) = sum over tokens t of  ln p_target(b(t)) / p_raw(b(t))
+
+    Buckets are the first ``n_buckets_hex`` chars of ``md5(token:seed)``
+    — engine-portable (string, not engine-specific hashes), same trick
+    as :func:`stratified_sample`. Per-bucket log-ratios are rounded to
+    9 dp and summed in DECIMAL so the per-doc total is exact and
+    order-independent (float sums are not associative under Spark's
+    unordered combines).
+
+    Plan shape (scale-safe at any corpus size): one exploded scan →
+    one partial-aggregated groupBy on (bucket) counting both sides in
+    the same pass (conditional sums — no second scan) → the bucket
+    table (≤ 16^n rows, constant) broadcast-joins back onto the token
+    stream → per-doc partial-agg sum. Two shuffles total, one of them
+    over a constant-size key space.
+
+    Returns ``id_col, n_tokens, log_weight`` for every document
+    (target rows score too — useful for calibration). Resample with
+    :func:`weighted_sample` over ``exp(log_weight)`` or select top-k.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_is_t"),
+        F.explode(X.tokens(text_col)).alias("token"),
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("token"), F.lit(seed))), 1, n_buckets_hex
+        ),
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.sum("_is_t").cast("long").alias("c_t"),
+        F.sum(1 - F.col("_is_t")).cast("long").alias("c_r"),
+    )
+    n_buckets = 16 ** n_buckets_hex
+    tot = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    ).collect()[0]
+    n_t, n_r = (tot["n_t"] or 0), (tot["n_r"] or 0)
+    denom_t = float(n_t + alpha * n_buckets)
+    denom_r = float(n_r + alpha * n_buckets)
+    ratios = counts.select(
+        "bucket",
+        F.round(
+            F.log((F.col("c_t") + alpha) / F.lit(denom_t))
+            - F.log((F.col("c_r") + alpha) / F.lit(denom_r)),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("log_ratio"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("log_ratio").cast("double").alias("log_weight"),
+        )
+    )

@@ -1,0 +1,138 @@
+"""Sequence packing, hash splits, and DSIR importance weights."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from customkb_spark.operators import curation as C
+from customkb_spark.operators import packing as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["source", "doc_id", "text"])
+
+
+# ------------------------------------------------------- pack_segments
+
+
+def test_pack_segments_layout(spark):
+    # tokens: d1=3, d2=4, d3=2 in one shard; seq_len=4
+    # offsets: d1 [0,3), d2 [3,7), d3 [7,9)
+    df = _docs(
+        spark,
+        [("s", 1, "a b c"), ("s", 2, "d e f g"), ("s", 3, "h i")],
+    )
+    seg = P.pack_segments(df, 4).orderBy("doc_id", "pack_id").collect()
+    got = [(r.doc_id, r.pack_id, r.seg_tokens) for r in seg]
+    assert got == [(1, 0, 3), (2, 0, 1), (2, 1, 3), (3, 1, 1), (3, 2, 1)]
+
+
+def test_pack_segments_token_conservation(spark, documents):
+    seg = P.pack_segments(documents, 128)
+    per_doc = seg.groupBy("doc_id").agg(
+        F.sum("seg_tokens").alias("s"), F.first("n_tokens").alias("n")
+    )
+    assert per_doc.filter(F.col("s") != F.col("n")).count() == 0
+    # every pack except each shard's last holds exactly seq_len tokens
+    summary = P.pack_summary(seg)
+    last = summary.groupBy("source").agg(F.max("pack_id").alias("pack_id"))
+    short = summary.join(last, ["source", "pack_id"], "left_anti").filter(
+        F.col("pack_tokens") != 128
+    )
+    assert short.count() == 0
+
+
+def test_pack_segments_doc_spanning_many_packs(spark):
+    df = _docs(spark, [("s", 1, " ".join(["t"] * 10))])
+    seg = P.pack_segments(df, 3).orderBy("pack_id").collect()
+    assert [r.seg_tokens for r in seg] == [3, 3, 3, 1]
+    assert [r.pack_id for r in seg] == [0, 1, 2, 3]
+
+
+def test_pack_segments_drops_empty_docs(spark):
+    df = _docs(spark, [("s", 1, "!!!"), ("s", 2, "a b")])
+    seg = P.pack_segments(df, 4)
+    assert [r.doc_id for r in seg.collect()] == [2]
+
+
+def test_pack_segments_shards_independent(spark):
+    # two shards pack from offset 0 each — no cross-shard coupling
+    df = _docs(spark, [("s1", 1, "a b c"), ("s2", 2, "d e")])
+    seg = {(r.source, r.pack_id) for r in P.pack_segments(df, 4).collect()}
+    assert seg == {("s1", 0), ("s2", 0)}
+
+
+# ------------------------------------------------------- assign_splits
+
+
+def test_assign_splits_deterministic_and_exhaustive(spark, documents):
+    a = P.assign_splits(documents, "doc_id").select("doc_id", "split")
+    b = P.assign_splits(documents, "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+    assert a.filter(~F.col("split").isin("train", "validation", "test")).count() == 0
+
+
+def test_assign_splits_fractions(spark):
+    n = 20000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    counts = dict(
+        P.assign_splits(df, "doc_id", {"train": 0.8, "validation": 0.1, "test": 0.1})
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["validation"] / n - 0.1) < 0.01
+    assert abs(counts["test"] / n - 0.1) < 0.01
+
+
+def test_assign_splits_stable_under_corpus_growth(spark):
+    small = spark.range(1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(5000).withColumnRenamed("id", "doc_id")
+    a = P.assign_splits(small, "doc_id").select("doc_id", "split")
+    b = P.assign_splits(big, "doc_id").select("doc_id", "split")
+    joined = a.join(b.withColumnRenamed("split", "split2"), "doc_id")
+    assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+# ---------------------------------------------------- dsir_log_weights
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    rows = [("t", i, "alpha beta gamma delta") for i in range(20)] + [
+        ("r", 100 + i, "zulu yankee xray whiskey") for i in range(20)
+    ]
+    # a raw doc written in the target's vocabulary must outscore one
+    # written in the raw corpus's vocabulary
+    rows += [("r", 900, "alpha beta gamma delta"), ("r", 901, "zulu yankee xray whiskey")]
+    df = _docs(spark, rows)
+    w = {
+        r.doc_id: r.log_weight
+        for r in C.dsir_log_weights(df, F.col("source") == "t").collect()
+    }
+    assert w[900] > 0 > w[901]
+    assert w[900] > w[901]
+
+
+def test_dsir_weight_is_sum_of_bucket_ratios(spark):
+    # single doc, single token: weight == ln(p_t/p_r) for its bucket
+    df = _docs(spark, [("t", 1, "aaa"), ("r", 2, "aaa")])
+    out = {r.doc_id: r for r in C.dsir_log_weights(df, F.col("source") == "t").collect()}
+    # bucket counts: c_t=1, c_r=1, n_t=1, n_r=1 → ratio = ln(1.5/129)-ln(1.5/129) = 0
+    assert out[1].n_tokens == 1
+    assert abs(out[1].log_weight) < 1e-9
+    assert abs(out[2].log_weight) < 1e-9
+
+
+def test_dsir_counts_all_tokens(spark, documents):
+    out = C.dsir_log_weights(documents, F.col("source") == documents.select("source").first()[0])
+    n_docs_with_tokens = documents.filter(F.size(F.split(F.lower("text"), "[^a-z0-9]+")) > 0).count()
+    assert out.count() <= documents.count()
+    assert out.filter(F.col("n_tokens") <= 0).count() == 0
+    assert out.count() > 0 and n_docs_with_tokens > 0
+
+
+def test_dsir_plan_broadcasts_ratio_table(spark, documents):
+    out = C.dsir_log_weights(documents, F.col("source") == "src0")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
