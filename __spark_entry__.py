@@ -2334,9 +2334,15 @@ SELECT 'batch' AS mode, qid, id, score FROM ({SQL_BM25_BATCH})
 
 
 def q_fusion_scores(spark, sf_dir):
-    """RRF + max-normalized weighted fusion union-merged (mode column)."""
-    r = q_rrf_fusion(spark, sf_dir).select(F.lit("rrf").alias("mode"), "*")
-    w = q_weighted_fusion(spark, sf_dir).select(F.lit("weighted").alias("mode"), "*")
+    """RRF + max-normalized weighted fusion union-merged (mode column).
+    Both fusers consume the SAME hit DataFrames so the union's two
+    branches carry identical retrieval subtrees — Spark's exchange
+    reuse (ReusedExchange) then runs vector top-k and BM25 once, not
+    twice."""
+    v = _vec_hits(spark, sf_dir)
+    b = _bm25_hits(spark, sf_dir)
+    r = FU.rrf_fuse(v, b, 60, 20).select(F.lit("rrf").alias("mode"), "*")
+    w = FU.weighted_fuse(v, b, 0.7, 20).select(F.lit("weighted").alias("mode"), "*")
     return r.unionByName(w)
 
 

@@ -89,6 +89,8 @@ EXTRA_QUERIES = [
     "vocab_topk",
     "boilerplate_spans",
     "unigram_surprisal",
+    "pack_sequences",
+    "dsir_importance",
 ]
 
 # curation operators re-run at 100× documents (sf10): at sf1 the 50k-doc
@@ -122,6 +124,8 @@ SF1_QUERIES = [
     "pii_redaction",
     "repetition_signals",
     "span_dedup_stats",
+    "pack_sequences",
+    "dsir_importance",
 ]
 
 

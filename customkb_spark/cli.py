@@ -239,6 +239,58 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack a (curated) documents parquet into fixed-length training
+    sequences (operators/packing.py): assign train/val/test splits by
+    stable hash, lay documents out per (split, shard), and write the
+    doc→pack segment map. Prints a per-split pack/token summary."""
+    from pyspark.sql import functions as F
+
+    from customkb_spark.operators import packing as PK
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs_parquet)
+    weights = None
+    if args.splits:
+        weights = {}
+        for part in args.splits.split(","):
+            name, _, frac = part.partition("=")
+            weights[name.strip()] = float(frac)
+    split = PK.assign_splits(docs, args.id_col, weights)
+    # packing is per (split, shard): a validation doc must never share
+    # a training sequence with a train doc
+    split = split.withColumn(
+        "_pack_shard", F.concat_ws("/", "split", F.col(args.shard_col))
+    )
+    seg = PK.pack_segments(
+        split,
+        args.seq_len,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        shard_col="_pack_shard",
+    )
+    if args.out:
+        seg.write.mode("overwrite").parquet(args.out)
+    summary = (
+        PK.pack_summary(seg, "_pack_shard")
+        .withColumn("split", F.split_part("_pack_shard", F.lit("/"), F.lit(1)))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("packs"),
+            F.sum("pack_tokens").alias("tokens"),
+            F.sum("n_docs").alias("doc_segments"),
+        )
+        .orderBy("split")
+    )
+    print(
+        json.dumps(
+            {r["split"]: {k: r[k] for k in ("packs", "tokens", "doc_segments")} for r in summary.collect()},
+            indent=2,
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="customkb_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -308,6 +360,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--text-col", default="text")
     c.set_defaults(fn=cmd_curate)
+
+    pk = sub.add_parser("pack", help="pack documents into training sequences")
+    pk.add_argument("docs_parquet")
+    pk.add_argument("--out", default=None, help="write doc→pack segment parquet here")
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--splits", default=None, help="e.g. train=0.98,validation=0.01,test=0.01")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--shard-col", default="source")
+    pk.set_defaults(fn=cmd_pack)
     return p
 
 

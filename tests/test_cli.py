@@ -72,6 +72,35 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert {"dup_word_frac", "top_ngram_frac", "dup_span_frac", "n_email", "contaminated"} <= cols
 
 
+def test_cli_pack(spark, tmp_path, capsys):
+    out = str(tmp_path / "segments")
+    rc = cli.main([
+        "pack", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--seq-len", "256",
+        "--splits", "train=0.9,validation=0.1",
+    ])
+    assert rc == 0
+    import json as _json
+
+    summary = _json.loads(capsys.readouterr().out)
+    assert set(summary) <= {"train", "validation"} and "train" in summary
+    seg = spark.read.parquet(out)
+    # token conservation: segment tokens sum to every doc's token count
+    from pyspark.sql import functions as F
+
+    bad = (
+        seg.groupBy("doc_id")
+        .agg(F.sum("seg_tokens").alias("s"), F.first("n_tokens").alias("n"))
+        .filter(F.col("s") != F.col("n"))
+    )
+    assert bad.count() == 0
+    # split isolation: each pack shard carries exactly one split prefix
+    assert seg.select("_pack_shard").distinct().filter(
+        ~F.col("_pack_shard").rlike("^(train|validation)/")
+    ).count() == 0
+
+
 def test_cli_bm25_categorize_edit_version(spark, tmp_path, capsys):
     import json as _json
 
