@@ -37,7 +37,7 @@ def pack_segments(
     seq_len: int,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shard_col: str = "source",
+    shard_col: str | None = "source",
     n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Map each document onto the fixed-length training sequences it
@@ -65,6 +65,12 @@ def pack_segments(
     ``explode(sequence(first_pack, last_pack))``. The explode fan-out
     per doc is ``ceil(n/seq_len)+1`` at most — bounded by document
     length, never by corpus size.
+
+    ``shard_col=None`` packs the WHOLE corpus as one global stream
+    (ids must be numeric): the running offset then comes from
+    :func:`customkb_spark.operators.windows.running_total` — the
+    two-phase bucketed prefix sum — so no single-partition window
+    exists even without shards.
     """
     n: Column = (
         F.col(n_tokens_col)
@@ -73,18 +79,29 @@ def pack_segments(
     ).cast("long")
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(shard_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     L = F.lit(int(seq_len)).cast("long")
-    laid = (
-        df.select(F.col(shard_col), F.col(id_col), n.alias("n_tokens"))
-        .filter(F.col("n_tokens") > 0)
-        .withColumn("_end", F.sum("n_tokens").over(w))
-        .withColumn("_start", F.col("_end") - F.col("n_tokens"))
-    )
+    if shard_col is None:
+        from customkb_spark.operators.windows import running_total
+
+        shard_col = "_pack_all"
+        laid = (
+            df.select(F.lit("all").alias(shard_col), F.col(id_col), n.alias("n_tokens"))
+            .filter(F.col("n_tokens") > 0)
+        )
+        laid = running_total(laid, id_col, "n_tokens", out_col="_end")
+        laid = laid.withColumn("_start", F.col("_end") - F.col("n_tokens"))
+    else:
+        w = (
+            Window.partitionBy(shard_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        laid = (
+            df.select(F.col(shard_col), F.col(id_col), n.alias("n_tokens"))
+            .filter(F.col("n_tokens") > 0)
+            .withColumn("_end", F.sum("n_tokens").over(w))
+            .withColumn("_start", F.col("_end") - F.col("n_tokens"))
+        )
     seg = laid.select(
         shard_col,
         id_col,

@@ -12,6 +12,65 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Scalable global prefix sum: ``SUM(value) OVER (ORDER BY order)``
+    without the single-partition window Spark would otherwise plan for
+    an unpartitioned ORDER BY (every row through one reducer — the
+    classic 100-TB cliff).
+
+    Two-phase, the distributed-scan textbook shape:
+
+    1. rows are bucketed by explicit ``approxQuantile`` boundaries on
+       ``order_col`` (explicit boundaries, NOT ``spark_partition_id()``
+       after a range shuffle — physical partition ids are not stable
+       under recomputation/AQE, value-derived buckets are);
+    2. per-bucket totals (one partial-agg shuffle over ≤ ``n_buckets``
+       groups) become exclusive bucket offsets via a window over the
+       TINY per-bucket table, broadcast back;
+    3. a within-bucket cumulative window (partitioned — parallelism =
+       ``n_buckets``) plus the bucket offset gives the global prefix.
+
+    ``order_col`` must be numeric and unique (ties would make "prefix"
+    ill-defined). Size ``n_buckets`` ≈ cluster parallelism.
+    """
+    col = F.col(order_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # scalar-bounded driver action (n_buckets-1 doubles), like the
+    # corpus_stats collects — not a corpus-proportional materialization
+    bounds = sorted(set(df.approxQuantile(order_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for i, b in enumerate(bounds):
+        bucket = F.when(col > F.lit(b), F.lit(i + 1)).otherwise(bucket)
+    bucketed = df.withColumn("_rt_bucket", bucket)
+    per_bucket = bucketed.groupBy("_rt_bucket").agg(
+        F.sum(value_col).alias("_rt_sum")
+    )
+    w_off = (
+        Window.orderBy("_rt_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "_rt_bucket",
+        F.coalesce(F.sum("_rt_sum").over(w_off), F.lit(0)).alias("_rt_offset"),
+    )
+    w_in = (
+        Window.partitionBy("_rt_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_rt_bucket")
+        .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("_rt_offset"))
+        .drop("_rt_bucket", "_rt_offset")
+    )
+
+
 def assign_sid(
     chunks: DataFrame, doc_col: str = "sourcedoc", order_col: str = "chunk_idx"
 ) -> DataFrame:

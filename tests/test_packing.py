@@ -62,6 +62,54 @@ def test_pack_segments_shards_independent(spark):
     assert seg == {("s1", 0), ("s2", 0)}
 
 
+# ------------------------------------------------------ running_total
+
+
+def test_running_total_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from customkb_spark.operators.windows import running_total
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("v")
+    )
+    got = running_total(df, "k", "v", n_buckets=16, out_col="rt")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("rt", F.sum("v").over(w))
+    assert got.select("k", "rt").exceptAll(want.select("k", "rt")).count() == 0
+    assert want.select("k", "rt").exceptAll(got.select("k", "rt")).count() == 0
+
+
+def test_running_total_no_global_sort_exchange(spark):
+    from customkb_spark.operators.windows import running_total
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    plan = (
+        running_total(df, "k", "v", n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus-side window must be hash-partitioned by bucket, never
+    # SinglePartition; the only allowed single-partition window is over
+    # the <= n_buckets offsets table
+    assert "hashpartitioning(_rt_bucket" in plan
+
+
+def test_pack_segments_global_matches_sharded_single_source(spark):
+    rows = [("s", i, " ".join(["w"] * (i % 7 + 1))) for i in range(200)]
+    df = _docs(spark, rows)
+    per_shard = {
+        (r.doc_id, r.pack_id, r.seg_tokens)
+        for r in P.pack_segments(df, 32, shard_col="source").collect()
+    }
+    global_ = {
+        (r.doc_id, r.pack_id, r.seg_tokens)
+        for r in P.pack_segments(df, 32, shard_col=None).collect()
+    }
+    assert per_shard == global_
+
+
 # ------------------------------------------------------- assign_splits
 
 
