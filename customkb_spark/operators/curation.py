@@ -739,24 +739,37 @@ def dsir_log_weights(
         F.col(id_col),
         target_pred.cast("int").alias("_is_t"),
         F.explode(X.tokens(text_col)).alias("token"),
-    ).withColumn(
-        "bucket",
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("token"), F.lit(seed))), 1, n_buckets_hex
-        ),
-    )
+    ).withColumn("bucket", _dsir_bucket(F.col("token"), seed, n_buckets_hex))
     counts = toks.groupBy("bucket").agg(
         F.sum("_is_t").cast("long").alias("c_t"),
         F.sum(1 - F.col("_is_t")).cast("long").alias("c_r"),
     )
+    ratios = _dsir_ratios(counts, n_buckets_hex, alpha)
+    return (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("log_ratio").cast("double").alias("log_weight"),
+        )
+    )
+
+
+def _dsir_bucket(token: Column, seed: str, n_buckets_hex: int) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws(":", token, F.lit(seed))), 1, n_buckets_hex
+    )
+
+
+def _dsir_ratios(counts: DataFrame, n_buckets_hex: int, alpha: float) -> DataFrame:
+    """Per-bucket smoothed log-likelihood ratios from (bucket, c_t, c_r)
+    counts — the trained DSIR model, a constant-size table."""
     n_buckets = 16 ** n_buckets_hex
-    tot = counts.agg(
-        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
-    ).collect()[0]
+    tot = counts.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")).collect()[0]
     n_t, n_r = (tot["n_t"] or 0), (tot["n_r"] or 0)
     denom_t = float(n_t + alpha * n_buckets)
     denom_r = float(n_r + alpha * n_buckets)
-    ratios = counts.select(
+    return counts.select(
         "bucket",
         F.round(
             F.log((F.col("c_t") + alpha) / F.lit(denom_t))
@@ -766,11 +779,76 @@ def dsir_log_weights(
         .cast("decimal(28,9)")
         .alias("log_ratio"),
     )
-    return (
-        toks.join(F.broadcast(ratios), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("log_ratio").cast("double").alias("log_weight"),
-        )
+
+
+def dsir_train(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets_hex: int = 2,
+    alpha: float = 0.5,
+    seed: str = "dsir-v1",
+) -> dict[str, float]:
+    """Fit the DSIR importance model once and return it as a plain
+    ``{bucket: log_ratio}`` dict (≤ 16^n entries — constant-size,
+    serializable, persistable as JSON next to the KB's other
+    sidecars). The fit is the same counts→ratios pass as
+    :func:`dsir_log_weights`; the dict form is what
+    :func:`dsir_apply` needs to score NEW data — including a stream —
+    without re-reading the training corpora."""
+    toks = df.select(
+        target_pred.cast("int").alias("_is_t"),
+        F.explode(X.tokens(text_col)).alias("token"),
+    ).withColumn("bucket", _dsir_bucket(F.col("token"), seed, n_buckets_hex))
+    counts = toks.groupBy("bucket").agg(
+        F.sum("_is_t").cast("long").alias("c_t"),
+        F.sum(1 - F.col("_is_t")).cast("long").alias("c_r"),
+    )
+    ratios = _dsir_ratios(counts, n_buckets_hex, alpha)
+    return {r["bucket"]: float(r["log_ratio"]) for r in ratios.collect()}
+
+
+def dsir_apply(
+    df: DataFrame,
+    model: dict[str, float],
+    text_col: str = "text",
+    n_buckets_hex: int = 2,
+    alpha: float = 0.5,
+    seed: str = "dsir-v1",
+    default_log_ratio: float | None = None,
+) -> DataFrame:
+    """Score rows under a trained DSIR model — STATELESS: the model
+    becomes a literal ``create_map`` and the per-doc weight is an
+    ``F.aggregate`` over the token array, so this is a pure per-row
+    expression (no explode, no shuffle, no state). That makes it valid
+    inside a Structured Streaming gate (``streaming/curation``-style)
+    and free to push below other transforms in batch plans.
+
+    Buckets absent from the model (possible when the training corpora
+    never hashed into them) score ``default_log_ratio`` — by default
+    the smoothed ratio of two zero counts, ``ln((α/D_t)/(α/D_r))``
+    folded to 0.0 since both denominators are unknown here; pass the
+    exact value if bucket-perfect parity with the batch scorer matters
+    beyond the trained buckets.
+
+    Adds ``n_tokens`` and ``log_weight``. Per-token ratios are summed
+    in DECIMAL(28,9) (same convention as the batch path) so batch and
+    streaming agree bit-for-bit on shared buckets.
+    """
+    if default_log_ratio is None:
+        default_log_ratio = 0.0
+    entries = [x for kv in sorted(model.items()) for x in (F.lit(kv[0]), F.lit(round(kv[1], 9)))]
+    ratio_map = F.create_map(*entries) if entries else F.create_map()
+    toks = X.tokens(text_col)
+    zero = F.lit("0").cast("decimal(28,9)")
+    per_tok = lambda t: F.coalesce(  # noqa: E731
+        F.element_at(ratio_map, _dsir_bucket(t, seed, n_buckets_hex)),
+        F.lit(default_log_ratio),
+    ).cast("decimal(28,9)")
+    return df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "log_weight",
+        F.aggregate(
+            toks, zero, lambda acc, t: (acc + per_tok(t)).cast("decimal(28,9)")
+        ).cast("double"),
     )

@@ -180,6 +180,49 @@ def test_dsir_counts_all_tokens(spark, documents):
     assert out.count() > 0 and n_docs_with_tokens > 0
 
 
+def test_dsir_train_apply_matches_batch_scorer(spark, documents):
+    pred = F.col("source") == "src0"
+    model = C.dsir_train(documents, pred)
+    applied = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in C.dsir_apply(documents, model).select(
+            "doc_id", "n_tokens", "log_weight"
+        ).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in C.dsir_log_weights(documents, pred).collect()
+    }
+    # every token bucket appears in the trained model (trained on the
+    # same corpus), so the stateless scorer must agree bit-for-bit
+    for doc_id, want in batch.items():
+        assert applied[doc_id] == want
+
+
+def test_dsir_apply_is_streamable(spark, tmp_path):
+    rows = [(1, "alpha beta"), (2, "gamma delta"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    model = C.dsir_train(df, F.col("doc_id") == 1)
+    src = str(tmp_path / "dsrc")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        C.dsir_apply(stream, model)
+        .writeStream.format("memory")
+        .queryName("dsir_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.n_tokens, r.log_weight) for r in spark.sql("SELECT * FROM dsir_out").collect()}
+    exp = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in C.dsir_apply(df, model).collect()
+    }
+    assert got == exp and len(got) == 3 and got[3] == (0, 0.0)
+
+
 def test_dsir_plan_broadcasts_ratio_table(spark, documents):
     out = C.dsir_log_weights(documents, F.col("source") == "src0")
     plan = out._jdf.queryExecution().executedPlan().toString()
