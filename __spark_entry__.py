@@ -2530,6 +2530,20 @@ FROM documents
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality filter (operators/classifier.py): fit the
+    hashed-BoW logistic model with src0 as the reference class, score
+    the whole corpus. Iterative LBFGS — bench extra only, not an
+    oracle entry (same class as ANN training)."""
+    from customkb_spark.operators import classifier as QC
+
+    docs = _t(spark, sf_dir, "documents")
+    model = QC.train_quality_classifier(
+        docs, F.col("source") == "src0", n_features=1 << 16, max_iter=10
+    )
+    return QC.score_quality(docs, model).select("doc_id", "quality_prob")
+
+
 def q_customer_order_membership(spark, sf_dir):
     """U4 intersection + anti-join membership, union-merged: customers
     with zero orders (the incremental-ingest anti-join shape) and

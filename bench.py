@@ -91,6 +91,7 @@ EXTRA_QUERIES = [
     "unigram_surprisal",
     "pack_sequences",
     "dsir_importance",
+    "quality_classifier",
 ]
 
 # curation operators re-run at 100× documents (sf10): at sf1 the 50k-doc
