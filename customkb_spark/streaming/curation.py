@@ -36,6 +36,8 @@ def curate_stream(
     min_quality: float = 0.0,
     language: str | None = None,
     gopher: bool = True,
+    dsir_model: dict[str, float] | None = None,
+    quality_model=None,
 ) -> DataFrame:
     """The stateless curation gate over a (streaming or batch) frame:
 
@@ -49,6 +51,12 @@ def curate_stream(
       it ships to executors as one broadcast literal array), flags
       ``contaminated`` per row via array_intersect — no stream-stream
       join, no state;
+    - with ``dsir_model`` (a trained ``curation.dsir_train`` dict),
+      adds ``log_weight`` via the stateless ``dsir_apply`` scorer;
+    - with ``quality_model`` (a fitted
+      ``classifier.train_quality_classifier`` PipelineModel), adds
+      ``quality_prob`` — the learned filter is a broadcast coefficient
+      vector, also stateless;
     - optionally filters to ``language`` / ``min_quality``.
     """
     toked = docs_stream.withColumn("_toks", X.tokens(text_col))
@@ -66,6 +74,16 @@ def curate_stream(
         out = out.withColumn(
             "contaminated", F.size(F.array_intersect(grams, bench)) > 0
         )
+    if dsir_model is not None:
+        out = CU.dsir_apply(out, dsir_model, text_col=text_col).withColumnRenamed(
+            "n_tokens", "dsir_n_tokens"
+        )
+    if quality_model is not None:
+        from customkb_spark.operators.classifier import score_quality
+
+        # the ml transform only ADDS columns, so it applies in place
+        # (the staged token array survives for the final drop)
+        out = score_quality(out, quality_model)
     if language is not None:
         out = out.filter(F.col("language") == language)
     if min_quality > 0.0:

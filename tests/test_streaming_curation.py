@@ -42,6 +42,29 @@ def _run_stream(spark, tmp_path, **kwargs):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def test_streaming_gate_with_learned_scorers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = _batch(spark)
+    dsir = CU.dsir_train(base, F.col("doc_id") == 1)
+    from customkb_spark.operators.classifier import train_quality_classifier
+
+    qm = train_quality_classifier(base, F.col("doc_id").isin(1, 5), n_features=1 << 10)
+    got = {
+        r["doc_id"]: (round(r["log_weight"], 9), round(r["quality_prob"], 9))
+        for r in _run_stream(spark, tmp_path, dsir_model=dsir, quality_model=qm)
+        .select("doc_id", "log_weight", "quality_prob")
+        .collect()
+    }
+    exp = {
+        r["doc_id"]: (round(r["log_weight"], 9), round(r["quality_prob"], 9))
+        for r in curate_stream(base, dsir_model=dsir, quality_model=qm)
+        .select("doc_id", "log_weight", "quality_prob")
+        .collect()
+    }
+    assert got == exp and len(got) == len(ROWS)
+
+
 def test_streaming_equals_batch_twin(spark, tmp_path):
     bench = ["the quick brown fox jumps over the lazy dog"]
     got = {
