@@ -254,9 +254,22 @@ def cmd_pack(args) -> int:
     if args.splits:
         weights = {}
         for part in args.splits.split(","):
-            name, _, frac = part.partition("=")
-            weights[name.strip()] = float(frac)
-    split = PK.assign_splits(docs, args.id_col, weights)
+            name, eq, frac = part.partition("=")
+            try:
+                if not eq or not name.strip():
+                    raise ValueError
+                weights[name.strip()] = float(frac)
+            except ValueError:
+                print(
+                    f"pack: bad --splits segment {part!r} (expected name=fraction)",
+                    file=sys.stderr,
+                )
+                return 2
+    try:
+        split = PK.assign_splits(docs, args.id_col, weights)
+    except ValueError as e:
+        print(f"pack: {e}", file=sys.stderr)
+        return 2
     # packing is per (split, shard): a validation doc must never share
     # a training sequence with a train doc
     split = split.withColumn(

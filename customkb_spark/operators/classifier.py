@@ -89,5 +89,4 @@ def score_quality(
 
     scored = model.transform(df)
     prob = vector_to_array(F.col("_qc_prob")).getItem(1).alias(out_col)
-    drop = [c for c in scored.columns if c.startswith("_qc_")]
-    return scored.select(*df.columns, prob).drop(*drop)
+    return scored.select(*df.columns, prob)

@@ -724,12 +724,16 @@ def dsir_log_weights(
     order-independent (float sums are not associative under Spark's
     unordered combines).
 
-    Plan shape (scale-safe at any corpus size): one exploded scan →
-    one partial-aggregated groupBy on (bucket) counting both sides in
-    the same pass (conditional sums — no second scan) → the bucket
-    table (≤ 16^n rows, constant) broadcast-joins back onto the token
-    stream → per-doc partial-agg sum. Two shuffles total, one of them
-    over a constant-size key space.
+    Plan shape (scale-safe at any corpus size), all in ONE job: the
+    ratio branch explodes the scan into a partial-aggregated groupBy
+    on (bucket) counting both sides in one pass (conditional sums),
+    with totals folded in by an in-plan broadcast cross join (no
+    driver collect); the resulting constant-size table (≤ 16^n rows)
+    broadcast-joins back onto the probe-side token stream → per-doc
+    partial-agg sum. Two passes over the token stream, two shuffles —
+    one of them over a constant-size key space; to make it a single
+    pass at the 100 TB tier, persist the token projection and feed it
+    to both branches.
 
     Returns ``id_col, n_tokens, log_weight`` for every document
     (target rows score too — useful for calibration). Resample with
@@ -763,17 +767,19 @@ def _dsir_bucket(token: Column, seed: str, n_buckets_hex: int) -> Column:
 
 def _dsir_ratios(counts: DataFrame, n_buckets_hex: int, alpha: float) -> DataFrame:
     """Per-bucket smoothed log-likelihood ratios from (bucket, c_t, c_r)
-    counts — the trained DSIR model, a constant-size table."""
+    counts — the trained DSIR model, a constant-size table.
+
+    Totals come from an IN-PLAN broadcast cross join on the aggregated
+    1-row frame (textually mirroring the oracle's ``CROSS JOIN tot``) —
+    no driver collect, so building the ratio plan costs zero jobs and
+    the whole weight computation stays one Spark job."""
     n_buckets = 16 ** n_buckets_hex
-    tot = counts.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")).collect()[0]
-    n_t, n_r = (tot["n_t"] or 0), (tot["n_r"] or 0)
-    denom_t = float(n_t + alpha * n_buckets)
-    denom_r = float(n_r + alpha * n_buckets)
-    return counts.select(
+    tot = counts.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
+    return counts.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.round(
-            F.log((F.col("c_t") + alpha) / F.lit(denom_t))
-            - F.log((F.col("c_r") + alpha) / F.lit(denom_r)),
+            F.log((F.col("c_t") + alpha) / (F.col("n_t") + alpha * n_buckets))
+            - F.log((F.col("c_r") + alpha) / (F.col("n_r") + alpha * n_buckets)),
             9,
         )
         .cast("decimal(28,9)")
@@ -834,13 +840,16 @@ def dsir_apply(
 
     Adds ``n_tokens`` and ``log_weight``. Per-token ratios are summed
     in DECIMAL(28,9) (same convention as the batch path) so batch and
-    streaming agree bit-for-bit on shared buckets.
+    streaming agree bit-for-bit on shared buckets. NULL/empty text
+    scores ``(n_tokens=0, log_weight=0.0)`` rather than NULL — the
+    batch scorer drops token-less rows entirely, so a NULL here would
+    silently fail any ``log_weight >= tau`` gate downstream.
     """
     if default_log_ratio is None:
         default_log_ratio = 0.0
     entries = [x for kv in sorted(model.items()) for x in (F.lit(kv[0]), F.lit(round(kv[1], 9)))]
     ratio_map = F.create_map(*entries) if entries else F.create_map()
-    toks = X.tokens(text_col)
+    toks = F.coalesce(X.tokens(text_col), F.array().cast("array<string>"))
     zero = F.lit("0").cast("decimal(28,9)")
     per_tok = lambda t: F.coalesce(  # noqa: E731
         F.element_at(ratio_map, _dsir_bucket(t, seed, n_buckets_hex)),

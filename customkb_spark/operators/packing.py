@@ -70,7 +70,9 @@ def pack_segments(
     (ids must be numeric): the running offset then comes from
     :func:`customkb_spark.operators.windows.running_total` — the
     two-phase bucketed prefix sum — so no single-partition window
-    exists even without shards.
+    exists even without shards. Global-mode output carries a constant
+    ``shard`` column (value ``"all"``); pass ``shard_col="shard"`` to
+    :func:`pack_summary` when rolling it up.
     """
     n: Column = (
         F.col(n_tokens_col)
@@ -83,7 +85,7 @@ def pack_segments(
     if shard_col is None:
         from customkb_spark.operators.windows import running_total
 
-        shard_col = "_pack_all"
+        shard_col = "shard"
         laid = (
             df.select(F.lit("all").alias(shard_col), F.col(id_col), n.alias("n_tokens"))
             .filter(F.col("n_tokens") > 0)
@@ -164,6 +166,12 @@ def assign_splits(
     boundary. Returns ``df`` plus a ``split`` column.
     """
     weights = weights or {"train": 0.98, "validation": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if not weights or abs(total - 1.0) > 1e-9:
+        # silent misallocation trap: the last split is the residual of
+        # the others, so weights summing to != 1 would hand it
+        # 1 - sum(first n-1) regardless of its stated fraction
+        raise ValueError(f"split weights must sum to 1.0, got {total} ({weights})")
     hex8 = hash_bucket_hex(F.col(key_col), seed)
     cum = 0.0
     expr: Column | None = None

@@ -38,6 +38,13 @@ def running_total(
 
     ``order_col`` must be numeric and unique (ties would make "prefix"
     ill-defined). Size ``n_buckets`` ≈ cluster parallelism.
+
+    The bucketed input is lazily ``localCheckpoint``-ed so the join's
+    two branches (per-bucket totals and the probe side) read ONE
+    materialization instead of recomputing the upstream plan twice —
+    with an expression-heavy input (e.g. per-row tokenization) the
+    recompute dominates. Total input evaluations: the quantile action
+    plus one materialized pass.
     """
     col = F.col(order_col)
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -47,7 +54,7 @@ def running_total(
     bucket = F.lit(0)
     for i, b in enumerate(bounds):
         bucket = F.when(col > F.lit(b), F.lit(i + 1)).otherwise(bucket)
-    bucketed = df.withColumn("_rt_bucket", bucket)
+    bucketed = df.withColumn("_rt_bucket", bucket).localCheckpoint(eager=False)
     per_bucket = bucketed.groupBy("_rt_bucket").agg(
         F.sum(value_col).alias("_rt_sum")
     )

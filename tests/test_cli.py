@@ -101,6 +101,14 @@ def test_cli_pack(spark, tmp_path, capsys):
     ).count() == 0
 
 
+def test_cli_pack_rejects_bad_splits(spark, tmp_path, capsys):
+    args = ["pack", "/root/testdata/sf0.001/documents.parquet"]
+    assert cli.main(args + ["--splits", "train=0.9,"]) == 2
+    assert "bad --splits" in capsys.readouterr().err
+    assert cli.main(args + ["--splits", "train=0.5,validation=0.2"]) == 2
+    assert "sum to 1.0" in capsys.readouterr().err
+
+
 def test_cli_bm25_categorize_edit_version(spark, tmp_path, capsys):
     import json as _json
 

@@ -134,6 +134,14 @@ def test_assign_splits_fractions(spark):
     assert abs(counts["test"] / n - 0.1) < 0.01
 
 
+def test_assign_splits_rejects_bad_weights(spark):
+    import pytest
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        P.assign_splits(df, "doc_id", {"train": 0.5, "validation": 0.2})
+
+
 def test_assign_splits_stable_under_corpus_growth(spark):
     small = spark.range(1000).withColumnRenamed("id", "doc_id")
     big = spark.range(5000).withColumnRenamed("id", "doc_id")
@@ -200,7 +208,7 @@ def test_dsir_train_apply_matches_batch_scorer(spark, documents):
 
 
 def test_dsir_apply_is_streamable(spark, tmp_path):
-    rows = [(1, "alpha beta"), (2, "gamma delta"), (3, "")]
+    rows = [(1, "alpha beta"), (2, "gamma delta"), (3, ""), (4, None)]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
     model = C.dsir_train(df, F.col("doc_id") == 1)
     src = str(tmp_path / "dsrc")
@@ -220,7 +228,8 @@ def test_dsir_apply_is_streamable(spark, tmp_path):
         r.doc_id: (r.n_tokens, r.log_weight)
         for r in C.dsir_apply(df, model).collect()
     }
-    assert got == exp and len(got) == 3 and got[3] == (0, 0.0)
+    assert got == exp and len(got) == 4
+    assert got[3] == (0, 0.0) and got[4] == (0, 0.0)  # NULL text scores 0, not NULL
 
 
 def test_dsir_plan_broadcasts_ratio_table(spark, documents):
