@@ -102,6 +102,8 @@ SF10_QUERIES = [
     "corpus_filter_pipeline",
     "cross_corpus_shingle_join",
     "minhash_lsh_dedup",
+    "pack_sequences",
+    "dsir_importance",
 ]
 
 # the data-bound subset re-run at 10×: linear scans/aggs/shuffles where

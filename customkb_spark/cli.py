@@ -223,6 +223,24 @@ def cmd_curate(args) -> int:
             id_col,
             "left",
         ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    if args.dsir_target:
+        # domain-targeted DSIR weights: the named source column value is
+        # the in-domain slice, everything else the raw corpus
+        model = CU.dsir_train(docs, F.col("source") == args.dsir_target, text_col, id_col)
+        report = report.join(
+            CU.dsir_apply(docs, model, text_col).select(id_col, "log_weight"),
+            id_col,
+        )
+    if args.quality_ref:
+        from customkb_spark.operators.classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        qm = train_quality_classifier(docs, F.col("source") == args.quality_ref, text_col)
+        report = report.join(
+            score_quality(docs, qm).select(id_col, "quality_prob"), id_col
+        )
     if args.out:
         report.write.mode("overwrite").parquet(args.out)
     agg = [
@@ -372,6 +390,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--ngram", type=int, default=8, help="decontamination n-gram size")
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--text-col", default="text")
+    c.add_argument("--dsir-target", default=None, help="source value of the DSIR in-domain slice")
+    c.add_argument("--quality-ref", default=None, help="source value of the classifier reference slice")
     c.set_defaults(fn=cmd_curate)
 
     pk = sub.add_parser("pack", help="pack documents into training sequences")

@@ -72,6 +72,19 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert {"dup_word_frac", "top_ngram_frac", "dup_span_frac", "n_email", "contaminated"} <= cols
 
 
+def test_cli_curate_learned_scorers(spark, tmp_path, capsys):
+    out = str(tmp_path / "report_ls")
+    rc = cli.main([
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--dsir-target", "src0",
+        "--quality-ref", "src0",
+    ])
+    assert rc == 0
+    cols = set(spark.read.parquet(out).columns)
+    assert {"log_weight", "quality_prob"} <= cols
+
+
 def test_cli_pack(spark, tmp_path, capsys):
     out = str(tmp_path / "segments")
     rc = cli.main([
