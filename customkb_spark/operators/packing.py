@@ -104,6 +104,14 @@ def pack_segments(
             .withColumn("_end", F.sum("n_tokens").over(w))
             .withColumn("_start", F.col("_end") - F.col("n_tokens"))
         )
+    return _explode_segments(laid, shard_col, id_col, L)
+
+
+def _explode_segments(
+    laid: DataFrame, shard_col: str, id_col: str, L: Column
+) -> DataFrame:
+    """(shard, id, n_tokens, _start, _end) → one row per overlapped
+    pack, with the token count landing in that pack."""
     seg = laid.select(
         shard_col,
         id_col,
@@ -140,6 +148,60 @@ def pack_summary(segments: DataFrame, shard_col: str = "source") -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("seg_tokens").cast("long").alias("pack_tokens"),
     )
+
+
+def pack_append(
+    existing_summary: DataFrame,
+    new_docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Incremental packing: lay NEW documents out after an existing
+    pack layout without touching it — the packing twin of the repo's
+    incremental ingest/index maintenance (append-only corpora must not
+    re-pack 100 TB to add a day's crawl).
+
+    ``existing_summary`` is a prior :func:`pack_summary` result; each
+    shard's token total (= ``sum(pack_tokens)``) becomes the base
+    offset, so the first new document continues filling the shard's
+    ragged final pack exactly where a full re-pack would. Shards absent
+    from the summary start at offset 0. Produces segments for the new
+    documents only, same schema as :func:`pack_segments`.
+
+    Equivalence contract (tested): if every new id sorts after the
+    shard's existing ids, ``pack_segments(old) ∪ pack_append(summary,
+    new)`` equals ``pack_segments(old ∪ new)`` row-for-row. The base
+    table is one tiny aggregate (≤ shards rows) broadcast onto the new
+    batch — incremental cost scales with the batch, not the corpus.
+    """
+    n: Column = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(X.tokens(text_col))
+    ).cast("long")
+    from pyspark.sql import Window
+
+    base = existing_summary.groupBy(shard_col).agg(
+        F.sum("pack_tokens").cast("long").alias("_base")
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    laid = (
+        new_docs.select(F.col(shard_col), F.col(id_col), n.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .join(F.broadcast(base), shard_col, "left")
+        .withColumn("_base", F.coalesce("_base", F.lit(0)))
+        .withColumn("_end", F.sum("n_tokens").over(w) + F.col("_base"))
+        .withColumn("_start", F.col("_end") - F.col("n_tokens"))
+    )
+    return _explode_segments(laid, shard_col, id_col, L)
 
 
 def assign_splits(

@@ -125,3 +125,50 @@ def incremental_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_pack_maintenance(
+    docs_stream: DataFrame,
+    segments_dir: str,
+    checkpoint_dir: str,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> StreamingQuery:
+    """Stream arriving documents into a persisted pack-segment table
+    (``operators/packing``): each micro-batch continues every shard's
+    token offsets from the stored layout via ``pack_append`` — the
+    streaming form of "append a day's crawl without re-packing the
+    corpus". Idempotent under foreachBatch's at-least-once replay via
+    the id anti-join; per-batch offsets read one tiny per-shard
+    aggregate of the segment table, not the corpus.
+
+    Note the ordering contract is per-ARRIVAL here: a replayed/late doc
+    with an id below an already-packed one still packs after it (the
+    layout is append-only, never rewritten), so the stream equals the
+    batch rebuild only when ids arrive in order — same contract as
+    ``pack_append``."""
+    from customkb_spark.operators.packing import pack_append, pack_summary
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = _drop_already_written(batch_df, segments_dir, id_col)
+        spark = batch_df.sparkSession
+        try:
+            summary = pack_summary(spark.read.parquet(segments_dir), shard_col)
+        except Exception:
+            summary = None
+        if summary is None:
+            from customkb_spark.operators.packing import pack_segments
+
+            seg = pack_segments(fresh, seq_len, text_col, id_col, shard_col)
+        else:
+            seg = pack_append(summary, fresh, seq_len, text_col, id_col, shard_col)
+        seg.write.mode("append").parquet(segments_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

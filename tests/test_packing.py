@@ -62,6 +62,26 @@ def test_pack_segments_shards_independent(spark):
     assert seg == {("s1", 0), ("s2", 0)}
 
 
+def test_pack_append_equals_rebuild(spark, documents):
+    old = documents.filter(F.col("doc_id") % 5 != 0)
+    new = documents.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000  # new ids sort after old
+    )
+    full = P.pack_segments(old.unionByName(new), 128)
+    base = P.pack_summary(P.pack_segments(old, 128))
+    incr = P.pack_segments(old, 128).unionByName(P.pack_append(base, new, 128))
+    key = lambda r: (r.source, r.doc_id, r.pack_id, r.seg_tokens)  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, incr.collect()))
+
+
+def test_pack_append_new_shard_starts_at_zero(spark):
+    old = _docs(spark, [("s1", 1, "a b c")])
+    base = P.pack_summary(P.pack_segments(old, 4))
+    new = _docs(spark, [("s2", 2, "d e")])
+    seg = P.pack_append(base, new, 4).collect()
+    assert [(r.source, r.pack_id, r.seg_tokens) for r in seg] == [("s2", 0, 2)]
+
+
 # ------------------------------------------------------ running_total
 
 
@@ -236,3 +256,41 @@ def test_dsir_plan_broadcasts_ratio_table(spark, documents):
     out = C.dsir_log_weights(documents, F.col("source") == "src0")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------- streaming packing
+
+
+def test_streaming_pack_maintenance_matches_batch(spark, tmp_path):
+    """Two in-order micro-batches produce exactly the batch layout,
+    exactly once (idempotent under replay)."""
+    from customkb_spark.streaming.incremental import (
+        _drop_already_written,
+        incremental_pack_maintenance,
+    )
+
+    rows = [("s%d" % (i % 3), i, " ".join(["w"] * (i % 9 + 1))) for i in range(60)]
+    df = _docs(spark, rows)
+    src = str(tmp_path / "pk_src")
+    # two files, ids in order across them -> two micro-batches in order
+    df.filter(F.col("doc_id") < 30).coalesce(1).write.parquet(src)
+    df.filter(F.col("doc_id") >= 30).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seg_dir = str(tmp_path / "pk_seg")
+    q = incremental_pack_maintenance(
+        stream, seg_dir, str(tmp_path / "pk_ckpt"), seq_len=16
+    )
+    q.awaitTermination(120)
+
+    key = lambda r: (r.source, r.doc_id, r.pack_id, r.seg_tokens)  # noqa: E731
+    got = sorted(map(key, spark.read.parquet(seg_dir).collect()))
+    want = sorted(map(key, P.pack_segments(df, 16).collect()))
+    assert got == want
+
+    # replayed batch appends nothing
+    replay = _drop_already_written(df, seg_dir, "doc_id")
+    assert replay.count() == 0
