@@ -19,7 +19,8 @@ carries two extra sections:
   deterministically by tools/make_sf.py into /tmp, dimensions fixed,
   fact keys shifted). At sf0.1 timings are dominated by fixed job
   overhead (BASELINE.md); the sf0.1→sf1 ratio is the signal for how
-  the plans scale. Set SPARK_GRAFT_SKIP_SF1=1 to skip.
+  the plans scale. SPARK_GRAFT_SKIP_SF1 / SPARK_GRAFT_SKIP_SF10 skip
+  one leg; SPARK_GRAFT_SKIP_SCALE skips both.
 """
 
 from __future__ import annotations
@@ -196,8 +197,11 @@ def _ann_build_search(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _sf10_dir() -> str | None:
-    """Documents-only 100× tables for the curation scale point."""
-    if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+    """Documents-only 100× tables for the curation scale point.
+
+    Skipped by SPARK_GRAFT_SKIP_SF10 or SPARK_GRAFT_SKIP_SCALE (its own
+    switch — SKIP_SF1 no longer silently disables this leg too)."""
+    if os.environ.get("SPARK_GRAFT_SKIP_SF10") or os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         return None
     dst = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
     if os.path.isdir(dst) and os.path.exists(f"{dst}/documents.parquet"):
@@ -219,7 +223,7 @@ def _sf10_dir() -> str | None:
 
 def _sf1_dir() -> str | None:
     """Locate or deterministically generate the 10× tables."""
-    if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") or os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         return None
     dst = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
     if os.path.isdir(dst) and os.path.exists(f"{dst}/lineitem.parquet"):
@@ -250,10 +254,17 @@ def _leg(leg_name: str) -> dict[str, float] | None:
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_BENCH_LEG=leg_name)
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        # a stalled leg must not take the whole bench down — the
+        # headline/extras/ANN results are already measured and the
+        # output contract is one JSON line no matter what
+        print(f"# {leg_name} leg timed out (1800s), skipped", file=sys.stderr)
+        return None
     sys.stderr.write(proc.stderr)
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
@@ -282,8 +293,15 @@ def main() -> None:
         for name in BENCH_QUERIES + EXTRA_QUERIES + SF1_QUERIES + SF10_QUERIES
     }
 
-    if leg:  # child process: one scale leg only, one JSON line
+    if leg:  # child process: one leg only, one JSON line
         spark = get_spark(f"bench-{leg}", cpus=cpus)
+        if leg == "ann":
+            # fresh JVM: the ANN build/search numbers feed BASELINE.md
+            # and must not carry the accumulated-session old-gen
+            # penalty the scale legs were moved out for
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()  # warm
+            print(json.dumps(_ann_build_search(spark, sf_dir)))
+            return
         d = _sf1_dir() if leg == "sf1" else _sf10_dir()
         if not d:
             print(json.dumps({}))
@@ -315,7 +333,9 @@ def main() -> None:
     extras = _run(qs, spark, [q for q in EXTRA_QUERIES if q in qs], sf_dir)
     out["extra_queries"] = extras
 
-    out["ann"] = _ann_build_search(spark, sf_dir)
+    ann = _leg("ann")
+    if ann:
+        out["ann"] = ann
 
     if _sf1_dir():
         sf1_timings = _leg("sf1")

@@ -115,12 +115,11 @@ class LiteLLMEmbeddingProvider(EmbeddingProvider):
 
     @staticmethod
     def _route(model: str) -> str:
-        if "/" in model:
-            return model
-        low = model.lower()
-        if "gemini" in low or "google" in low:
-            return f"gemini/{model}"
-        return model  # OpenAI text-embedding-* auto-detected
+        # registry-driven: gemini/ for Gemini-API, ollama/ for
+        # ollama-served (bge-m3 etc.); OpenAI names auto-detected
+        from customkb_spark.models import litellm_route
+
+        return litellm_route(model)
 
     def get_embeddings(self, texts: list[str]) -> np.ndarray:
         kwargs = {"dimensions": self.dimensions} if self.dimensions else {}

@@ -196,6 +196,7 @@ def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
     if fp_old is None:
         return None  # pre-fingerprint meta: can't prove freshness → rebuild
     fp_now = content_fingerprint(vectors, meta.id_col, meta.vec_col)
+    cents = load_centroids(spark, f"{path}/centroids")
     if fp_now != fp_old:
         if meta.kind != "ivf":
             return None
@@ -205,14 +206,12 @@ def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
         old_subset = vectors.join(indexed_ids, meta.id_col, "left_semi")
         if content_fingerprint(old_subset, meta.id_col, meta.vec_col) != fp_old:
             return None
-        cents = load_centroids(spark, f"{path}/centroids")
         incremental_index(
             vectors, f"{path}/indexed", cents, id_col=meta.id_col, vec_col=meta.vec_col
         )
         _write_meta(
             spark, path, meta.kind, vectors.count(), meta.id_col, meta.vec_col, fp_now
         )
-    cents = load_centroids(spark, f"{path}/centroids")
     indexed = spark.read.parquet(f"{path}/indexed")
     if meta.kind == "ivf":
         return VectorIndexTier(

@@ -148,6 +148,30 @@ def resolve_model(model_name: str) -> str:
         return model_name
 
 
+def litellm_route(model: str) -> str:
+    """Canonical model name → LiteLLM routing string. LiteLLM
+    auto-detects OpenAI/Anthropic names but needs an explicit
+    ``provider/`` prefix for Gemini-API (vs Vertex) and Ollama-served
+    models — passing a bare ``bge-m3`` or ``llama3.1`` raises
+    "LLM Provider NOT provided". The prefix comes from the registry's
+    provider detection (``get_provider_name``); names already carrying
+    a ``/`` or unknown to the registry pass through verbatim."""
+    if "/" in model:
+        return model
+    try:
+        provider = get_provider_name(get_canonical_model(model))
+    except (KeyError, ValueError):
+        low = model.lower()
+        if "gemini" in low or "google" in low:
+            return f"gemini/{model}"
+        return model
+    if provider == "google":
+        return f"gemini/{model}"
+    if provider in ("ollama", "local"):
+        return f"ollama/{model}"
+    return model
+
+
 def get_provider_name(model_info: dict[str, Any]) -> str:
     """Reference _get_provider_from_model_info (query/llm.py:60-90):
     explicit ``provider`` field wins, then family/parent detection,

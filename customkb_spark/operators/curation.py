@@ -223,17 +223,24 @@ def repetition_signals(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_signal_columns(text_col: str = "text") -> dict[str, Column]:
+def gopher_signal_columns(
+    text_col: str = "text", toks: Column | None = None
+) -> dict[str, Column]:
     """The Gopher §A1.1 non-repetition signals as NAMED column
     expressions (composable onto any frame, batch or streaming —
     streaming/curation.py attaches them without a join):
 
     - ``n_words``, ``mean_word_len`` — whitespace words;
-    - ``symbol_word_ratio`` — '#' or '…'/'...' occurrences per word;
+    - ``symbol_word_ratio`` — '#' or '…'/'...' occurrences per word
+      (each ellipsis form counts ONE symbol — ASCII and Unicode
+      spellings of the same mark must gate identically);
     - ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting
       with a bullet mark / ending in an ellipsis;
     - ``alpha_word_frac`` — words containing ≥ 1 alphabetic char;
     - ``n_stop_hits`` — how many of the 8 Gopher essential words occur.
+
+    Pass ``toks`` (a staged token-array column) to reuse an existing
+    tokenization instead of inlining a fresh one.
     """
     c = F.col(text_col)
     words = F.regexp_extract_all(c, F.lit(r"\S+"), 0)
@@ -242,9 +249,10 @@ def gopher_signal_columns(text_col: str = "text") -> dict[str, Column]:
     n_lines = F.greatest(F.size(lines), F.lit(1))
     n_symbols = (
         F.length(c) - F.length(F.regexp_replace(c, "#|…", ""))
-        + F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.", ), 0)) * 2
+        + F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
     )
-    toks = X.tokens(text_col)
+    if toks is None:
+        toks = X.tokens(text_col)
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     return {
         "n_words": n_words.cast("long"),
@@ -267,9 +275,10 @@ def gopher_signal_columns(text_col: str = "text") -> dict[str, Column]:
             / F.greatest(n_words, F.lit(1)),
             6,
         ),
-        "n_stop_hits": F.size(
-            F.filter(stop_arr, lambda s: F.array_contains(toks, s))
-        ).cast("long"),
+        # array_intersect evaluates the token array ONCE; the previous
+        # filter-lambda form re-ran the inlined tokenizer per stop word
+        # (codegen CSE does not cross lambdas — module docstring)
+        "n_stop_hits": F.size(F.array_intersect(toks, stop_arr)).cast("long"),
     }
 
 

@@ -97,9 +97,15 @@ class LiteLLMChatLLM(LLMProvider):
     ):
         import litellm  # dep-gated
 
+        from customkb_spark.models import litellm_route
+
         self._litellm = litellm
         self.name = model
-        self.model = model
+        # same registry-driven provider routing as the embedding path:
+        # bare gemini-*/llama*/bge* names need a provider/ prefix or
+        # litellm raises (and the retry loop would burn ~60s before
+        # surfacing the permanent error)
+        self.model = litellm_route(model)
         self.temperature = temperature
         self.max_retries = max_retries
 

@@ -89,7 +89,17 @@ def build_conf(
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     gpus = gpus_per_task or os.environ.get("SPARK_GRAFT_GPUS_PER_TASK")
     if gpus:
+        # a task requirement alone fails SparkContext resource
+        # validation — the executor must also advertise GPUs and, on
+        # a real cluster, know how to discover them
         conf["spark.task.resource.gpu.amount"] = str(gpus)
+        conf.setdefault(
+            "spark.executor.resource.gpu.amount",
+            os.environ.get("SPARK_GRAFT_GPUS_PER_EXECUTOR", "1"),
+        )
+        disc = os.environ.get("SPARK_GRAFT_GPU_DISCOVERY")
+        if disc:
+            conf.setdefault("spark.executor.resource.gpu.discoveryScript", disc)
     if extra_conf:
         conf.update(extra_conf)
     return conf

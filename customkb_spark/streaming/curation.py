@@ -64,7 +64,7 @@ def curate_stream(
         "language", X.detect_language_heuristic(text_col, toks=F.col("_toks"))
     ).withColumn("quality", X.quality_score(text_col, toks=F.col("_toks")))
     if gopher:
-        for name, col in CU.gopher_signal_columns(text_col).items():
+        for name, col in CU.gopher_signal_columns(text_col, toks=F.col("_toks")).items():
             out = out.withColumn(name, col)
         out = out.withColumn("gopher_pass", CU.gopher_pass_from_signals())
     out = CU.pii_scrub(out, text_col, out_col="text_redacted")

@@ -82,11 +82,16 @@ def _drop_already_written(batch: DataFrame, table_dir: str, id_col: str) -> Data
     same rows arrive again, and a blind append would duplicate them.
     The anti-join makes the append a no-op on replay (the streaming
     twin of batch ``store.incremental_index``'s anti-join)."""
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     try:
         existing = spark.read.parquet(table_dir).select(id_col)
-    except Exception:
-        return batch  # first batch: nothing written yet
+    except AnalysisException:
+        return batch  # first batch: output path doesn't exist yet
+    # any OTHER read failure (transient FS error, listing race) must
+    # propagate — swallowing it would skip the anti-join and re-open
+    # the duplicate-append hole this guard exists to close
     return batch.join(existing, id_col, "left_anti")
 
 
