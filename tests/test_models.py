@@ -107,3 +107,19 @@ def test_bash_completion_script():
     ).stdout.splitlines()
     assert "query" in out[0].split()
     assert out[1].split() == ["plain"]
+
+
+def test_litellm_route_provider_prefixes():
+    from customkb_spark.models import litellm_route
+
+    # registry-known families that litellm cannot auto-detect get the
+    # explicit provider prefix; auto-detected and pre-routed names pass
+    assert litellm_route("bge-m3") == "ollama/bge-m3"
+    assert litellm_route("llama3.1") == "ollama/llama3.1"
+    assert litellm_route("gemini-2.0-flash") == "gemini/gemini-2.0-flash"
+    assert litellm_route("gpt-4o") == "gpt-4o"
+    assert litellm_route("claude-sonnet-4-0") == "claude-sonnet-4-0"
+    assert litellm_route("openai/gpt-4o") == "openai/gpt-4o"
+    assert litellm_route("unknown-model") == "unknown-model"
+    # unknown-to-registry gemini-ish names still route by heuristic
+    assert litellm_route("gemini-exp-foo") == "gemini/gemini-exp-foo"
