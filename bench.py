@@ -251,22 +251,31 @@ def _leg(leg_name: str) -> dict[str, float] | None:
     (span_dedup sf10: 265s in-session vs 3.8s fresh -- old-gen pressure
     from thousands of finished tasks, not the plans). A subprocess
     gives each leg the same warmed-but-clean profile the headline gets."""
+    import signal
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_BENCH_LEG=leg_name)
+    # own process group: on timeout the child's Spark driver JVM (a
+    # grandchild) must die too, or it keeps burning all local[N] cores
+    # under the remaining legs — the contention the fresh-subprocess
+    # scheme exists to remove
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, start_new_session=True,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
+        stdout, stderr = proc.communicate(timeout=1800)
     except subprocess.TimeoutExpired:
         # a stalled leg must not take the whole bench down — the
         # headline/extras/ANN results are already measured and the
         # output contract is one JSON line no matter what
-        print(f"# {leg_name} leg timed out (1800s), skipped", file=sys.stderr)
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        print(f"# {leg_name} leg timed out (1800s), killed + skipped", file=sys.stderr)
         return None
-    sys.stderr.write(proc.stderr)
-    for line in reversed(proc.stdout.strip().splitlines()):
+    sys.stderr.write(stderr)
+    for line in reversed(stdout.strip().splitlines()):
         try:
             parsed = json.loads(line)
             return parsed or None

@@ -159,17 +159,21 @@ def litellm_route(model: str) -> str:
     if "/" in model:
         return model
     try:
-        provider = get_provider_name(get_canonical_model(model))
+        info = get_canonical_model(model)
     except (KeyError, ValueError):
         low = model.lower()
         if "gemini" in low or "google" in low:
             return f"gemini/{model}"
         return model
+    # prefix the CANONICAL name: an alias like "bge" routes to
+    # ollama/bge-m3, not to the nonexistent ollama/bge
+    canonical = info.get("model", model)
+    provider = get_provider_name(info)
     if provider == "google":
-        return f"gemini/{model}"
+        return f"gemini/{canonical}"
     if provider in ("ollama", "local"):
-        return f"ollama/{model}"
-    return model
+        return f"ollama/{canonical}"
+    return canonical
 
 
 def get_provider_name(model_info: dict[str, Any]) -> str:

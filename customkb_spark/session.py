@@ -93,9 +93,14 @@ def build_conf(
         # validation — the executor must also advertise GPUs and, on
         # a real cluster, know how to discover them
         conf["spark.task.resource.gpu.amount"] = str(gpus)
+        # executor amount must be >= the task requirement or context
+        # validation rejects the pair
+        import math
+
+        default_exec = str(max(1, math.ceil(float(gpus))))
         conf.setdefault(
             "spark.executor.resource.gpu.amount",
-            os.environ.get("SPARK_GRAFT_GPUS_PER_EXECUTOR", "1"),
+            os.environ.get("SPARK_GRAFT_GPUS_PER_EXECUTOR", default_exec),
         )
         disc = os.environ.get("SPARK_GRAFT_GPU_DISCOVERY")
         if disc:

@@ -13,6 +13,7 @@ semantics with real checkpointing.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from customkb_spark.embedding.embedder import embed_texts
@@ -143,33 +144,65 @@ def incremental_pack_maintenance(
 ) -> StreamingQuery:
     """Stream arriving documents into a persisted pack-segment table
     (``operators/packing``): each micro-batch continues every shard's
-    token offsets from the stored layout via ``pack_append`` — the
+    token offsets from where the previous batches stopped — the
     streaming form of "append a day's crawl without re-packing the
-    corpus". Idempotent under foreachBatch's at-least-once replay via
-    the id anti-join; per-batch offsets read one tiny per-shard
-    aggregate of the segment table, not the corpus.
+    corpus".
 
-    Note the ordering contract is per-ARRIVAL here: a replayed/late doc
-    with an id below an already-packed one still packs after it (the
-    layout is append-only, never rewritten), so the stream equals the
-    batch rebuild only when ids arrive in order — same contract as
+    Per-batch cost scales with the BATCH, never the corpus:
+
+    - segments land under ``{segments_dir}/epoch=N`` with per-epoch
+      OVERWRITE, so a foreachBatch replay rewrites its own partition
+      instead of double-appending (idempotent without any anti-join
+      against the ever-growing table — and without the anti-join's
+      global-id assumption; packing ids only need to be unique per
+      shard);
+    - offsets come from a tiny sidecar (``{segments_dir}/_offsets/
+      epoch=N``: one row per shard per epoch with that batch's token
+      total). The base offset for epoch N sums epochs < N — a read
+      over #epochs × #shards rows, not over segments. Its exclusive
+      filter also makes the offset math replay-safe: a replayed epoch
+      never sees its own earlier totals.
+
+    Readers get the full layout from ``spark.read.parquet(
+    segments_dir)`` (the ``epoch`` column marks arrival batches; the
+    ``_offsets`` sidecar is underscore-prefixed, so parquet readers
+    skip it). Ordering contract: the stream equals the batch rebuild
+    when ids arrive in order per shard — same contract as
     ``pack_append``."""
-    from customkb_spark.operators.packing import pack_append, pack_summary
+    from pyspark.errors import AnalysisException
+
+    from customkb_spark.operators.packing import pack_append, pack_segments
+
+    offsets_dir = f"{segments_dir}/_offsets"
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        fresh = _drop_already_written(batch_df, segments_dir, id_col)
         spark = batch_df.sparkSession
         try:
-            summary = pack_summary(spark.read.parquet(segments_dir), shard_col)
-        except Exception:
-            summary = None
-        if summary is None:
-            from customkb_spark.operators.packing import pack_segments
-
-            seg = pack_segments(fresh, seq_len, text_col, id_col, shard_col)
+            # the epoch column comes from partition discovery over the
+            # epoch=N directory names — the files carry only (shard,
+            # pack_tokens), so a replayed overwrite stays self-contained
+            prior = (
+                spark.read.parquet(offsets_dir)
+                .filter(F.col("epoch") < epoch_id)
+                .groupBy(shard_col)
+                .agg(F.sum("pack_tokens").cast("long").alias("pack_tokens"))
+            )
+        except AnalysisException:
+            prior = None  # first epoch: no offsets written yet
+        if prior is None or not prior.take(1):
+            seg = pack_segments(batch_df, seq_len, text_col, id_col, shard_col)
         else:
-            seg = pack_append(summary, fresh, seq_len, text_col, id_col, shard_col)
-        seg.write.mode("append").parquet(segments_dir)
+            # pack_append only consumes sum(pack_tokens) per shard, so
+            # the 1-pack-per-shard summary shape above is sufficient
+            seg = pack_append(prior, batch_df, seq_len, text_col, id_col, shard_col)
+        seg = seg.localCheckpoint()  # one computation feeds both writes
+        seg.write.mode("overwrite").parquet(f"{segments_dir}/epoch={epoch_id}")
+        (
+            seg.groupBy(shard_col)
+            .agg(F.sum("seg_tokens").cast("long").alias("pack_tokens"))
+            .write.mode("overwrite")
+            .parquet(f"{offsets_dir}/epoch={epoch_id}")
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

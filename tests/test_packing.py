@@ -262,35 +262,38 @@ def test_dsir_plan_broadcasts_ratio_table(spark, documents):
 
 
 def test_streaming_pack_maintenance_matches_batch(spark, tmp_path):
-    """Two in-order micro-batches produce exactly the batch layout,
-    exactly once (idempotent under replay)."""
-    from customkb_spark.streaming.incremental import (
-        _drop_already_written,
-        incremental_pack_maintenance,
-    )
+    """In-order micro-batches — including across a stream restart —
+    produce exactly the batch layout; per-epoch overwrite keeps the
+    sink idempotent and the offsets sidecar invisible to readers."""
+    from customkb_spark.streaming.incremental import incremental_pack_maintenance
 
-    rows = [("s%d" % (i % 3), i, " ".join(["w"] * (i % 9 + 1))) for i in range(60)]
+    rows = [("s%d" % (i % 3), i, " ".join(["w"] * (i % 9 + 1))) for i in range(90)]
     df = _docs(spark, rows)
     src = str(tmp_path / "pk_src")
-    # two files, ids in order across them -> two micro-batches in order
-    df.filter(F.col("doc_id") < 30).coalesce(1).write.parquet(src)
-    df.filter(F.col("doc_id") >= 30).coalesce(1).write.mode("append").parquet(src)
-    stream = (
-        spark.readStream.schema(df.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
     seg_dir = str(tmp_path / "pk_seg")
-    q = incremental_pack_maintenance(
-        stream, seg_dir, str(tmp_path / "pk_ckpt"), seq_len=16
-    )
-    q.awaitTermination(120)
+    ckpt = str(tmp_path / "pk_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        incremental_pack_maintenance(stream, seg_dir, ckpt, seq_len=16).awaitTermination(120)
 
     key = lambda r: (r.source, r.doc_id, r.pack_id, r.seg_tokens)  # noqa: E731
+    # two in-order micro-batches in the first run
+    df.filter(F.col("doc_id") < 30).coalesce(1).write.parquet(src)
+    df.filter(F.col("doc_id").between(30, 59)).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = sorted(map(key, spark.read.parquet(seg_dir).collect()))
+    want = sorted(map(key, P.pack_segments(df.filter(F.col("doc_id") < 60), 16).collect()))
+    assert got == want
+
+    # a RESTARTED stream continues each shard's offsets where the
+    # previous run stopped (offsets sidecar, not a corpus rescan)
+    df.filter(F.col("doc_id") >= 60).coalesce(1).write.mode("append").parquet(src)
+    run()
     got = sorted(map(key, spark.read.parquet(seg_dir).collect()))
     want = sorted(map(key, P.pack_segments(df, 16).collect()))
     assert got == want
-
-    # replayed batch appends nothing
-    replay = _drop_already_written(df, seg_dir, "doc_id")
-    assert replay.count() == 0
