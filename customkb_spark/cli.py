@@ -77,11 +77,26 @@ def cmd_query(args) -> int:
     kb = _kb(args)
     if args.top_k is not None:
         kb.cfg.query_top_k = args.top_k
+    if args.context_scope is not None:
+        kb.cfg.query_context_scope = args.context_scope
+    question = args.question
+    if args.query_file:
+        with open(args.query_file, encoding="utf-8", errors="replace") as f:
+            question = f.read().strip()
+    if not question:
+        print("query: empty question (give QUESTION or --query-file)", file=sys.stderr)
+        return 2
     out = kb.query(
-        args.question,
+        question,
         context_only=args.context_only,
         fmt=args.format,
         categories=args.category or None,
+        template=args.prompt_template,
+        model=args.model,
+        role=args.role or None,
+        temperature=args.temperature,
+        max_tokens=args.max_tokens,
+        context_files=args.context_files,
     )
     print(out)
     return 0
@@ -343,11 +358,22 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("query", help="hybrid retrieval (+ answer)")
     common(q)
-    q.add_argument("question")
-    q.add_argument("--context-only", action="store_true")
-    q.add_argument("--format", default="plain", choices=["plain", "xml", "json", "markdown"])
-    q.add_argument("--top-k", type=int, default=None)
+    q.add_argument("question", nargs="?", default="")
+    q.add_argument("-Q", "--query-file", default=None, help="read the question from a file")
+    q.add_argument("-c", "--context-only", action="store_true")
+    q.add_argument("-f", "--format", default="plain", choices=["plain", "xml", "json", "markdown"])
+    q.add_argument("-k", "--top-k", type=int, default=None)
+    q.add_argument("-s", "--context-scope", type=int, default=None, help="context segments per hit")
     q.add_argument("--category", action="append", help="repeatable category filter")
+    q.add_argument("-m", "--model", default=None, help="answer model (alias registry + LiteLLM)")
+    q.add_argument("-R", "--role", default="", help="custom system role for the answer")
+    q.add_argument("-t", "--temperature", type=float, default=None)
+    q.add_argument("-M", "--max-tokens", type=int, default=512)
+    q.add_argument(
+        "-p", "--prompt-template", default="default",
+        help="default|instructive|scholarly|concise|analytical|conversational|technical",
+    )
+    q.add_argument("--context-files", nargs="+", default=None, help="extra context files")
     q.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("verify", help="table/pending-work stats")

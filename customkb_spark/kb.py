@@ -327,9 +327,22 @@ class KnowledgeBase:
         fmt: str = "plain",
         categories: list[str] | None = None,
         log: bool = True,
+        template: str = "default",
+        model: str | None = None,
+        role: str | None = None,
+        temperature: float | None = None,
+        max_tokens: int = 512,
+        context_files: list[str] | None = None,
     ) -> str:
         """Full reference query lifecycle (SURVEY.md §3.3): hybrid
-        search → context assembly → format → (stub) LLM answer."""
+        search → context assembly → format → (stub) LLM answer.
+
+        The answer knobs mirror the reference's query flags
+        (customkb.py:230-262): ``template`` (-p), ``model`` (-m, via
+        the alias registry + LiteLLM routing), ``role`` (-R system
+        override), ``temperature`` (-t), ``max_tokens`` (-M), and
+        ``context_files`` — extra driver-side files appended to the
+        reference string before answering."""
         t0 = time.time()
         index = self._build_index()
         rerank_cache = None
@@ -372,9 +385,27 @@ class KnowledgeBase:
                 )
             except Exception:
                 pass  # logging must never fail the query
+        if context_files:
+            blocks = [reference_string]
+            for path in context_files:
+                with open(path, encoding="utf-8", errors="replace") as f:
+                    blocks.append(f"[context file: {os.path.basename(path)}]\n{f.read()}")
+            reference_string = "\n\n".join(blocks)
         if context_only:
             return reference_string
-        return generate_answer(query_text, reference_string)
+        provider = None
+        if model and model != "none":
+            from customkb_spark.plans.answer import get_llm
+
+            provider = get_llm(model, temperature=temperature)
+        return generate_answer(
+            query_text,
+            reference_string,
+            template=template,
+            provider=provider,
+            role=role,
+            max_tokens=max_tokens,
+        )
 
     def query_batch(
         self,

@@ -39,6 +39,55 @@ PROMPT_TEMPLATES: dict[str, dict[str, str]] = {
         ),
         "user": "{reference_string}\n\nQ: {query_text}\nA:",
     },
+    # The remaining five named styles the reference ships
+    # (query/prompt_templates.py:28-95) — same intents, own wording.
+    "scholarly": {
+        "system": (
+            "You are a research assistant. Be rigorous, cite every "
+            "claim to its source passage, and note gaps in the sources."
+        ),
+        "user": (
+            "Sources:\n{reference_string}\n\nResearch question: "
+            "{query_text}\n\nAnswer with citations:"
+        ),
+    },
+    "concise": {
+        "system": (
+            "Answer briefly and directly from the context. No preamble, "
+            "no elaboration."
+        ),
+        "user": "Context:\n{reference_string}\n\n{query_text}",
+    },
+    "analytical": {
+        "system": (
+            "You analyze systematically: identify the key factors in "
+            "the evidence, weigh them, then conclude."
+        ),
+        "user": (
+            "Evidence:\n{reference_string}\n\nAnalyze: {query_text}\n\n"
+            "Structure the answer as factors, analysis, conclusion."
+        ),
+    },
+    "conversational": {
+        "system": (
+            "Explain in a friendly, plain-spoken tone while staying "
+            "strictly accurate to the provided material."
+        ),
+        "user": (
+            "Here is what the knowledgebase says:\n{reference_string}\n\n"
+            "{query_text}"
+        ),
+    },
+    "technical": {
+        "system": (
+            "You are a technical expert. Use precise terminology, give "
+            "exact values and steps, and stay within the documentation."
+        ),
+        "user": (
+            "Documentation:\n{reference_string}\n\nTechnical question: "
+            "{query_text}"
+        ),
+    },
 }
 
 
@@ -139,17 +188,21 @@ class LiteLLMChatLLM(LLMProvider):
 _LLM_PROVIDERS: dict[str, type[LLMProvider]] = {"stub-extractive": ExtractiveStubLLM}
 
 
-def get_llm(name: str = "stub-extractive") -> LLMProvider:
+def get_llm(name: str = "stub-extractive", temperature: float | None = None) -> LLMProvider:
     """Registered stub names construct locally; any other name resolves
     through the model-alias registry (models.resolve_model — the
     reference rewrites args.model via get_canonical_model,
-    customkb.py:566-571) and is then a LiteLLM model string."""
+    customkb.py:566-571) and is then a LiteLLM model string.
+    ``temperature`` reaches the LiteLLM chat path (stubs are
+    deterministic and ignore it)."""
     from customkb_spark.models import resolve_model
 
     name = resolve_model(name)
     if name in _LLM_PROVIDERS:
         return _LLM_PROVIDERS[name]()
-    return LiteLLMChatLLM(name)
+    if temperature is None:
+        return LiteLLMChatLLM(name)
+    return LiteLLMChatLLM(name, temperature=temperature)
 
 
 def generate_answer(
@@ -157,10 +210,16 @@ def generate_answer(
     reference_string: str,
     template: str = "default",
     provider: LLMProvider | None = None,
+    role: str | None = None,
+    max_tokens: int = 512,
 ) -> str:
+    """Prompt-template answer; ``role`` overrides the template's system
+    prompt verbatim (reference ``query -R/--role``)."""
     provider = provider or ExtractiveStubLLM()
     system, user = build_prompt(query_text, reference_string, template)
-    return provider.complete(system, user)
+    if role:
+        system = role
+    return provider.complete(system, user, max_tokens=max_tokens)
 
 
 def answer_batch(

@@ -72,6 +72,49 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert {"dup_word_frac", "top_ngram_frac", "dup_span_frac", "n_email", "contaminated"} <= cols
 
 
+def test_cli_query_reference_flags(spark, tmp_path, capsys):
+    d = tmp_path / "qdocs"
+    d.mkdir()
+    for i in range(5):
+        (d / f"f{i}.txt").write_text(f"spark window table data document {i} " * 8)
+    kb_dir = str(tmp_path / "kbq")
+    assert cli.main(["database", kb_dir, "--files", str(d)]) == 0
+    assert cli.main(["embed", kb_dir]) == 0
+    capsys.readouterr()
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("spark data\n")
+    extra = tmp_path / "extra.txt"
+    extra.write_text("supplementary note about windows")
+    # -Q file question, template + role + context files, stub answer
+    rc = cli.main([
+        "query", kb_dir,
+        "-Q", str(qfile),
+        "-p", "scholarly",
+        "-R", "You are a terse auditor.",
+        "-s", "2",
+        "--context-files", str(extra),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "supplementary note" in out or len(out) > 0
+    # empty question without -Q errors cleanly
+    assert cli.main(["query", kb_dir]) == 2
+
+
+def test_prompt_templates_cover_reference_styles(spark):
+    from customkb_spark.plans.answer import PROMPT_TEMPLATES, build_prompt
+
+    expected = {
+        "default", "instructive", "scholarly", "concise",
+        "analytical", "conversational", "technical",
+    }
+    assert expected <= set(PROMPT_TEMPLATES)
+    for name in expected:
+        system, user = build_prompt("q?", "refs", name)
+        assert "refs" in user and "q?" in user and system
+
+
 def test_cli_curate_learned_scorers(spark, tmp_path, capsys):
     out = str(tmp_path / "report_ls")
     rc = cli.main([
