@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -54,6 +55,10 @@ def _docs_from_files(spark, pattern: str):
 
 def cmd_database(args) -> int:
     kb = _kb(args)
+    if args.language:
+        kb.cfg.language = args.language
+    if args.detect_language:
+        kb.cfg.detect_language = True
     if args.docs_parquet:
         docs = kb.spark.read.parquet(args.docs_parquet)
     elif args.files:
@@ -67,7 +72,17 @@ def cmd_database(args) -> int:
 
 
 def cmd_embed(args) -> int:
+    import shutil
+
     kb = _kb(args)
+    if getattr(args, "reset_database", False):
+        # reference embed -r: clear embedding status so everything
+        # re-embeds — here that's dropping the vectors table (the
+        # pending set is an anti-join against it) and the stale index
+        for table in ("vectors", "vindex"):
+            path = os.path.join(args.kb_dir, table)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
     n = kb.embed()
     print(f"embedded {n} vectors")
     return 0
@@ -112,16 +127,27 @@ def cmd_optimize(args) -> int:
     import os
 
     from customkb_spark.plans.maintenance import (
+        MEMORY_TIERS,
         optimize_chunks,
         suggest_tuning,
         table_stats,
     )
 
+    if getattr(args, "show_tiers", False):
+        # reference optimize -s: display every memory tier's settings
+        tiers = {
+            tier: suggest_tuning((0 if i == 0 else MEMORY_TIERS[i - 1][0]) + 1.0)
+            for i, (max_gb, tier, *_rest) in enumerate(MEMORY_TIERS)
+        }
+        print(json.dumps(tiers, indent=2))
+        return 0
+
     spark = _spark()
+    read_only = getattr(args, "dry_run", False) or getattr(args, "analyze", False)
     chunks = os.path.join(args.kb_dir, "chunks")
-    if os.path.isdir(chunks):
+    if os.path.isdir(chunks) and not read_only:
         optimize_chunks(spark, chunks)
-    if getattr(args, "reindex", False):
+    if not read_only and getattr(args, "reindex", False):
         # drop the persisted vector-index tier so the next build
         # re-selects flat/IVF/IVFPQ for the CURRENT corpus size (a
         # grown-past-threshold KB otherwise keeps its original tier)
@@ -136,7 +162,9 @@ def cmd_optimize(args) -> int:
     table_stats(spark, args.kb_dir).show(truncate=False)
     # the reference's memory-tier auto-config report (advisory; Spark
     # confs print so cluster deployment can apply them)
-    mem_gb = float(os.environ.get("CUSTOMKB_TOTAL_MEMORY_GB", "64"))
+    mem_gb = getattr(args, "memory_gb", None) or float(
+        os.environ.get("CUSTOMKB_TOTAL_MEMORY_GB", "64")
+    )
     print(json.dumps(suggest_tuning(mem_gb), indent=2))
     return 0
 
@@ -349,11 +377,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(d)
     d.add_argument("--files", default=None, help="file glob to ingest")
     d.add_argument("--docs-parquet", default=None, help="documents parquet path")
-    d.add_argument("--force", action="store_true", help="re-ingest seen sources")
+    d.add_argument("-f", "--force", action="store_true", help="re-ingest seen sources")
+    d.add_argument("-l", "--language", default=None, help="stopword language (en gates the BM25 drop)")
+    d.add_argument("--detect-language", action="store_true", help="per-doc heuristic language column")
     d.set_defaults(fn=cmd_database)
 
     e = sub.add_parser("embed", help="embed pending chunks")
     common(e)
+    e.add_argument("-r", "--reset-database", action="store_true", help="re-embed everything")
     e.set_defaults(fn=cmd_embed)
 
     q = sub.add_parser("query", help="hybrid retrieval (+ answer)")
@@ -382,6 +413,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     o = sub.add_parser("optimize", help="compact + cluster the chunks table")
     common(o)
+    o.add_argument("-n", "--dry-run", action="store_true", help="report only, change nothing")
+    o.add_argument("-a", "--analyze", action="store_true", help="stats + recommendations only")
+    o.add_argument("-s", "--show-tiers", action="store_true", help="print all memory-tier settings")
+    o.add_argument("-m", "--memory-gb", type=float, default=None, help="override detected memory")
     o.add_argument(
         "--reindex", action="store_true",
         help="retrain + re-tier the persisted vector index for the current corpus",

@@ -23,6 +23,8 @@ class KBConfig:
     db_min_tokens: int = 100
     db_max_tokens: int = 200
     query_model: str = "none"
+    language: str = "en"  # BM25 stopword gate (reference database -l)
+    detect_language: bool = False  # per-doc heuristic lang column on ingest
 
     # [ALGORITHMS] — reference config/models.py:139-190
     similarity_threshold: float = 0.6

@@ -73,6 +73,13 @@ class KnowledgeBase:
                 seen.select(F.col("file_path").alias("source")), "source", "left_anti"
             )
         lang = "lang" if "lang" in docs.columns else None
+        if lang is None and self.cfg.detect_language:
+            # reference database --detect-language: per-doc heuristic
+            # (language_detector.py) — a pure column expression here
+            from customkb_spark.functions import text as X
+
+            docs = docs.withColumn("lang", X.detect_language_heuristic("text"))
+            lang = "lang"
         chunks = documents_to_chunks(
             docs, lang_col=lang, chunk_size=self.cfg.db_max_tokens
         )
@@ -228,7 +235,7 @@ class KnowledgeBase:
                     "n_chunks": n, "avgdl": avgdl,
                     "n_terms": self._read("term_stats").count(), "rebuilt": False,
                 }
-        postings = B25.build_postings(chunks, "id", "originaltext")
+        postings = B25.build_postings(chunks, "id", "originaltext", language=self.cfg.language)
         postings.write.mode("overwrite").parquet(self._p("postings"))
         # read back so term_stats aggregates the materialized table
         # instead of re-tokenizing the corpus a second time

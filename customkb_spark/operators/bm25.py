@@ -25,15 +25,21 @@ from pyspark.sql import functions as F
 from customkb_spark.functions import text as X
 
 
-def build_postings(chunks: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+def build_postings(
+    chunks: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    language: str = "en",
+) -> DataFrame:
     """postings(id, term, dl): one row per (document, BM25 token) —
     the F3 token set (dedup + single-char/essential-stopword removal,
-    text.bm25_token_set)."""
+    text.bm25_token_set; the stopword drop is en-gated, matching the
+    reference's ``--language`` behavior)."""
     toks = chunks.select(
         F.col(id_col).alias("id"),
         # unordered: the set is only exploded/sized here, and the
         # per-row sort is ~25% of the tokenization pass
-        X.bm25_token_set(text_col, ordered=False).alias("toks"),
+        X.bm25_token_set(text_col, language=language, ordered=False).alias("toks"),
     )
     # explode_OUTER, not explode: for a plain explode Catalyst infers
     # `isnotnull(toks) AND size(toks) > 0` and pushes it below the

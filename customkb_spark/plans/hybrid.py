@@ -64,7 +64,10 @@ class HybridIndex:
         ``corpus`` = (n, avgdl) (persisted by KnowledgeBase.build_bm25 —
         the reference's NPZ BM25 index file, bm25_manager.py)."""
         if postings is None:
-            postings = B.build_postings(chunks, "id", text_col)
+            postings = B.build_postings(
+                chunks, "id", text_col,
+                language=cfg.language if cfg is not None else "en",
+            )
         n, avgdl = corpus if corpus is not None else B.corpus_stats(chunks, text_col)
         stats = term_stats if term_stats is not None else B.build_term_stats(postings, n)
         if vindex is None and cfg is not None:

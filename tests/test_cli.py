@@ -234,3 +234,36 @@ def test_cli_optimize_reindex_retiers(spark, tmp_path, capsys):
     assert os.path.isdir(os.path.join(kb_dir, "vindex"))  # persisted on query
     assert cli.main(["optimize", kb_dir, "--reindex"]) == 0
     assert os.path.isdir(os.path.join(kb_dir, "vindex"))  # rebuilt + re-persisted
+
+
+def test_cli_reference_flag_parity(spark, tmp_path, capsys):
+    """database -l/--detect-language, embed -r, optimize -n/-a/-s/-m."""
+    import json as _json
+    import os
+
+    d = tmp_path / "fdocs"
+    d.mkdir()
+    for i in range(4):
+        (d / f"f{i}.txt").write_text(f"spark data window table number {i} " * 10)
+    kb_dir = str(tmp_path / "kbf")
+    assert cli.main(["database", kb_dir, "--files", str(d), "--detect-language", "-l", "en"]) == 0
+    assert cli.main(["embed", kb_dir]) == 0
+    capsys.readouterr()
+
+    # embed -r drops vectors and re-embeds everything
+    n_before = spark.read.parquet(os.path.join(kb_dir, "vectors")).count()
+    assert cli.main(["embed", kb_dir, "-r"]) == 0
+    out = capsys.readouterr().out
+    assert f"embedded {n_before} vectors" in out
+
+    # optimize --show-tiers prints the full tier table without a session
+    assert cli.main(["optimize", kb_dir, "--show-tiers"]) == 0
+    tiers = _json.loads(capsys.readouterr().out)
+    assert set(tiers) == {"low", "medium", "high", "very_high"}
+
+    # optimize --analyze + --memory-gb overrides detection, writes nothing
+    chunks_mtime = os.path.getmtime(os.path.join(kb_dir, "chunks"))
+    assert cli.main(["optimize", kb_dir, "-a", "-m", "8"]) == 0
+    out = capsys.readouterr().out
+    assert '"tier": "low"' in out
+    assert os.path.getmtime(os.path.join(kb_dir, "chunks")) == chunks_mtime
