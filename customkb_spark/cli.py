@@ -190,9 +190,25 @@ def cmd_categorize(args) -> int:
     )
 
     kb = _kb(args)
-    chunks = kb.spark.read.parquet(os.path.join(args.kb_dir, "chunks"))
     apath = os.path.join(args.kb_dir, "cat_assignments")
-    n = categorize_with_resume(chunks, apath)
+    if getattr(args, "list_categories", False):
+        # reference --list: existing categories and counts, no work
+        if not os.path.isdir(apath):
+            print(json.dumps({"categories": 0}))
+            return 0
+        category_counts(kb.spark.read.parquet(apath)).show(truncate=False)
+        return 0
+    if getattr(args, "fresh", False) and os.path.isdir(apath):
+        # reference --fresh: drop the checkpoint, reprocess everything
+        import shutil
+
+        shutil.rmtree(apath)
+    chunks = kb.spark.read.parquet(os.path.join(args.kb_dir, "chunks"))
+    if args.sample:
+        # reference -S N: categorize only N sample documents
+        docs = chunks.select("sourcedoc").distinct().orderBy("sourcedoc").limit(args.sample)
+        chunks = chunks.join(docs, "sourcedoc", "left_semi")
+    n = categorize_with_resume(chunks, apath, model=args.model)
     print(json.dumps({"newly_categorized": n}, indent=2))
     category_counts(kb.spark.read.parquet(apath)).show(truncate=False)
     return 0
@@ -203,7 +219,15 @@ def cmd_convert_encoding(args) -> int:
     files in place (with backups); --dry-run reports only."""
     from customkb_spark.sources.files import convert_files_to_utf8
 
-    report = convert_files_to_utf8(_spark(), args.pattern, dry_run=args.dry_run)
+    pattern = args.pattern
+    if getattr(args, "recursive", False) and os.path.isdir(pattern.rstrip("/")):
+        pattern = os.path.join(pattern.rstrip("/"), "**")
+    report = convert_files_to_utf8(
+        _spark(),
+        pattern,
+        dry_run=args.dry_run,
+        backup_suffix=".bak" if args.backup else None,
+    )
     report.show(truncate=False)
     return 0
 
@@ -430,11 +454,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     cat = sub.add_parser("categorize", help="checkpointed document categorization")
     common(cat)
+    cat.add_argument("-S", "--sample", type=int, default=None, help="categorize only N documents")
+    cat.add_argument("--fresh", action="store_true", help="drop the checkpoint, reprocess all")
+    cat.add_argument("--list", dest="list_categories", action="store_true", help="list categories and counts")
+    cat.add_argument("-m", "--model", default="stub-top-token", help="categorization model")
     cat.set_defaults(fn=cmd_categorize)
 
     ce = sub.add_parser("convert-encoding", help="rewrite non-UTF-8 files as UTF-8")
     ce.add_argument("pattern", help="file glob")
     ce.add_argument("--dry-run", action="store_true")
+    ce.add_argument("--backup", dest="backup", action="store_true", default=True)
+    ce.add_argument("--no-backup", dest="backup", action="store_false")
+    ce.add_argument("-r", "--recursive", action="store_true", help="descend into a directory")
     ce.set_defaults(fn=cmd_convert_encoding)
 
     ed = sub.add_parser("edit", help="show the resolved KB config")

@@ -244,10 +244,11 @@ def convert_files_to_utf8(
     spark: SparkSession,
     pattern: str,
     dry_run: bool = True,
-    backup_suffix: str = ".bak",
+    backup_suffix: str | None = ".bak",
 ) -> DataFrame:
     """S9 encoding converter (utils/encoding_converter.py:88-148):
-    rewrite non-utf-8 text files in place as utf-8 (with backup).
+    rewrite non-utf-8 text files in place as utf-8 (with backup;
+    ``backup_suffix=None`` mirrors the reference's ``--no-backup``).
 
     Returns a report DataFrame (path, encoding, converted). With
     ``dry_run`` nothing is written — the report shows what would
@@ -275,7 +276,8 @@ def convert_files_to_utf8(
             if r["encoding"] in (None, "utf-8") or r["text"] is None:
                 continue
             path = r["path"].replace("file:", "", 1)
-            shutil.copy2(path, path + backup_suffix)
+            if backup_suffix:
+                shutil.copy2(path, path + backup_suffix)
             with open(path, "w", encoding="utf-8") as f:
                 f.write(r["text"])
 

@@ -267,3 +267,40 @@ def test_cli_reference_flag_parity(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert '"tier": "low"' in out
     assert os.path.getmtime(os.path.join(kb_dir, "chunks")) == chunks_mtime
+
+
+def test_cli_categorize_sample_fresh_list(spark, tmp_path, capsys):
+    import json as _json
+    import os
+
+    d = tmp_path / "cdocs"
+    d.mkdir()
+    for i in range(6):
+        (d / f"f{i}.txt").write_text(f"spark window data document number {i} " * 8)
+    kb_dir = str(tmp_path / "kbc")
+    assert cli.main(["database", kb_dir, "--files", str(d)]) == 0
+    capsys.readouterr()
+
+    # -S 2: only two documents categorized
+    assert cli.main(["categorize", kb_dir, "-S", "2"]) == 0
+    out = capsys.readouterr().out
+    assert '"newly_categorized": 2' in out
+    # --list shows counts without categorizing more
+    assert cli.main(["categorize", kb_dir, "--list"]) == 0
+    capsys.readouterr()
+    n_after_list = spark.read.parquet(os.path.join(kb_dir, "cat_assignments")).count()
+    assert n_after_list == 2
+    # --fresh reprocesses everything from scratch
+    assert cli.main(["categorize", kb_dir, "--fresh"]) == 0
+    out = capsys.readouterr().out
+    assert '"newly_categorized": 6' in out
+
+
+def test_convert_encoding_no_backup(spark, tmp_path):
+    from customkb_spark.sources.files import convert_files_to_utf8
+
+    p = tmp_path / "latin.txt"
+    p.write_bytes("caf\xe9 cr\xe8me".encode("cp1252"))
+    convert_files_to_utf8(spark, str(tmp_path / "*.txt"), dry_run=False, backup_suffix=None)
+    assert p.read_text(encoding="utf-8") == "caf\xe9 cr\xe8me"
+    assert not (tmp_path / "latin.txt.bak").exists()
