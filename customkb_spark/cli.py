@@ -475,6 +475,9 @@ def build_parser() -> argparse.ArgumentParser:
     ver = sub.add_parser("version", help="print the engine version")
     ver.set_defaults(fn=cmd_version)
 
+    hp = sub.add_parser("help", help="detailed help for every command")
+    hp.set_defaults(fn=lambda a: (p.print_help(), 0)[1])
+
     c = sub.add_parser("curate", help="training-data curation report")
     c.add_argument("docs_parquet")
     c.add_argument("--out", default=None, help="write per-doc report parquet here")
