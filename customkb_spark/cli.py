@@ -33,8 +33,28 @@ def _kb(args):
     from customkb_spark.config import KBConfig
     from customkb_spark.kb import KnowledgeBase
 
-    cfg = KBConfig.from_file(getattr(args, "config", None))
+    # explicit --config wins; otherwise the KB's own persisted settings
+    # (<kb_dir>/kb.cfg, written by e.g. `database -l de`) — so a flag
+    # chosen at ingest time still governs later bm25/query processes
+    path = getattr(args, "config", None) or os.path.join(args.kb_dir, "kb.cfg")
+    cfg = KBConfig.from_file(path)
     return KnowledgeBase(_spark(), args.kb_dir, cfg)
+
+
+def _persist_kb_settings(kb_dir: str, **settings) -> None:
+    """Record per-KB config overrides in <kb_dir>/kb.cfg (the
+    reference's per-KB .cfg file, config_manager.py) so every later
+    command on this KB sees them without re-passing flags."""
+    import configparser
+
+    os.makedirs(kb_dir, exist_ok=True)
+    path = os.path.join(kb_dir, "kb.cfg")
+    parser = configparser.ConfigParser()
+    parser.read(path)
+    for k, v in settings.items():
+        parser["DEFAULT"][k] = str(v)
+    with open(path, "w") as f:
+        parser.write(f)
 
 
 def _docs_from_files(spark, pattern: str):
@@ -55,10 +75,15 @@ def _docs_from_files(spark, pattern: str):
 
 def cmd_database(args) -> int:
     kb = _kb(args)
+    overrides = {}
     if args.language:
         kb.cfg.language = args.language
+        overrides["language"] = args.language
     if args.detect_language:
         kb.cfg.detect_language = True
+        overrides["detect_language"] = True
+    if overrides:
+        _persist_kb_settings(args.kb_dir, **overrides)
     if args.docs_parquet:
         docs = kb.spark.read.parquet(args.docs_parquet)
     elif args.files:
@@ -77,9 +102,11 @@ def cmd_embed(args) -> int:
     kb = _kb(args)
     if getattr(args, "reset_database", False):
         # reference embed -r: clear embedding status so everything
-        # re-embeds — here that's dropping the vectors table (the
-        # pending set is an anti-join against it) and the stale index
-        for table in ("vectors", "vindex"):
+        # re-embeds — drop the vectors table (the pending set is an
+        # anti-join against it), the stale index, AND the read-through
+        # cache: a reset that re-serves cached vectors isn't a reset
+        # (the cache shares any corruption the reset is escaping)
+        for table in ("vectors", "vindex", "emb_cache"):
             path = os.path.join(args.kb_dir, table)
             if os.path.isdir(path):
                 shutil.rmtree(path)
@@ -96,11 +123,20 @@ def cmd_query(args) -> int:
         kb.cfg.query_context_scope = args.context_scope
     question = args.question
     if args.query_file:
-        with open(args.query_file, encoding="utf-8", errors="replace") as f:
-            question = f.read().strip()
+        try:
+            with open(args.query_file, encoding="utf-8", errors="replace") as f:
+                question = f.read().strip()
+        except OSError as e:
+            print(f"query: cannot read --query-file: {e}", file=sys.stderr)
+            return 2
     if not question:
         print("query: empty question (give QUESTION or --query-file)", file=sys.stderr)
         return 2
+    # fail on unreadable context files BEFORE the retrieval pipeline runs
+    for path in args.context_files or []:
+        if not os.path.isfile(path):
+            print(f"query: context file not found: {path}", file=sys.stderr)
+            return 2
     out = kb.query(
         question,
         context_only=args.context_only,
@@ -124,8 +160,6 @@ def cmd_verify(args) -> int:
 
 
 def cmd_optimize(args) -> int:
-    import os
-
     from customkb_spark.plans.maintenance import (
         MEMORY_TIERS,
         optimize_chunks,
@@ -182,8 +216,6 @@ def cmd_categorize(args) -> int:
     """Reference ``customkb categorize``: checkpointed per-document
     categorization into <kb_dir>/cat_assignments (resume = anti-join
     against the persisted table), then the category histogram."""
-    import os
-
     from customkb_spark.operators.categorize import (
         categorize_with_resume,
         category_counts,
@@ -205,8 +237,14 @@ def cmd_categorize(args) -> int:
         shutil.rmtree(apath)
     chunks = kb.spark.read.parquet(os.path.join(args.kb_dir, "chunks"))
     if args.sample:
-        # reference -S N: categorize only N sample documents
-        docs = chunks.select("sourcedoc").distinct().orderBy("sourcedoc").limit(args.sample)
+        # reference -S N: categorize N PENDING documents — sampling
+        # must exclude already-assigned docs or repeated -S runs would
+        # reselect the same first batch and never advance
+        pending = chunks.select("sourcedoc").distinct()
+        if os.path.isdir(apath):
+            done = kb.spark.read.parquet(apath).select("sourcedoc")
+            pending = pending.join(done, "sourcedoc", "left_anti")
+        docs = pending.orderBy("sourcedoc").limit(args.sample)
         chunks = chunks.join(docs, "sourcedoc", "left_semi")
     n = categorize_with_resume(chunks, apath, model=args.model)
     print(json.dumps({"newly_categorized": n}, indent=2))
@@ -219,14 +257,12 @@ def cmd_convert_encoding(args) -> int:
     files in place (with backups); --dry-run reports only."""
     from customkb_spark.sources.files import convert_files_to_utf8
 
-    pattern = args.pattern
-    if getattr(args, "recursive", False) and os.path.isdir(pattern.rstrip("/")):
-        pattern = os.path.join(pattern.rstrip("/"), "**")
     report = convert_files_to_utf8(
         _spark(),
-        pattern,
+        args.pattern,
         dry_run=args.dry_run,
         backup_suffix=".bak" if args.backup else None,
+        recursive=getattr(args, "recursive", False),
     )
     report.show(truncate=False)
     return 0

@@ -224,13 +224,18 @@ class KnowledgeBase:
         from customkb_spark.embedding.store import content_fingerprint
 
         chunks = self._read("chunks")
-        n, avgdl = B25.corpus_stats(chunks, "originaltext")
+        n, avgdl = B25.corpus_stats(chunks, "originaltext", language=self.cfg.language)
         # content fingerprint, not a bare row count: force re-ingest can
         # rewrite text under unchanged ids and counts (ADVICE r2)
         fp = content_fingerprint(chunks, "id", "originaltext")
         if not force and self._exists("bm25_meta"):
             meta = self._read("bm25_meta").collect()[0]
-            if getattr(meta, "chunks_fp", None) == fp:
+            # language is part of freshness: postings tokenized under a
+            # different stopword gate are the wrong index for this cfg
+            if (
+                getattr(meta, "chunks_fp", None) == fp
+                and getattr(meta, "language", "en") == self.cfg.language
+            ):
                 return {
                     "n_chunks": n, "avgdl": avgdl,
                     "n_terms": self._read("term_stats").count(), "rebuilt": False,
@@ -243,8 +248,8 @@ class KnowledgeBase:
         stats = B25.build_term_stats(postings, n)
         stats.write.mode("overwrite").parquet(self._p("term_stats"))
         self.spark.createDataFrame(
-            [(int(n), float(avgdl), fp)],
-            "n_chunks long, avgdl double, chunks_fp string",
+            [(int(n), float(avgdl), fp, self.cfg.language)],
+            "n_chunks long, avgdl double, chunks_fp string, language string",
         ).coalesce(1).write.mode("overwrite").parquet(self._p("bm25_meta"))
         self._invalidate()
         return {

@@ -125,9 +125,15 @@ def bm25_score(
     )
 
 
-def corpus_stats(chunks: DataFrame, text_col: str = "text") -> tuple[int, float]:
-    """(corpus_size, avgdl) over BM25-token-set document lengths."""
-    row = chunks.select(X.bm25_token_set(text_col, ordered=False).alias("toks")).agg(
+def corpus_stats(
+    chunks: DataFrame, text_col: str = "text", language: str = "en"
+) -> tuple[int, float]:
+    """(corpus_size, avgdl) over BM25-token-set document lengths —
+    the SAME language gate as build_postings, or dl/avgdl
+    normalization skews when stopwords are kept on one side only."""
+    row = chunks.select(
+        X.bm25_token_set(text_col, language=language, ordered=False).alias("toks")
+    ).agg(
         F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
     ).collect()[0]
     return int(row["n"]), float(row["avgdl"])

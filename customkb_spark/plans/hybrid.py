@@ -68,7 +68,9 @@ class HybridIndex:
                 chunks, "id", text_col,
                 language=cfg.language if cfg is not None else "en",
             )
-        n, avgdl = corpus if corpus is not None else B.corpus_stats(chunks, text_col)
+        n, avgdl = corpus if corpus is not None else B.corpus_stats(
+            chunks, text_col, language=cfg.language if cfg is not None else "en"
+        )
         stats = term_stats if term_stats is not None else B.build_term_stats(postings, n)
         if vindex is None and cfg is not None:
             from customkb_spark.embedding.auto import build_vector_index
@@ -80,11 +82,12 @@ class HybridIndex:
         )
 
 
-def query_terms(query_text: str, min_len: int = 2) -> list[str]:
+def query_terms(query_text: str, min_len: int = 2, language: str = "en") -> list[str]:
     """Query-side twin of the index tokenizer (text.bm25_token_set) —
-    the query MUST tokenize identically to the postings index or
-    compound terms ('state-of-the-art', '3.14') would never match."""
-    return [t for t in X.bm25_tokenize_py(query_text) if len(t) >= min_len]
+    the query MUST tokenize identically to the postings index
+    (including the language-gated stopword drop) or compound terms
+    ('state-of-the-art', '3.14') would never match."""
+    return [t for t in X.bm25_tokenize_py(query_text, language) if len(t) >= min_len]
 
 
 def hybrid_search(
@@ -123,7 +126,7 @@ def hybrid_search(
         vec_hits = index.vindex.topk(qv, cfg.query_top_k, cfg.faiss_nprobe)
     else:
         vec_hits = brute_force_topk(index.vectors, qv, cfg.query_top_k)
-    q_terms = query_terms(query_text, cfg.bm25_min_token_length)
+    q_terms = query_terms(query_text, cfg.bm25_min_token_length, cfg.language)
     kw_hits = B.bm25_score(
         index.postings,
         index.term_stats,
@@ -202,7 +205,9 @@ def hybrid_search_batch(
     # the tokenizer (see bm25.build_postings)
     terms = queries.select(
         "qid",
-        F.explode_outer(X.bm25_token_set("query_text", ordered=False)).alias("term"),
+        F.explode_outer(
+            X.bm25_token_set("query_text", language=cfg.language, ordered=False)
+        ).alias("term"),
     ).filter(F.length("term") >= cfg.bm25_min_token_length)
     kw_hits = B.bm25_score_batch(
         index.postings,
@@ -309,7 +314,7 @@ def query(
     if cfg.enable_reranking:
         from customkb_spark.operators.rerank import rerank_hits, rerank_hits_cached
 
-        q_terms = query_terms(query_text, min_len=1)
+        q_terms = query_terms(query_text, min_len=1, language=cfg.language)
         if rerank_cache is not None or rerank_cache_sink is not None:
             reranked, new_entries = rerank_hits_cached(
                 fused,

@@ -245,6 +245,7 @@ def convert_files_to_utf8(
     pattern: str,
     dry_run: bool = True,
     backup_suffix: str | None = ".bak",
+    recursive: bool = False,
 ) -> DataFrame:
     """S9 encoding converter (utils/encoding_converter.py:88-148):
     rewrite non-utf-8 text files in place as utf-8 (with backup;
@@ -256,7 +257,10 @@ def convert_files_to_utf8(
     writes its partition's files); only files whose detected encoding
     isn't utf-8 are touched.
     """
-    decoded = decode_text(scan_files(spark, pattern))
+    # unlike ingest (always recursive), in-place conversion defaults to
+    # NON-recursive: the reference's -r is an explicit opt-in before
+    # files get mutated in nested directories
+    decoded = decode_text(scan_files(spark, pattern, recursive=recursive))
     report = decoded.select(
         "path",
         "encoding",

@@ -94,12 +94,19 @@ def test_cli_query_reference_flags(spark, tmp_path, capsys):
         "-R", "You are a terse auditor.",
         "-s", "2",
         "--context-files", str(extra),
+        "--context-only",
     ])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "supplementary note" in out or len(out) > 0
+    # context files must actually land in the assembled context
+    assert "supplementary note" in out
     # empty question without -Q errors cleanly
     assert cli.main(["query", kb_dir]) == 2
+    capsys.readouterr()
+    # unreadable -Q / missing context file fail fast with rc 2
+    assert cli.main(["query", kb_dir, "-Q", str(tmp_path / "nope.txt")]) == 2
+    assert cli.main(["query", kb_dir, "x", "--context-files", "/no/such/file"]) == 2
+    capsys.readouterr()
 
 
 def test_prompt_templates_cover_reference_styles(spark):
@@ -304,3 +311,50 @@ def test_convert_encoding_no_backup(spark, tmp_path):
     convert_files_to_utf8(spark, str(tmp_path / "*.txt"), dry_run=False, backup_suffix=None)
     assert p.read_text(encoding="utf-8") == "caf\xe9 cr\xe8me"
     assert not (tmp_path / "latin.txt.bak").exists()
+
+
+def test_language_threads_through_index_query_and_meta(spark, tmp_path):
+    """Non-en language keeps stopwords on BOTH sides (postings, avgdl,
+    query terms), persists per-KB, and flips bm25_meta freshness."""
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+    from customkb_spark.plans.hybrid import query_terms
+
+    # query tokenization honors the gate
+    assert "the" not in query_terms("the spark data", language="en")
+    assert "the" in query_terms("the spark data", language="de")
+
+    docs = spark.createDataFrame(
+        [(1, "the spark engine and the data tables", "a.txt"),
+         (2, "windows of the sorted batches", "b.txt")],
+        ["doc_id", "text", "source"],
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "kbde"), KBConfig(language="de", query_top_k=5))
+    assert kb.database(docs) > 0
+    info = kb.build_bm25()
+    assert info["rebuilt"] is True
+    # stopwords indexed under de
+    terms = {r.term for r in spark.read.parquet(str(tmp_path / "kbde" / "postings")).select("term").distinct().collect()}
+    assert "the" in terms and "and" in terms
+    # switching language invalidates the persisted index
+    kb.cfg.language = "en"
+    assert kb.build_bm25()["rebuilt"] is True
+    terms_en = {r.term for r in spark.read.parquet(str(tmp_path / "kbde" / "postings")).select("term").distinct().collect()}
+    assert "the" not in terms_en
+
+
+def test_cli_language_flag_persists(spark, tmp_path, capsys):
+    import os
+
+    d = tmp_path / "ldocs"
+    d.mkdir()
+    (d / "a.txt").write_text("the spark engine and the data tables " * 5)
+    kb_dir = str(tmp_path / "kbl")
+    assert cli.main(["database", kb_dir, "--files", str(d), "-l", "de"]) == 0
+    assert os.path.exists(os.path.join(kb_dir, "kb.cfg"))
+    capsys.readouterr()
+    # a LATER process (fresh _kb) picks the language up from kb.cfg
+    assert cli.main(["bm25", kb_dir]) == 0
+    capsys.readouterr()
+    terms = {r.term for r in spark.read.parquet(os.path.join(kb_dir, "postings")).select("term").distinct().collect()}
+    assert "the" in terms
