@@ -297,3 +297,16 @@ def test_streaming_pack_maintenance_matches_batch(spark, tmp_path):
     got = sorted(map(key, spark.read.parquet(seg_dir).collect()))
     want = sorted(map(key, P.pack_segments(df, 16).collect()))
     assert got == want
+
+
+def test_pack_segments_window_is_shard_partitioned(spark, documents):
+    plan = (
+        P.pack_segments(documents, 128)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the cumsum window must partition by the shard key — a
+    # SinglePartition window over the corpus is the 100-TB cliff
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
