@@ -443,9 +443,12 @@ class KnowledgeBase:
         return HY.rag_batch(index, queries, self.cfg, fmt)
 
     # ------------------------------------------------------ ops surface
-    def verify(self) -> dict[str, int]:
-        """verify-indexes equivalent: table row counts + pending work."""
-        out: dict[str, int] = {}
+    def verify(self) -> dict:
+        """verify-indexes equivalent: table row counts, pending work,
+        and persisted-index FRESHNESS (the reference's verify-indexes
+        checks index health, not just existence — a stale index is the
+        failure mode users actually hit after re-ingests)."""
+        out: dict = {}
         chunks = self._read("chunks") if self._exists("chunks") else None
         out["chunks"] = chunks.count() if chunks is not None else 0
         out["vectors"] = self._read("vectors").count() if self._exists("vectors") else 0
@@ -457,4 +460,28 @@ class KnowledgeBase:
                 )
             # no vectors table yet ⇒ EVERY embeddable chunk is pending
             out["pending_embed"] = pending.count()
+        # BM25 index freshness: content fingerprint + language must match
+        if self._exists("bm25_meta") and chunks is not None:
+            from customkb_spark.embedding.store import content_fingerprint
+
+            meta = self._read("bm25_meta").collect()[0]
+            fresh = (
+                getattr(meta, "chunks_fp", None)
+                == content_fingerprint(chunks, "id", "originaltext")
+                and getattr(meta, "language", "en") == self.cfg.language
+            )
+            out["bm25_index"] = "fresh" if fresh else "stale"
+        else:
+            out["bm25_index"] = "absent" if chunks is not None else "n/a"
+        # vector index: present and covering every vector exactly once?
+        if self._exists("vindex") and self._exists("vectors"):
+            try:
+                idx = self._read("vindex/indexed")
+                out["vector_index"] = (
+                    "fresh" if idx.count() == out["vectors"] else "stale"
+                )
+            except Exception:
+                out["vector_index"] = "present"
+        else:
+            out["vector_index"] = "absent"
         return out

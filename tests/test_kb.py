@@ -145,3 +145,18 @@ def test_kb_query_batch_surface(spark, tmp_path):
     assert all(r["reference_string"].startswith("### ") for r in ctx)
     full = kb.query_batch(queries, context_only=False).collect()
     assert all(r["answer"] for r in full)
+
+
+def test_verify_reports_index_freshness(spark, tmp_path, documents):
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    kb = KnowledgeBase(spark, str(tmp_path / "kbv"), KBConfig(query_top_k=5))
+    assert kb.database(documents.limit(10)) > 0
+    v = kb.verify()
+    assert v["bm25_index"] == "absent" and v["vector_index"] == "absent"
+    kb.build_bm25()
+    assert kb.verify()["bm25_index"] == "fresh"
+    # language change makes the persisted postings the wrong index
+    kb.cfg.language = "de"
+    assert kb.verify()["bm25_index"] == "stale"
