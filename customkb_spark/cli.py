@@ -405,8 +405,12 @@ def cmd_pack(args) -> int:
     )
     if args.out:
         seg.write.mode("overwrite").parquet(args.out)
+    per_pack = PK.pack_summary(seg, "_pack_shard")
+    if args.summary_out:
+        # the trainer-side index: one row per (split/shard, pack)
+        per_pack.write.mode("overwrite").parquet(args.summary_out)
     summary = (
-        PK.pack_summary(seg, "_pack_shard")
+        per_pack
         .withColumn("split", F.split_part("_pack_shard", F.lit("/"), F.lit(1)))
         .groupBy("split")
         .agg(
@@ -528,6 +532,7 @@ def build_parser() -> argparse.ArgumentParser:
     pk = sub.add_parser("pack", help="pack documents into training sequences")
     pk.add_argument("docs_parquet")
     pk.add_argument("--out", default=None, help="write doc→pack segment parquet here")
+    pk.add_argument("--summary-out", default=None, help="write per-pack summary parquet here")
     pk.add_argument("--seq-len", type=int, default=2048)
     pk.add_argument("--splits", default=None, help="e.g. train=0.98,validation=0.01,test=0.01")
     pk.add_argument("--id-col", default="doc_id")
