@@ -82,8 +82,6 @@ def cmd_database(args) -> int:
     if args.detect_language:
         kb.cfg.detect_language = True
         overrides["detect_language"] = True
-    if overrides:
-        _persist_kb_settings(args.kb_dir, **overrides)
     if args.docs_parquet:
         docs = kb.spark.read.parquet(args.docs_parquet)
     elif args.files:
@@ -91,6 +89,10 @@ def cmd_database(args) -> int:
     else:
         print("either --docs-parquet or --files is required", file=sys.stderr)
         return 2
+    # persist only after argument validation: a failed invocation must
+    # not leave a half-created KB dir with sticky settings behind
+    if overrides:
+        _persist_kb_settings(args.kb_dir, **overrides)
     n = kb.database(docs, force=args.force)
     print(f"ingested {n} chunks into {args.kb_dir}")
     return 0
@@ -403,6 +405,10 @@ def cmd_pack(args) -> int:
         id_col=args.id_col,
         shard_col="_pack_shard",
     )
+    # one computation of the window+explode plan feeds the segment
+    # write, the summary write, and the printed roll-up (same pattern
+    # as build_bm25's read-back: never re-run the corpus pass per sink)
+    seg = seg.localCheckpoint()
     if args.out:
         seg.write.mode("overwrite").parquet(args.out)
     per_pack = PK.pack_summary(seg, "_pack_shard")

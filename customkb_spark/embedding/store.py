@@ -159,6 +159,42 @@ def _write_meta(spark, path, kind, n, id_col, vec_col, fp) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def index_freshness(spark: SparkSession, path: str, vectors: DataFrame) -> str:
+    """Report-only freshness verdict for a saved tier, using the SAME
+    rules ``load_vector_index`` applies at query time (so ``verify``
+    never disagrees with what a query would do):
+
+    - ``"fresh"`` — fingerprint matches (or flat tier: nothing to go
+      stale);
+    - ``"appendable"`` — ivf, content changed but purely by appends
+      (a query absorbs them FAISS-``add``-style);
+    - ``"stale"`` — in-place mutation / ivfpq change / pre-fingerprint
+      meta: a query would rebuild;
+    - ``"absent"`` — no readable saved index.
+    """
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    except Exception:
+        return "absent"
+    if meta.kind == "flat":
+        return "fresh"
+    fp_old = getattr(meta, "fp", None)
+    if fp_old is None:
+        return "stale"
+    if content_fingerprint(vectors, meta.id_col, meta.vec_col) == fp_old:
+        return "fresh"
+    if meta.kind != "ivf":
+        return "stale"
+    try:
+        indexed_ids = spark.read.parquet(f"{path}/indexed").select(meta.id_col)
+    except Exception:
+        return "stale"
+    old_subset = vectors.join(indexed_ids, meta.id_col, "left_semi")
+    if content_fingerprint(old_subset, meta.id_col, meta.vec_col) == fp_old:
+        return "appendable"
+    return "stale"
+
+
 def load_vector_index(spark: SparkSession, path: str, vectors: DataFrame):
     """Rehydrate a saved tier, refreshing it if the vectors table changed.
 

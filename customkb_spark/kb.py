@@ -271,8 +271,10 @@ class KnowledgeBase:
         meta = self._read("bm25_meta").collect()[0]
         if getattr(meta, "chunks_fp", None) != content_fingerprint(
             chunks, "id", "originaltext"
-        ):
-            return None, None, None  # stale / pre-fingerprint — rebuild in memory
+        ) or getattr(meta, "language", "en") != self.cfg.language:
+            # stale content OR a different stopword gate than this cfg —
+            # query terms would tokenize against the wrong index
+            return None, None, None
         return (
             self._read("postings"),
             self._read("term_stats"),
@@ -473,15 +475,17 @@ class KnowledgeBase:
             out["bm25_index"] = "fresh" if fresh else "stale"
         else:
             out["bm25_index"] = "absent" if chunks is not None else "n/a"
-        # vector index: present and covering every vector exactly once?
+        # vector index: the SAME fingerprint verdict the query path's
+        # load_vector_index applies, so verify never disagrees with a
+        # query ("appendable" = a query absorbs the new vectors
+        # FAISS-add-style; a bare row-count compare would call in-place
+        # re-embeds fresh and normal appends stale — both wrong)
         if self._exists("vindex") and self._exists("vectors"):
-            try:
-                idx = self._read("vindex/indexed")
-                out["vector_index"] = (
-                    "fresh" if idx.count() == out["vectors"] else "stale"
-                )
-            except Exception:
-                out["vector_index"] = "present"
+            from customkb_spark.embedding.store import index_freshness
+
+            out["vector_index"] = index_freshness(
+                self.spark, self._p("vindex"), self._read("vectors")
+            )
         else:
             out["vector_index"] = "absent"
         return out

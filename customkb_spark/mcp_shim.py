@@ -42,11 +42,23 @@ def list_knowledgebases(base_dir: str = DEFAULT_BASE) -> list[str]:
     )
 
 
+def _kb_cfg(base_dir: str, kb: str) -> KBConfig:
+    """Per-KB config: the reference's <kb>.cfg name, falling back to
+    the CLI's persisted kb.cfg — both must resolve here or MCP queries
+    run under different settings (language!) than the index was built
+    with."""
+    named = os.path.join(base_dir, kb, f"{kb}.cfg")
+    generic = os.path.join(base_dir, kb, "kb.cfg")
+    return KBConfig.from_file(named if os.path.exists(named) else generic)
+
+
 def get_kb_info(base_dir: str, kb: str, spark: SparkSession) -> dict:
     """Reference get_kb_info tool: existence + table stats."""
     if kb not in list_knowledgebases(base_dir):
         return {"name": kb, "available": False}
-    stats = KnowledgeBase(spark, os.path.join(base_dir, kb)).verify()
+    stats = KnowledgeBase(
+        spark, os.path.join(base_dir, kb), _kb_cfg(base_dir, kb)
+    ).verify()
     return {"name": kb, "available": True, **stats}
 
 
@@ -65,9 +77,7 @@ def search_knowledgebase(
     if kb not in list_knowledgebases(base_dir):
         return f"Error querying {kb}: unknown knowledgebase"
     try:
-        cfg = KBConfig.from_file(
-            os.path.join(base_dir, kb, f"{kb}.cfg")
-        )
+        cfg = _kb_cfg(base_dir, kb)
         cfg.query_top_k = int(top_k)
         engine = KnowledgeBase(spark, os.path.join(base_dir, kb), cfg)
         return engine.query(query, context_only=True, fmt=output_format)

@@ -230,3 +230,29 @@ def test_force_reingest_never_serves_stale_results(spark, tmp_path, documents):
     kb2 = KnowledgeBase(spark, str(tmp_path / "kbstale"), cfg)
     out = kb2.query(marker + " spark data", log=False)
     assert marker in out
+
+
+def test_index_freshness_verdicts(spark, embeddings, tmp_path):
+    """index_freshness mirrors load_vector_index's decisions: fresh on
+    unchanged content, appendable on pure ivf appends, stale on
+    in-place mutation, absent with no saved index."""
+    from customkb_spark.embedding.auto import VectorIndexTier
+
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    tier = VectorIndexTier(
+        "ivf", embeddings, "vec_id", "embedding",
+        centroids=cents,
+        indexed=assign_clusters(embeddings, cents, "embedding"),
+    )
+    path = str(tmp_path / "fresh_tier")
+    assert S.index_freshness(spark, path, embeddings) == "absent"
+    S.save_vector_index(tier, path)
+    assert S.index_freshness(spark, path, embeddings) == "fresh"
+
+    appended = embeddings.unionByName(
+        embeddings.limit(3).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    assert S.index_freshness(spark, path, appended) == "appendable"
+
+    mutated = embeddings.withColumn("embedding", F.reverse(F.col("embedding")))
+    assert S.index_freshness(spark, path, mutated) == "stale"
