@@ -2289,6 +2289,7 @@ def q_doc_text_signals(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.col("text"), F.lit("[^ \\t\\n\\x0B\\f\\r]+"), 0)
     toked = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
+    readability = X.readability_scores("text", toks=F.col("_toks"))
     return _longs(
         toked.select(
             "doc_id",
@@ -2299,18 +2300,34 @@ def q_doc_text_signals(spark, sf_dir):
             X.token_count_bpe_ish("text").alias("n_bpe_approx"),
             F.size(X.bm25_token_set("text", ordered=False)).alias("doc_length"),
             F.size("_toks").alias("n_tokens"),
+            readability["flesch_ease"].alias("flesch_ease"),
+            readability["fk_grade"].alias("fk_grade"),
         )
     )
 
 
 def _sql_doc_text_signals() -> str:
+    toks = SQL_TOKS.format(c="text")
+    readability = f"""
+SELECT doc_id,
+       round(206.835 - 1.015 * (nw / ns) - 84.6 * (sy / nw), 6) AS flesch_ease,
+       round(0.39 * (nw / ns) + 11.8 * (sy / nw) - 15.59, 6) AS fk_grade
+FROM (
+  SELECT doc_id,
+         greatest(len({toks}), 1) AS nw,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS sy
+  FROM documents)
+"""
     return f"""
 SELECT a.doc_id, a.lang_pred, b.word_count, b.quality,
-       c.n_ws_tokens, c.n_bpe_approx, d.doc_length, d.n_tokens
+       c.n_ws_tokens, c.n_bpe_approx, d.doc_length, d.n_tokens,
+       e.flesch_ease, e.fk_grade
 FROM ({_sql_lang_id()}) a
 JOIN ({_sql_quality()}) b USING (doc_id)
 JOIN ({SQL_TOKEN_COUNTS}) c USING (doc_id)
 JOIN ({SQL_TOKEN_STATS}) d USING (doc_id)
+JOIN ({readability}) e USING (doc_id)
 """
 
 

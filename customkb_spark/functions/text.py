@@ -150,6 +150,36 @@ def stopword_ratio(
     return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def readability_scores(
+    col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade level as pure column
+    expressions — the classic readability pair in web-corpus quality
+    stacks (too-low ease flags word-salad, too-low grade flags trivial
+    boilerplate). Syllables are approximated as vowel-group runs (the
+    standard heuristic; exact hyphenation needs a dictionary):
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+        grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Sentence count = runs of ``.!?`` (min 1); all counts floor at 1 so
+    empty docs score deterministically instead of NULL. Fully
+    SQL-expressible (oracle-checkable). Pass a staged ``toks`` on hot
+    paths (see stopword_ratio)."""
+    c = F.col(col) if isinstance(col, str) else col
+    nw = F.greatest(word_count(col, toks=toks), F.lit(1))
+    ns = F.greatest(F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)), F.lit(1))
+    sy = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), 0)), F.lit(1)
+    )
+    wps = nw / ns
+    spw = sy / nw
+    return {
+        "flesch_ease": F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6),
+        "fk_grade": F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6),
+    }
+
+
 def punct_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n_punct = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))

@@ -82,3 +82,26 @@ def test_token_count_bpe_ish(spark):
     df = spark.createDataFrame([("ab cdefghij",)], ["t"])
     # ab → 1 piece, cdefghij (8 chars) → 2 pieces
     assert df.select(X.token_count_bpe_ish("t").alias("v")).collect()[0]["v"] == 3
+
+
+def test_readability_scores(spark):
+    from customkb_spark.functions import text as X
+
+    rows = [
+        (1, "The cat sat. The dog ran. It was fun."),          # simple prose
+        (2, "Notwithstanding institutional heterogeneity, organizational "
+            "epistemologies necessitate multidimensional reconceptualization."),
+        (3, ""),                                                # empty: deterministic, not NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sig = X.readability_scores("text")
+    out = {
+        r.doc_id: (r.ease, r.grade)
+        for r in df.select(
+            "doc_id", sig["flesch_ease"].alias("ease"), sig["fk_grade"].alias("grade")
+        ).collect()
+    }
+    # simple text reads easier (higher ease, lower grade) than jargon
+    assert out[1][0] > out[2][0]
+    assert out[1][1] < out[2][1]
+    assert out[3][0] is not None and out[3][1] is not None
