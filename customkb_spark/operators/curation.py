@@ -700,6 +700,54 @@ def stratified_sample(
     return df.filter(hash_bucket_hex(F.col(key_col), seed) < thr)
 
 
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    target_per_cluster: int | None = None,
+    seed: str = "cbal-v1",
+) -> DataFrame:
+    """Topic-balanced selection: k-means-cluster the embedding space,
+    then down-sample each cluster to a common target so no topic
+    dominates the mix — the cluster-then-sample recipe web-corpus
+    pipelines use to counter head-topic skew (the diversity complement
+    of SemDeDup's within-cluster dedup).
+
+    ``target_per_cluster`` defaults to the SMALLEST cluster's size
+    (full balance). Selection within a cluster is the deterministic
+    md5-threshold draw (:func:`stratified_sample` semantics — nested,
+    retry-safe, engine-portable), with per-cluster rates =
+    target/size, so the expected kept mass is equal across clusters.
+
+    Plan shape: centroid training on a bounded driver sample
+    (embedding/index.py, the FAISS-parity exception), JVM argmin
+    assignment (broadcast centroids), one tiny per-cluster count agg,
+    then a map-side threshold filter. Returns the kept rows with
+    ``cluster_id``. Iterative KMeans → not SQL-expressible; covered by
+    invariant tests instead of an oracle entry.
+    """
+    from customkb_spark.embedding.index import assign_clusters, train_centroids
+
+    cents = train_centroids(embeddings, vec_col, nlist=n_clusters)
+    assigned = assign_clusters(embeddings, cents, vec_col)
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    if not sizes:
+        return assigned
+    target = target_per_cluster if target_per_cluster is not None else min(sizes.values())
+    rates = {str(cid): min(1.0, target / n) for cid, n in sizes.items()}
+    return stratified_sample(
+        assigned.withColumn("_cid", F.col("cluster_id").cast("string")),
+        "_cid",
+        rates,
+        id_col,
+        seed=seed,
+    ).drop("_cid")
+
+
 # ------------------------------------------- importance resampling
 
 

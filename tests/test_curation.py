@@ -392,3 +392,29 @@ def test_tfidf_keyphrases_deterministic_ties(spark):
     docs = spark.createDataFrame([(1, "zebra apple zebra apple")], ["doc_id", "text"])
     out = C.tfidf_keyphrases(docs, k=2).collect()[0]
     assert out["keyphrases"] == ["apple", "zebra"]  # tie -> term asc
+
+
+# ------------------------------------------ cluster-balanced sampling
+
+
+def test_cluster_balanced_sample_equalizes_clusters(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    kept = C.cluster_balanced_sample(embeddings, n_clusters=8)
+    sizes_all = dict(
+        C.cluster_balanced_sample(embeddings, n_clusters=8, target_per_cluster=10**9)
+        .groupBy("cluster_id").count().collect()
+    )
+    sizes_kept = dict(kept.groupBy("cluster_id").count().collect())
+    target = min(sizes_all.values())
+    # every cluster's kept mass is near the smallest cluster's size
+    # (md5-threshold keep is Bernoulli per row — binomial tolerance)
+    for cid, n_all in sizes_all.items():
+        n_kept = sizes_kept.get(cid, 0)
+        assert n_kept <= n_all
+        tol = 4 * (target ** 0.5) + 2
+        assert abs(n_kept - min(target, n_all)) <= tol, (cid, n_kept, target)
+    # deterministic: same seed, same rows
+    again = C.cluster_balanced_sample(embeddings, n_clusters=8)
+    assert kept.select("vec_id").exceptAll(again.select("vec_id")).count() == 0
+    assert again.select("vec_id").exceptAll(kept.select("vec_id")).count() == 0
