@@ -46,3 +46,27 @@ def l2_to_similarity(dist: Column) -> Column:
     """Reference similarity conversion for L2 indexes
     (query/search.py:246-258): sim = 1/(1+d)."""
     return F.lit(1.0) / (F.lit(1.0) + dist)
+
+
+def mean_pool(df, group_col: str, vec_col: str, dims: int | None = None):
+    """Element-wise mean vector per group — the chunk→document pooling
+    step (doc vectors from chunk embeddings feed the ANN tiers at doc
+    granularity; also the map-reduce half of k-means, index.py).
+
+    One partial-aggregated shuffle on ``group_col``: each dimension is
+    its own JVM avg aggregate (combines map-side), so cost is
+    O(rows·dims) scan + a groups-sized exchange — no collect_list of
+    whole vectors through the shuffle. ``dims`` defaults to probing one
+    row (a bounded driver action).
+
+    Returns ``group_col, n_members, vec_col`` (float array).
+    """
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    avgs = [
+        F.avg(F.col(vec_col).getItem(i).cast("double")).alias(f"_d{i}")
+        for i in range(dims)
+    ]
+    pooled = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n_members"), *avgs)
+    vec = F.array(*[F.col(f"_d{i}").cast("float") for i in range(dims)])
+    return pooled.select(group_col, "n_members", vec.alias(vec_col))

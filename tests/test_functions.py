@@ -105,3 +105,24 @@ def test_readability_scores(spark):
     assert out[1][0] > out[2][0]
     assert out[1][1] < out[2][1]
     assert out[3][0] is not None and out[3][1] is not None
+
+
+def test_mean_pool_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from customkb_spark.functions.vector import mean_pool
+
+    pooled = {
+        r.label: (r.n_members, np.array(r.embedding))
+        for r in mean_pool(embeddings, "label", "embedding").collect()
+    }
+    rows = embeddings.select("label", "embedding").collect()
+    import collections
+
+    by_label = collections.defaultdict(list)
+    for r in rows:
+        by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
+    for label, vecs in by_label.items():
+        n, got = pooled[label]
+        assert n == len(vecs)
+        assert np.allclose(got, np.mean(vecs, axis=0), atol=1e-5)
