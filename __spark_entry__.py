@@ -2315,7 +2315,7 @@ SELECT doc_id,
 FROM (
   SELECT doc_id,
          greatest(len({toks}), 1) AS nw,
-         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         greatest(len(regexp_extract_all(text, '[.!?]+(\\s+|$)')), 1) AS ns,
          greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS sy
   FROM documents)
 """

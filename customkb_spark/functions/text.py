@@ -162,13 +162,19 @@ def readability_scores(
         ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
         grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
 
-    Sentence count = runs of ``.!?`` (min 1); all counts floor at 1 so
-    empty docs score deterministically instead of NULL. Fully
-    SQL-expressible (oracle-checkable). Pass a staged ``toks`` on hot
-    paths (see stopword_ratio)."""
+    Sentence count = runs of ``.!?`` followed by whitespace or
+    end-of-text (min 1) — the trailing context keeps decimal points and
+    dotted tokens ('3.14', 'example.com') from inflating the count;
+    the pattern avoids lookahead so the DuckDB (RE2) oracle evaluates
+    it identically. All counts floor at 1 so empty docs score
+    deterministically instead of NULL. Fully SQL-expressible
+    (oracle-checkable). Pass a staged ``toks`` on hot paths (see
+    stopword_ratio)."""
     c = F.col(col) if isinstance(col, str) else col
     nw = F.greatest(word_count(col, toks=toks), F.lit(1))
-    ns = F.greatest(F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)), F.lit(1))
+    ns = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+(\s+|$)"), 0)), F.lit(1)
+    )
     sy = F.greatest(
         F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), 0)), F.lit(1)
     )

@@ -59,10 +59,19 @@ def mean_pool(df, group_col: str, vec_col: str, dims: int | None = None):
     whole vectors through the shuffle. ``dims`` defaults to probing one
     row (a bounded driver action).
 
-    Returns ``group_col, n_members, vec_col`` (float array).
+    Vectors are assumed fixed-dimension (the embedding-column
+    contract); NULL vectors are dropped up front so ``n_members``
+    always equals each mean's denominator. Returns ``group_col,
+    n_members, vec_col`` (float array).
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     if dims is None:
-        dims = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "mean_pool: no non-null vectors to probe dims from; pass dims="
+            )
+        dims = len(row[0])
     avgs = [
         F.avg(F.col(vec_col).getItem(i).cast("double")).alias(f"_d{i}")
         for i in range(dims)

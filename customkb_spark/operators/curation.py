@@ -729,14 +729,20 @@ def cluster_balanced_sample(
     """
     from customkb_spark.embedding.index import assign_clusters, train_centroids
 
+    # NULL vectors can't be assigned a topic — drop them explicitly
+    # (silently NULL-clustered rows would otherwise poison the balance
+    # target and vanish from the output without a trace)
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    if not embeddings.take(1):
+        return embeddings.withColumn("cluster_id", F.lit(0).cast("int")).limit(0)
     cents = train_centroids(embeddings, vec_col, nlist=n_clusters)
-    assigned = assign_clusters(embeddings, cents, vec_col)
+    # lazy localCheckpoint: the argmin assignment is O(rows·K·dims) —
+    # compute it once for the size collect AND the returned filter
+    assigned = assign_clusters(embeddings, cents, vec_col).localCheckpoint(eager=False)
     sizes = {
         r["cluster_id"]: r["n"]
         for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
     }
-    if not sizes:
-        return assigned
     target = target_per_cluster if target_per_cluster is not None else min(sizes.values())
     rates = {str(cid): min(1.0, target / n) for cid, n in sizes.items()}
     return stratified_sample(

@@ -398,8 +398,6 @@ def test_tfidf_keyphrases_deterministic_ties(spark):
 
 
 def test_cluster_balanced_sample_equalizes_clusters(spark, embeddings):
-    from pyspark.sql import functions as F
-
     kept = C.cluster_balanced_sample(embeddings, n_clusters=8)
     sizes_all = dict(
         C.cluster_balanced_sample(embeddings, n_clusters=8, target_per_cluster=10**9)
@@ -418,3 +416,20 @@ def test_cluster_balanced_sample_equalizes_clusters(spark, embeddings):
     again = C.cluster_balanced_sample(embeddings, n_clusters=8)
     assert kept.select("vec_id").exceptAll(again.select("vec_id")).count() == 0
     assert again.select("vec_id").exceptAll(kept.select("vec_id")).count() == 0
+
+
+def test_cluster_balanced_sample_empty_and_null_inputs(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert C.cluster_balanced_sample(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [0.0, 1.0])], schema
+    )
+    out = C.cluster_balanced_sample(nulls, n_clusters=2)
+    assert {r.vec_id for r in out.collect()} <= {2, 3}
+    assert out.filter(out.cluster_id.isNull()).count() == 0

@@ -126,3 +126,46 @@ def test_mean_pool_matches_numpy(spark, embeddings):
         n, got = pooled[label]
         assert n == len(vecs)
         assert np.allclose(got, np.mean(vecs, axis=0), atol=1e-5)
+
+
+def test_readability_ignores_decimal_points(spark):
+    from customkb_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(1, "Use version 3.14 from www.example.com today."),
+         (2, "Use version x from y today.")],
+        "doc_id: long, text: string",
+    )
+    sig = X.readability_scores("text")
+    rows = {r.doc_id: r.ease for r in df.select("doc_id", sig["flesch_ease"].alias("ease")).collect()}
+    # one sentence either way: dotted tokens must not inflate the count
+    one = spark.createDataFrame([(1, "Use version 3.14 from www.example.com today.")], "doc_id: long, text: string")
+    ns = one.select(
+        __import__("pyspark.sql.functions", fromlist=["F"]).size(
+            __import__("pyspark.sql.functions", fromlist=["F"]).regexp_extract_all(
+                __import__("pyspark.sql.functions", fromlist=["F"]).col("text"),
+                __import__("pyspark.sql.functions", fromlist=["F"]).lit(r"[.!?]+(\s+|$)"), 0)
+        ).alias("ns")
+    ).collect()[0].ns
+    assert ns == 1
+
+
+def test_mean_pool_empty_and_null(spark):
+    from pyspark.sql import types as T
+
+    from customkb_spark.functions.vector import mean_pool
+
+    schema = T.StructType([
+        T.StructField("g", T.LongType()),
+        T.StructField("v", T.ArrayType(T.FloatType())),
+    ])
+    import pytest
+
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="dims"):
+        mean_pool(empty, "g", "v")
+    assert mean_pool(empty, "g", "v", dims=2).count() == 0
+    mixed = spark.createDataFrame([(1, None), (1, [2.0, 4.0])], schema)
+    row = mean_pool(mixed, "g", "v").collect()[0]
+    # NULL vector dropped: count matches the mean's denominator
+    assert row.n_members == 1 and list(row.v) == [2.0, 4.0]
