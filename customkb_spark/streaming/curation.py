@@ -63,6 +63,8 @@ def curate_stream(
     out = toked.withColumn(
         "language", X.detect_language_heuristic(text_col, toks=F.col("_toks"))
     ).withColumn("quality", X.quality_score(text_col, toks=F.col("_toks")))
+    for name, col in X.readability_scores(text_col, toks=F.col("_toks")).items():
+        out = out.withColumn(name, col)
     if gopher:
         for name, col in CU.gopher_signal_columns(text_col, toks=F.col("_toks")).items():
             out = out.withColumn(name, col)
