@@ -310,3 +310,38 @@ def test_pack_segments_window_is_shard_partitioned(spark, documents):
     # SinglePartition window over the corpus is the 100-TB cliff
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_assign_splits_nested_under_fraction_change(spark):
+    """Same seed: shrinking train's fraction only REMOVES rows from
+    train (threshold comparison on a fixed per-row draw) — the nesting
+    property scaling-law data budgets rely on."""
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    big = {
+        r.doc_id
+        for r in P.assign_splits(df, "doc_id", {"train": 0.9, "test": 0.1})
+        .filter(F.col("split") == "train").collect()
+    }
+    small = {
+        r.doc_id
+        for r in P.assign_splits(df, "doc_id", {"train": 0.5, "test": 0.5})
+        .filter(F.col("split") == "train").collect()
+    }
+    assert small < big
+
+
+def test_pack_append_chains_across_batches(spark):
+    """Appending in two steps equals appending once (and equals the
+    full rebuild): offsets accumulate exactly."""
+    rows = [("s%d" % (i % 2), i, " ".join(["w"] * (i % 5 + 1))) for i in range(90)]
+    df = _docs(spark, rows)
+    a = df.filter(F.col("doc_id") < 30)
+    b = df.filter(F.col("doc_id").between(30, 59))
+    c = df.filter(F.col("doc_id") >= 60)
+    seg_a = P.pack_segments(a, 16)
+    seg_b = P.pack_append(P.pack_summary(seg_a), b, 16)
+    seg_c = P.pack_append(P.pack_summary(seg_a.unionByName(seg_b)), c, 16)
+    chained = seg_a.unionByName(seg_b).unionByName(seg_c)
+    full = P.pack_segments(df, 16)
+    key = lambda r: (r.source, r.doc_id, r.pack_id, r.seg_tokens)  # noqa: E731
+    assert sorted(map(key, chained.collect())) == sorted(map(key, full.collect()))
