@@ -16,6 +16,7 @@ Parity conventions (load-bearing — see tools/check_oracle.py):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -68,6 +69,17 @@ SQL_COS = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+# Where the ANN q_ functions persist their TRAINED artifacts (centroids,
+# PQ codebooks) so the oracle SQL can read them back with read_parquet.
+# The iterative part (Lloyd's k-means) stays Python; everything derived
+# from the trained tables — cluster assignment, nprobe pruning, PQ
+# encoding, ADC scoring, exact refine — is non-iterative relational
+# algebra and is expressed in the oracle (VERDICT r3 task #2). The
+# harness contract runs the Spark query BEFORE its oracle (see
+# tools/check_oracle.py), so the artifacts always match the sf_dir the
+# oracle's table views point at.
+ORACLE_ART_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/tmp/spark_graft_oracle")
 
 
 # Tables whose queries do heavy per-row compute (regex tokenization,
@@ -2124,35 +2136,131 @@ ORDER BY doc_id
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-pruned ANN top-10 (KMeans centroids + nprobe=4 cluster scan).
-    Iterative KMeans isn't SQL-expressible → rows-only check; recall vs
-    the exact oracle is asserted in tests/test_ann.py."""
+
+    The trained centroids are persisted to ORACLE_ART_DIR so the oracle
+    SQL re-derives assignment (argmin over nlist rows), nprobe pruning,
+    and exact cosine top-k from the same artifacts — value-hash
+    checkable even though the k-means training itself is iterative.
+    Recall vs the exact oracle is additionally asserted in
+    tests/test_ann.py."""
     from customkb_spark.embedding.index import assign_clusters, ivf_search, train_centroids
+    from customkb_spark.embedding.store import save_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, "embedding", nlist=16)
+    save_centroids(spark, cents, f"{ORACLE_ART_DIR}/ivf/centroids")
     indexed = assign_clusters(emb, cents, "embedding")
     qv = _query_vec(spark, sf_dir, 0)
     return ivf_search(indexed, cents, qv, k=10, nprobe=4, id_col="vec_id", vec_col="embedding")
+
+
+# Mirrors index.assign_clusters (argmin L2, first-min tiebreak ⇒ lowest
+# cluster_id), nearest_clusters (stable argsort ⇒ cluster_id tiebreak),
+# and brute_force_topk (cosine rounded 6, id tiebreak). Distances enter
+# only ORDER BYs, so ulp-level summation-order differences between
+# DuckDB's list_distance and Spark's fold cannot change values — only a
+# near-exact centroid tie could flip, which rounding + id tiebreaks make
+# deterministic on both sides.
+SQL_ANN_IVF = f"""
+WITH cent AS (SELECT cluster_id, centroid
+              FROM read_parquet('{ORACLE_ART_DIR}/ivf/centroids/*.parquet')),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dist AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cluster_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS d
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, ev, cluster_id FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1),
+probe AS (
+  SELECT c.cluster_id FROM cent c, q
+  ORDER BY list_distance(c.centroid, q.qv), c.cluster_id LIMIT 4)
+SELECT a.vec_id AS id, {SQL_COS.format(a='a.ev', b='q.qv')} AS score
+FROM assigned a JOIN probe USING (cluster_id), q
+ORDER BY score DESC, id LIMIT 10
+"""
 
 
 def q_ann_pq_topk(spark, sf_dir):
     """IVFPQ ANN top-10: residual product-quantization codes, ADC
     scoring (JVM zip_with over broadcast LUTs), exact refine of the
     ADC head (reference embed_manager.py:199-213's large-corpus tier).
-    KMeans training isn't SQL-expressible → rows-only; recall vs exact
-    asserted in tests/test_pq.py."""
+
+    Trained artifacts (IVF centroids + PQ codebooks) are persisted so
+    the oracle SQL replays the non-iterative pipeline — assignment,
+    residual encoding (argmin over 2^nbits codewords per subvector),
+    nprobe pruning, ADC lookup-sum, exact-ip refine — from the same
+    tables. Recall vs exact asserted in tests/test_pq.py."""
     from customkb_spark.embedding.index import train_centroids
     from customkb_spark.embedding.pq import encode_pq, pq_topk, train_pq
+    from customkb_spark.embedding.store import save_pq
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, "embedding", nlist=16)
     model = train_pq(emb, "embedding", m=8, nbits=6, centroids=cents)
+    save_pq(spark, model, f"{ORACLE_ART_DIR}/pq")
     codes = encode_pq(emb, model, "vec_id", "embedding")
     qv = _query_vec(spark, sf_dir, 0)
     return pq_topk(
         codes, model, qv, k=10, nprobe=8, metric="ip",
         id_col="vec_id", vectors=emb, vec_col="embedding",
     )
+
+
+# dsub = 64/8 = 8 (testdata embeddings are 64-dim, m=8). Encoding uses
+# the identity ||(e-cent)_sub - book|| computed as elementwise residual
+# (list_zip + s[1]-s[2]) so slices stay 1-indexed DuckDB lists. The ADC
+# score (rounded 6, id tiebreak) only SELECTS the 40-candidate refine
+# head — final scores are the exact inner product both engines compute
+# identically (the green knn_join oracle proves the arithmetic).
+_PQ_DSUB = 8
+_PQ_SLICE = "list_slice({v}, b.subvector*%d + 1, (b.subvector+1)*%d)" % (_PQ_DSUB, _PQ_DSUB)
+SQL_ANN_PQ = f"""
+WITH cent AS (SELECT cluster_id, centroid
+              FROM read_parquet('{ORACLE_ART_DIR}/pq/ivf_centroids/*.parquet')),
+books AS (SELECT subvector, code, centroid AS bv
+          FROM read_parquet('{ORACLE_ART_DIR}/pq/codebooks/*.parquet')),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dist AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cluster_id, c.centroid AS cv,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS d
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, ev, cluster_id, cv FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1),
+enc AS (
+  SELECT a.vec_id, b.subvector, b.code,
+         list_distance(
+           list_transform(list_zip({_PQ_SLICE.format(v='a.ev')}, {_PQ_SLICE.format(v='a.cv')}),
+                          s -> s[1] - s[2]),
+           b.bv) AS dcode
+  FROM assigned a CROSS JOIN books b),
+codes AS (
+  SELECT vec_id, subvector, code FROM enc
+  QUALIFY row_number() OVER (PARTITION BY vec_id, subvector ORDER BY dcode, code) = 1),
+probe AS (
+  SELECT c.cluster_id, c.centroid AS cv FROM cent c, q
+  ORDER BY list_distance(c.centroid, q.qv), c.cluster_id LIMIT 8),
+lut AS (
+  SELECT p.cluster_id, b.subvector, b.code,
+         list_dot_product(
+           b.bv,
+           list_transform(list_zip({_PQ_SLICE.format(v='q.qv')}, {_PQ_SLICE.format(v='p.cv')}),
+                          s -> s[1] - s[2])) AS contrib
+  FROM probe p CROSS JOIN books b, q),
+adc AS (
+  SELECT c.vec_id AS id, round(sum(l.contrib), 6) AS adc_score
+  FROM codes c
+  JOIN assigned a ON a.vec_id = c.vec_id
+  JOIN lut l ON l.cluster_id = a.cluster_id
+            AND l.subvector = c.subvector AND l.code = c.code
+  GROUP BY c.vec_id),
+cand AS (SELECT id FROM adc ORDER BY adc_score DESC, id LIMIT 40)
+SELECT e.vec_id AS id,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+FROM embeddings e JOIN cand ON e.vec_id = cand.id, q
+ORDER BY score DESC, id LIMIT 10
+"""
 
 
 def q_hybrid_context_flagship(spark, sf_dir):
@@ -2783,8 +2891,13 @@ _ORACLES: dict[str, str] = {
     "rerank_topk": SQL_RERANK,
     "category_counts": SQL_CATEGORY_COUNTS,
     "category_fuzzy_pairs": SQL_CATEGORY_FUZZY,
-    # ann_ivf_topk / ann_pq_topk / hybrid_context_flagship: iterative
-    # KMeans + staged pipeline — not SQL-expressible; rows-only check.
+    # the ANN entries replay everything downstream of k-means training
+    # from the persisted centroid/codebook tables (see ORACLE_ART_DIR);
+    # only hybrid_context_flagship (staged multi-engine pipeline whose
+    # pieces are individually oracled) remains rows-only — and it is
+    # golden-pinned in tests/test_hybrid_golden.py.
+    "ann_ivf_topk": SQL_ANN_IVF,
+    "ann_pq_topk": SQL_ANN_PQ,
 }
 
 
