@@ -246,6 +246,62 @@ class CategorizeProvider:
         raise NotImplementedError
 
 
+class ChatJSONCategorizer(CategorizeProvider):
+    """Provider-backed classification through the chat interface with
+    the F19 robust JSON parse (functions/llm_json.py).
+
+    Mirrors the reference's adaptive-categorizer call shape
+    (categorize_manager.py:408-428: JSON-only instruction listing the
+    requested category count and confidence scores, sampled text capped
+    at 4000 chars, ordered by relevance) and its response handling
+    (:464-492: fence-strip / brace-extract / trailing-comma repair,
+    per-entry name+confidence validation, empty list on unparseable).
+
+    The chat provider resolves through plans.answer.get_llm — the
+    extractive CI stub by default, ``LiteLLMChatLLM`` for any real
+    model name (CUSTOMKB_CHAT_MODEL env or constructor arg), so real
+    models' markdown-fenced JSON now parses end-to-end."""
+
+    name = "chat-json"
+
+    def __init__(self, llm=None, model: str | None = None):
+        import os
+
+        if llm is None:
+            from customkb_spark.plans.answer import get_llm
+
+            llm = get_llm(
+                model or os.environ.get("CUSTOMKB_CHAT_MODEL", "stub-extractive"),
+                temperature=0.3,
+            )
+        self._llm = llm
+
+    def classify(self, sample_text: str, n_categories: int) -> list[str]:
+        from customkb_spark.functions.llm_json import parse_category_response
+
+        system = (
+            "You are a document categorization assistant. "
+            "Return ONLY a JSON object."
+        )
+        user = (
+            f"Categorize this article into the {n_categories} most relevant "
+            "categories.\n\nArticle Text:\n"
+            f"{(sample_text or '')[:4000]}\n\n"
+            "Instructions:\n"
+            f"1. Select exactly {n_categories} categories\n"
+            "2. Assign confidence scores (0.0-1.0) for each category\n"
+            "3. Order by relevance (most relevant first)\n\n"
+            'Return ONLY a JSON object like:\n'
+            '{"categories": [{"name": "Category1", "confidence": 0.95}],\n'
+            ' "suggested_new": ["NewCategory1"]}'
+        )
+        resp = self._llm.complete(system, user, max_tokens=500)
+        cats = parse_category_response(resp)
+        # relevance order, deterministic tiebreak
+        cats.sort(key=lambda nc: (-nc[1], nc[0]))
+        return [name for name, _ in cats[:n_categories]]
+
+
 class TopTokenStubCategorizer(CategorizeProvider):
     """Deterministic stand-in: the n most frequent non-stopword tokens
     of the sampled text, alphabetical tiebreak."""
@@ -326,7 +382,8 @@ def categorize_documents(
 
 
 _CATEGORIZERS: dict[str, type[CategorizeProvider]] = {
-    "stub-top-token": TopTokenStubCategorizer
+    "stub-top-token": TopTokenStubCategorizer,
+    "chat-json": ChatJSONCategorizer,
 }
 
 
