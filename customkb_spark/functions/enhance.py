@@ -1,10 +1,13 @@
 """Query enhancement — normalize / spell-fix / synonym expansion
 (reference query/enhancement.py, SURVEY.md F6-F8).
 
-The reference uses WordNet synsets and TextBlob spelling — neither is in
-this container, and both are non-deterministic across versions. We
-implement the reference's own DOCUMENTED FALLBACKS, which are
-deterministic string algebra:
+The reference uses WordNet synsets and TextBlob spelling — neither is
+in this container, and both are non-deterministic across versions. Both
+primaries are dep-gated through functions/nlp.py (WordNet synsets via
+``wordnet_synonyms_py``, TextBlob via ``correct_spelling_py``) and
+auto-dispatch when the packages are importable; the CI/oracle path is
+the reference's own DOCUMENTED FALLBACKS, which are deterministic
+string algebra:
 
 - F7 fallback: morphological suffix variants (enhancement.py:178-264) —
   plural/verb-form variants of words ≥ 4 chars, joined as
@@ -76,15 +79,41 @@ def _suffix_variants(word: str, max_variants: int = 3) -> list[str]:
     return seen[:max_variants]
 
 
-def expand_synonyms(q: str, min_word_len: int = 4, max_variants: int = 3) -> str:
+def _synonym_variants(w: str, max_variants: int) -> list[str]:
+    """F7 dispatch: WordNet synsets when NLTK+corpus are importable
+    (reference enhancement.py:59-126, ≤3 synsets per word), else — or
+    when WordNet knows no synonyms for the word — the morphological
+    fallback, exactly the reference's own ladder."""
+    from customkb_spark.functions.nlp import has_module, wordnet_synonyms_py
+
+    if has_module("nltk"):
+        try:
+            syns = wordnet_synonyms_py(w, max_synonyms=max_variants)
+            if syns:
+                return syns
+        except (ImportError, AttributeError, LookupError, OSError):
+            pass
+    return _suffix_variants(w, max_variants)
+
+
+def expand_synonyms(
+    q: str,
+    min_word_len: int = 4,
+    max_variants: int = 3,
+    synonym_fn=None,
+) -> str:
     """F7: wrap each qualifying word as ``(word OR v1 OR v2)`` —
-    the reference's OR-group query syntax (enhancement.py:59-126)."""
+    the reference's OR-group query syntax (enhancement.py:59-126).
+    ``max_variants`` is the reference's ``max_synonyms_per_word``
+    knob; ``synonym_fn(word, max_variants)`` overrides the resolver
+    (tests inject a fake WordNet through it)."""
+    resolver = synonym_fn or _synonym_variants
 
     def repl(m: re.Match) -> str:
         w = m.group(0)
         if len(w) < min_word_len:
             return w
-        vs = _suffix_variants(w, max_variants)
+        vs = resolver(w, max_variants)
         if not vs:
             return w
         return "(" + " OR ".join([w] + vs) + ")"

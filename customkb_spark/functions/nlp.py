@@ -224,3 +224,46 @@ def correct_spelling_py(word: str, vocabulary: set[str] | None = None) -> str:
     from customkb_spark.functions.enhance import correct_spelling
 
     return correct_spelling(word)
+
+
+# ----------------------------------------------------------- NLTK WordNet
+
+
+def ensure_wordnet() -> None:
+    """Reference enhancement.py:81-87: probe the corpus, attempt a
+    quiet download when missing. Raises ImportError without NLTK;
+    LookupError when the corpus stays unavailable (offline)."""
+    import nltk  # dep-gated
+
+    try:
+        nltk.data.find("corpora/wordnet")
+    except LookupError:
+        nltk.download("wordnet", quiet=True)
+        nltk.data.find("corpora/wordnet")
+
+
+def wordnet_synonyms_py(
+    word: str, max_synonyms: int = 2, max_synsets: int = 3
+) -> list[str]:
+    """F7 primary path — reference get_synonyms_for_word
+    (query/enhancement.py:59-126): lemma names of the word's first
+    ``max_synsets`` synsets, underscores as spaces, skipping the word
+    itself / duplicates / single characters, capped at
+    ``max_synonyms``. Raises ImportError when NLTK is absent; callers
+    fall back to the morphological variants (the reference's own
+    WordNet-free path, functions/enhance._suffix_variants)."""
+    if not word or len(word) < 2:
+        return []
+    ensure_wordnet()
+    from nltk.corpus import wordnet  # dep-gated
+
+    lower = word.lower()
+    found: list[str] = []
+    for synset in wordnet.synsets(lower)[:max_synsets]:
+        for lemma in synset.lemmas():
+            name = lemma.name().replace("_", " ")
+            if len(name) > 1 and name.lower() != lower and name not in found:
+                found.append(name)
+            if len(found) >= max_synonyms:
+                return found
+    return found

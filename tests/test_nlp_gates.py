@@ -207,3 +207,109 @@ def test_enhance_query_spell_dispatch(monkeypatch):
     # and the heuristic path still runs when textblob is absent
     monkeypatch.setattr(N, "has_module", lambda name: False)
     assert enhance_query("realllly good", synonyms=False) == "really good"
+
+
+# ------------------------------------------------------------- WordNet F7
+
+
+def _fake_wordnet(monkeypatch, synset_lemmas):
+    """Install a fake nltk + nltk.corpus.wordnet in sys.modules.
+    ``synset_lemmas`` is a list of lists of lemma-name strings."""
+
+    def _lemma(name):
+        return types.SimpleNamespace(name=lambda n=name: n)
+
+    def _synset(names):
+        return types.SimpleNamespace(lemmas=lambda ns=names: [_lemma(n) for n in ns])
+
+    wordnet = types.SimpleNamespace(
+        synsets=lambda w: [_synset(ns) for ns in synset_lemmas]
+    )
+    nltk = types.ModuleType("nltk")
+    nltk.data = types.SimpleNamespace(find=lambda p: True)
+    nltk.download = lambda *a, **k: None
+    corpus = types.ModuleType("nltk.corpus")
+    corpus.wordnet = wordnet
+    nltk.corpus = corpus
+    monkeypatch.setitem(sys.modules, "nltk", nltk)
+    monkeypatch.setitem(sys.modules, "nltk.corpus", corpus)
+    return wordnet
+
+
+def test_wordnet_synonyms_reference_shape(monkeypatch):
+    _fake_wordnet(
+        monkeypatch,
+        [
+            ["fast", "speedy", "quick_as_lightning"],  # self + dup rules
+            ["rapid", "fleet"],
+            ["swift"],
+            ["never_reached"],  # 4th synset must not be consulted
+        ],
+    )
+    # skips the word itself, maps _ to space, caps at max_synonyms
+    assert N.wordnet_synonyms_py("fast", max_synonyms=2) == [
+        "speedy",
+        "quick as lightning",
+    ]
+    # wider cap walks later synsets but never past max_synsets=3
+    assert N.wordnet_synonyms_py("fast", max_synonyms=10) == [
+        "speedy",
+        "quick as lightning",
+        "rapid",
+        "fleet",
+        "swift",
+    ]
+    # short/empty words short-circuit before any NLTK import
+    assert N.wordnet_synonyms_py("a") == []
+    assert N.wordnet_synonyms_py("") == []
+
+
+def test_wordnet_corpus_lookup_error_propagates(monkeypatch):
+    nltk = types.ModuleType("nltk")
+
+    def _find(p):
+        raise LookupError("wordnet corpus missing")
+
+    nltk.data = types.SimpleNamespace(find=_find)
+    nltk.download = lambda *a, **k: None
+    monkeypatch.setitem(sys.modules, "nltk", nltk)
+    with pytest.raises(LookupError):
+        N.wordnet_synonyms_py("fast")
+
+
+def test_expand_synonyms_wordnet_dispatch(monkeypatch):
+    """expand_synonyms uses WordNet OR-groups when the gate is open
+    (injected resolver mirrors the dispatch contract)."""
+    from customkb_spark.functions.enhance import expand_synonyms
+
+    _fake_wordnet(monkeypatch, [["speedy", "rapid"]])
+    out = expand_synonyms(
+        "fast query", synonym_fn=lambda w, k: N.wordnet_synonyms_py(w, k)
+    )
+    assert out == "(fast OR speedy OR rapid) (query OR speedy OR rapid)"
+
+
+def test_expand_synonyms_gate_closed_uses_morphological():
+    """Real environment (no NLTK): the morphological fallback is the
+    live path — the reference's own WordNet-free ladder."""
+    from customkb_spark.functions.enhance import expand_synonyms
+
+    assert not N.has_module("nltk")
+    assert expand_synonyms("tables") == "(tables OR table)"
+
+
+def test_expand_synonyms_wordnet_empty_falls_through(monkeypatch):
+    """WordNet importable but knows no synonyms → morphological
+    variants still fire (reference: 'if not synonyms' fallback)."""
+    from customkb_spark.functions import enhance as E
+
+    _fake_wordnet(monkeypatch, [])
+    monkeypatch.setattr(
+        "customkb_spark.functions.nlp.has_module", lambda name: name == "nltk"
+    )
+    assert E._synonym_variants("tables", 3) == ["table"]
+    monkeypatch.setattr(
+        "customkb_spark.functions.nlp.wordnet_synonyms_py",
+        lambda w, max_synonyms: ["speedy"],
+    )
+    assert E._synonym_variants("fast", 3) == ["speedy"]
