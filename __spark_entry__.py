@@ -2131,6 +2131,21 @@ ORDER BY doc_id
 """
 
 
+def q_doc_citations(spark, sf_dir):
+    """Citations regex tier (utils/citations analogue): head-of-doc
+    (title, author, year) extraction as pure column expressions."""
+    from customkb_spark.operators.citations import extract_citations
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_citations(docs).orderBy("doc_id")
+
+
+def _sql_citations() -> str:
+    from customkb_spark.operators.citations import sql_extract_citations
+
+    return sql_extract_citations() + " ORDER BY doc_id"
+
+
 # ----------------------------------------------- non-SQL-expressible ops
 
 
@@ -2392,13 +2407,16 @@ SELECT 'merged' AS mode, doc_id, sid, chunk_text FROM ({SQL_CHUNKS_MERGED})
 def q_doc_text_signals(spark, sf_dir):
     """Per-doc text signals in ONE scan: language-ID (F9), quality
     score, whitespace + BPE-ish token counts (F5), BM25 unique-token
-    doc_length (F3). Replaces four separate per-doc queries — same
-    expressions, one contract entry."""
+    doc_length (F3), plus the citations regex tier (utils/citations
+    analogue: head-of-doc title/author/year). Replaces five separate
+    per-doc queries — same expressions, one contract entry."""
+    from customkb_spark.operators.citations import extract_citations
+
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.col("text"), F.lit("[^ \\t\\n\\x0B\\f\\r]+"), 0)
     toked = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
     readability = X.readability_scores("text", toks=F.col("_toks"))
-    return _longs(
+    signals = _longs(
         toked.select(
             "doc_id",
             X.detect_language_heuristic("text", toks=F.col("_toks")).alias("lang_pred"),
@@ -2412,9 +2430,12 @@ def q_doc_text_signals(spark, sf_dir):
             readability["fk_grade"].alias("fk_grade"),
         )
     )
+    return signals.join(extract_citations(docs), "doc_id")
 
 
 def _sql_doc_text_signals() -> str:
+    from customkb_spark.operators.citations import sql_extract_citations
+
     toks = SQL_TOKS.format(c="text")
     readability = f"""
 SELECT doc_id,
@@ -2430,12 +2451,14 @@ FROM (
     return f"""
 SELECT a.doc_id, a.lang_pred, b.word_count, b.quality,
        c.n_ws_tokens, c.n_bpe_approx, d.doc_length, d.n_tokens,
-       e.flesch_ease, e.fk_grade
+       e.flesch_ease, e.fk_grade,
+       f.title, f.author, f.year
 FROM ({_sql_lang_id()}) a
 JOIN ({_sql_quality()}) b USING (doc_id)
 JOIN ({SQL_TOKEN_COUNTS}) c USING (doc_id)
 JOIN ({SQL_TOKEN_STATS}) d USING (doc_id)
 JOIN ({readability}) e USING (doc_id)
+JOIN ({sql_extract_citations()}) f USING (doc_id)
 """
 
 
