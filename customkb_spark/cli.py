@@ -102,17 +102,35 @@ def cmd_embed(args) -> int:
     import shutil
 
     kb = _kb(args)
+    backups: list[tuple[str, str]] = []
     if getattr(args, "reset_database", False):
-        # reference embed -r: clear embedding status so everything
-        # re-embeds — drop the vectors table (the pending set is an
-        # anti-join against it), the stale index, AND the read-through
-        # cache: a reset that re-serves cached vectors isn't a reset
-        # (the cache shares any corruption the reset is escaping)
-        for table in ("vectors", "vindex", "emb_cache"):
+        # reference embed -r resets status flags only — vectors/index
+        # are re-derived, so here they're renamed ASIDE (not deleted):
+        # a mid-embed failure (quota, network) restores them instead of
+        # leaving the KB with no vectors at all. emb_cache is KEPT — it
+        # is keyed by content+model, its entries cannot go stale, and
+        # deleting it forfeits all paid-embedding reuse (--purge-cache
+        # opts into dropping it, e.g. after a provider-side bug).
+        reset_tables = ["vectors", "vindex"]
+        if getattr(args, "purge_cache", False):
+            reset_tables.append("emb_cache")
+        for table in reset_tables:
             path = os.path.join(args.kb_dir, table)
             if os.path.isdir(path):
-                shutil.rmtree(path)
-    n = kb.embed()
+                bak = path + ".reset-bak"
+                if os.path.isdir(bak):
+                    shutil.rmtree(bak)
+                os.rename(path, bak)
+                backups.append((path, bak))
+    try:
+        n = kb.embed()
+    except BaseException:
+        for path, bak in backups:
+            if not os.path.isdir(path):
+                os.rename(bak, path)
+        raise
+    for _, bak in backups:
+        shutil.rmtree(bak, ignore_errors=True)
     print(f"embedded {n} vectors")
     return 0
 
@@ -455,6 +473,10 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("embed", help="embed pending chunks")
     common(e)
     e.add_argument("-r", "--reset-database", action="store_true", help="re-embed everything")
+    e.add_argument(
+        "--purge-cache", action="store_true",
+        help="with -r: also drop the content-keyed embedding cache",
+    )
     e.set_defaults(fn=cmd_embed)
 
     q = sub.add_parser("query", help="hybrid retrieval (+ answer)")

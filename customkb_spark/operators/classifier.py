@@ -72,7 +72,11 @@ def train_quality_classifier(
     fitted ``PipelineModel`` — persist with ``model.write().save(path)``
     and reload with ``PipelineModel.load`` (works on any cluster, no
     pickling)."""
-    labeled = df.withColumn("_qc_label", positive_pred.cast("double"))
+    # NULL predicate rows must land in the raw class, not feed
+    # LogisticRegression a NULL label (opaque mid-job failure)
+    labeled = df.withColumn(
+        "_qc_label", F.coalesce(positive_pred, F.lit(False)).cast("double")
+    )
     return _pipeline(text_col, n_features, max_iter, reg_param).fit(labeled)
 
 
@@ -89,4 +93,7 @@ def score_quality(
 
     scored = model.transform(df)
     prob = vector_to_array(F.col("_qc_prob")).getItem(1).alias(out_col)
-    return scored.select(*df.columns, prob)
+    # re-scoring a frame that already carries out_col must replace it,
+    # not produce a duplicate column name (ambiguous downstream refs)
+    keep = [c for c in df.columns if c != out_col]
+    return scored.select(*keep, prob)

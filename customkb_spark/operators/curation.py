@@ -804,7 +804,9 @@ def dsir_log_weights(
     """
     toks = df.select(
         F.col(id_col),
-        target_pred.cast("int").alias("_is_t"),
+        # NULL predicates (e.g. col('source')==x on a NULL source) must
+        # count as raw, not vanish from BOTH unigram models (ADVICE r3)
+        F.coalesce(target_pred, F.lit(False)).cast("int").alias("_is_t"),
         F.explode(X.tokens(text_col)).alias("token"),
     ).withColumn("bucket", _dsir_bucket(F.col("token"), seed, n_buckets_hex))
     counts = toks.groupBy("bucket").agg(
@@ -867,7 +869,7 @@ def dsir_train(
     :func:`dsir_apply` needs to score NEW data — including a stream —
     without re-reading the training corpora."""
     toks = df.select(
-        target_pred.cast("int").alias("_is_t"),
+        F.coalesce(target_pred, F.lit(False)).cast("int").alias("_is_t"),
         F.explode(X.tokens(text_col)).alias("token"),
     ).withColumn("bucket", _dsir_bucket(F.col("token"), seed, n_buckets_hex))
     counts = toks.groupBy("bucket").agg(

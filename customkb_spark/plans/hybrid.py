@@ -102,6 +102,12 @@ def hybrid_search(
     With ``query_cache_path`` the query-embedding TTL cache (reference
     query/embedding.py:76-141) is probed before the provider call; a
     repeated query within the TTL never reaches the provider."""
+    from customkb_spark.functions.security import sanitize_query_text
+
+    # reference security_utils.sanitize_query_text at the query entry:
+    # control chars never reach tokenization/the embedding provider,
+    # oversized/empty queries raise before any job is planned
+    query_text = sanitize_query_text(query_text)
     cfg = cfg or KBConfig()
     if query_vec is None:
         spark = index.vectors.sparkSession

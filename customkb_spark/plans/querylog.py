@@ -21,13 +21,20 @@ def log_query(
     elapsed_s: float,
     n_results: int,
 ) -> None:
+    from customkb_spark.functions.security import mask_sensitive_col
+
     row = spark.createDataFrame(
         [(kb, query_text, float(elapsed_s), int(n_results))],
         "kb string, query string, elapsed_s double, n_results int",
     ).select(
         F.current_timestamp().alias("ts"),
         F.to_date(F.current_timestamp()).alias("day"),
-        "*",
+        "kb",
+        # reference mask_sensitive_data before anything reaches a log:
+        # a pasted API key must not be persisted in the query log table
+        mask_sensitive_col("query").alias("query"),
+        "elapsed_s",
+        "n_results",
     )
     row.write.mode("append").partitionBy("day").parquet(log_path)
 

@@ -189,6 +189,28 @@ def incremental_pack_maintenance(
             )
         except AnalysisException:
             prior = None  # first epoch: no offsets written yet
+        if prior is not None:
+            # checkpoint/segments-dir mismatch guard (ADVICE r3): a
+            # fresh/cleared checkpoint restarts epoch_id at 0 — letting
+            # it proceed would overwrite epoch=0 and base offsets at 0,
+            # silently corrupting the persisted layout. Refuse instead.
+            max_epoch = (
+                spark.read.parquet(offsets_dir)
+                .agg(F.max("epoch").alias("m"))
+                .first()["m"]
+            )
+            # strict >: a replay of the CURRENT epoch legitimately sees
+            # its own sidecar row (written before the failed commit) —
+            # the per-epoch overwrite is designed for exactly that
+            if max_epoch is not None and max_epoch > epoch_id:
+                raise RuntimeError(
+                    f"incremental_pack_maintenance: segments dir "
+                    f"{segments_dir!r} already contains epoch {max_epoch} "
+                    f"> incoming epoch {epoch_id}; the stream's "
+                    f"checkpoint does not match this layout (new/cleared "
+                    f"checkpoint_dir?). Use a fresh segments_dir or the "
+                    f"original checkpoint."
+                )
         if prior is None or not prior.take(1):
             seg = pack_segments(batch_df, seq_len, text_col, id_col, shard_col)
         else:

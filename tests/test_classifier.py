@@ -66,3 +66,29 @@ def test_classifier_save_load_roundtrip(spark, tmp_path):
     a = {r.doc_id: round(r.quality_prob, 9) for r in QC.score_quality(df, model).collect()}
     b = {r.doc_id: round(r.quality_prob, 9) for r in QC.score_quality(df, loaded).collect()}
     assert a == b
+
+
+def test_null_label_rows_train_as_raw(spark):
+    """NULL positive_pred must coalesce to the raw class, not crash
+    LogisticRegression with a NULL label (ADVICE r3)."""
+    rows = [(i, "good clean prose " * 5, "wiki") for i in range(10)]
+    rows += [(100 + i, "zz qq " * 5, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    model = QC.train_quality_classifier(
+        df, F.col("source") == "wiki", n_features=1 << 12, max_iter=5
+    )
+    scored = QC.score_quality(df, model)
+    assert scored.count() == 20
+
+
+def test_score_quality_rescoring_replaces_column(spark):
+    """Re-scoring a frame that already carries quality_prob must
+    replace the column, not duplicate it (ADVICE r3)."""
+    rows = [(i, ("good text " if i % 2 else "bad zz ") * 5, i % 2 == 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_good boolean")
+    model = QC.train_quality_classifier(df, F.col("is_good"), n_features=1 << 12, max_iter=5)
+    once = QC.score_quality(df, model)
+    twice = QC.score_quality(once, model)
+    assert twice.columns.count("quality_prob") == 1
+    # downstream reference stays unambiguous
+    assert twice.filter(F.col("quality_prob") >= 0).count() == 10

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from customkb_spark import cli
 
 
@@ -358,3 +360,42 @@ def test_cli_language_flag_persists(spark, tmp_path, capsys):
     capsys.readouterr()
     terms = {r.term for r in spark.read.parquet(os.path.join(kb_dir, "postings")).select("term").distinct().collect()}
     assert "the" in terms
+
+
+def test_embed_reset_keeps_cache_and_restores_on_failure(spark, tmp_path, monkeypatch):
+    """embed -r keeps the content-keyed emb_cache (its keys cannot go
+    stale) and renames vectors/vindex aside, restoring them when the
+    re-embed fails mid-way (ADVICE r3)."""
+    import os
+
+    from customkb_spark import cli
+    from customkb_spark.kb import KnowledgeBase
+
+    kb_dir = str(tmp_path / "kb")
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    for i in range(3):
+        (docs / f"d{i}.md").write_text(f"spark document {i} " * 20)
+    assert cli.main(["database", kb_dir, "--files", f"{docs}/*.md"]) == 0
+    assert cli.main(["embed", kb_dir]) == 0
+    assert os.path.isdir(os.path.join(kb_dir, "vectors"))
+    cache_existed = os.path.isdir(os.path.join(kb_dir, "emb_cache"))
+
+    # failure mid-embed: original vectors table must come back
+    monkeypatch.setattr(
+        KnowledgeBase, "embed", lambda self, **kw: (_ for _ in ()).throw(RuntimeError("quota"))
+    )
+    with pytest.raises(RuntimeError, match="quota"):
+        cli.main(["embed", kb_dir, "-r"])
+    assert os.path.isdir(os.path.join(kb_dir, "vectors"))
+    assert not os.path.isdir(os.path.join(kb_dir, "vectors.reset-bak"))
+    if cache_existed:
+        assert os.path.isdir(os.path.join(kb_dir, "emb_cache"))
+
+    monkeypatch.undo()
+    # successful reset: backups cleaned up, cache kept
+    assert cli.main(["embed", kb_dir, "-r"]) == 0
+    assert os.path.isdir(os.path.join(kb_dir, "vectors"))
+    assert not os.path.isdir(os.path.join(kb_dir, "vectors.reset-bak"))
+    if cache_existed:
+        assert os.path.isdir(os.path.join(kb_dir, "emb_cache"))

@@ -433,3 +433,30 @@ def test_cluster_balanced_sample_empty_and_null_inputs(spark):
     out = C.cluster_balanced_sample(nulls, n_clusters=2)
     assert {r.vec_id for r in out.collect()} <= {2, 3}
     assert out.filter(out.cluster_id.isNull()).count() == 0
+
+
+def test_dsir_null_predicate_counts_as_raw(spark):
+    """Rows where target_pred is NULL (NULL source) must count in the
+    RAW unigram model, not vanish from both (ADVICE r3)."""
+    rows = [(0, "alpha beta", "wiki"), (1, "alpha beta", None), (2, "alpha gamma", "web")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = C.dsir_log_weights(df, F.col("source") == "wiki")
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {0, 1, 2}
+    # NULL-source doc shares the raw model with the web doc: identical
+    # text terms must score like raw text, and the explicit-raw twin of
+    # doc 1's tokens appears in the model (c_r counts include doc 1)
+    explicit = C.dsir_log_weights(
+        df.fillna({"source": "web"}), F.col("source") == "wiki"
+    )
+    want = {r.doc_id: r for r in explicit.collect()}
+    for i in got:
+        assert got[i].log_weight == want[i].log_weight
+
+
+def test_dsir_train_null_predicate(spark):
+    rows = [(0, "alpha beta", "wiki"), (1, "alpha beta", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    model = C.dsir_train(df, F.col("source") == "wiki")
+    explicit = C.dsir_train(df.fillna({"source": "raw"}), F.col("source") == "wiki")
+    assert model == explicit

@@ -345,3 +345,41 @@ def test_pack_append_chains_across_batches(spark):
     full = P.pack_segments(df, 16)
     key = lambda r: (r.source, r.doc_id, r.pack_id, r.seg_tokens)  # noqa: E731
     assert sorted(map(key, chained.collect())) == sorted(map(key, full.collect()))
+
+
+def test_streaming_pack_cleared_checkpoint_refuses(spark, tmp_path):
+    """A new/cleared checkpoint against an existing multi-epoch
+    segments dir restarts epoch_id at 0 — the handler must refuse
+    instead of overwriting epoch 0 and re-basing offsets (ADVICE r3).
+    Legitimate same-epoch replays (max epoch == epoch_id) stay allowed
+    — that is the per-epoch-overwrite idempotency contract."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from customkb_spark.streaming.incremental import incremental_pack_maintenance
+
+    rows = [("s0", i, "w w w") for i in range(20)]
+    df = _docs(spark, rows)
+    src = str(tmp_path / "cc_src")
+    seg_dir = str(tmp_path / "cc_seg")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        incremental_pack_maintenance(
+            stream, seg_dir, ckpt, seq_len=8
+        ).awaitTermination(120)
+
+    # first run: two micro-batches → epochs 0 and 1 persisted
+    df.filter(F.col("doc_id") < 10).coalesce(1).write.parquet(src)
+    df.filter(F.col("doc_id") >= 10).coalesce(1).write.mode("append").parquet(src)
+    run(str(tmp_path / "cc_ckpt1"))
+    epochs = {r.epoch for r in spark.read.parquet(f"{seg_dir}/_offsets").collect()}
+    assert epochs == {0, 1}
+
+    # second run with a FRESH checkpoint: epoch_id restarts at 0 < 1
+    with pytest.raises(StreamingQueryException, match="checkpoint"):
+        run(str(tmp_path / "cc_ckpt2"))
