@@ -92,6 +92,7 @@ EXTRA_QUERIES = [
     "unigram_surprisal",
     "pack_sequences",
     "dsir_importance",
+    "doc_citations",
     # quality_classifier: measured as a train/score split in the ann
     # (model-building) leg instead — an extras entry would retrain
     # LBFGS on every run and conflate build with scoring

@@ -7,7 +7,7 @@ all three. Semantics mirror the reference's extraction/repair ladder
 :464-483's cleanup-then-fallback parse):
 
 1. bare ``{``/``[`` → use as-is;
-2. else the body of the first \```/\```json fence;
+2. else the body of the first triple-backtick (or ```json``-tagged) fence;
 3. else the first-``{`` … last-``}`` span;
 4. parse; on failure strip trailing commas before ``}``/``]`` and
    re-parse;
