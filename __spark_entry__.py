@@ -2206,13 +2206,15 @@ def q_ann_pq_topk(spark, sf_dir):
     residual encoding (argmin over 2^nbits codewords per subvector),
     nprobe pruning, ADC lookup-sum, exact-ip refine — from the same
     tables. Recall vs exact asserted in tests/test_pq.py."""
-    from customkb_spark.embedding.index import train_centroids
+    from customkb_spark.embedding.index import sample_vectors, train_centroids
     from customkb_spark.embedding.pq import encode_pq, pq_topk, train_pq
     from customkb_spark.embedding.store import save_pq
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_centroids(emb, "embedding", nlist=16)
-    model = train_pq(emb, "embedding", m=8, nbits=6, centroids=cents)
+    # one driver-side sample feeds both trainers (two collects → one)
+    sample = sample_vectors(emb, "embedding", 10_000, 42)
+    cents = train_centroids(emb, "embedding", nlist=16, sample=sample)
+    model = train_pq(emb, "embedding", m=8, nbits=6, centroids=cents, sample=sample)
     save_pq(spark, model, f"{ORACLE_ART_DIR}/pq")
     codes = encode_pq(emb, model, "vec_id", "embedding")
     qv = _query_vec(spark, sf_dir, 0)

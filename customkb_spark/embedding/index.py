@@ -70,11 +70,14 @@ def train_centroids(
     sample_size: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Lloyd's k-means on a seeded uniform driver-side sample."""
-    return lloyd_kmeans(
-        sample_vectors(vectors, vec_col, sample_size, seed), nlist, iters, seed
-    )
+    """Lloyd's k-means on a seeded uniform driver-side sample.
+    ``sample`` short-circuits the collection — callers training several
+    artifacts from the same corpus (IVF + PQ) collect once."""
+    if sample is None:
+        sample = sample_vectors(vectors, vec_col, sample_size, seed)
+    return lloyd_kmeans(sample, nlist, iters, seed)
 
 
 def assign_clusters(

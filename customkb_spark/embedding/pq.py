@@ -73,13 +73,17 @@ def train_pq(
     sample_size: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> PQModel:
     """Per-subvector codebooks from a seeded uniform sample.
 
     ``m`` must divide the dimension (reference caps m at dims//64 for
     the same reason, embed_manager.py:209). With ``centroids`` the
-    training sample is converted to residuals first (IVFPQ)."""
-    sample = sample_vectors(vectors, vec_col, sample_size, seed)
+    training sample is converted to residuals first (IVFPQ).
+    ``sample`` short-circuits the collection (share one sample across
+    IVF + PQ training)."""
+    if sample is None:
+        sample = sample_vectors(vectors, vec_col, sample_size, seed)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")

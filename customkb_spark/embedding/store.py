@@ -34,11 +34,20 @@ from customkb_spark.functions import vector as V
 # ------------------------------------------------------ small artifacts
 
 
+def _write_single_file(spark, rows, schema: str, path: str) -> None:
+    """Driver-local rows → one parquet file. A single-slice parallelize,
+    NOT createDataFrame().coalesce(1): the default path slices local
+    data into defaultParallelism pickled partitions and coalesce makes
+    ONE task page through every one of them via the Python worker
+    (measured 6-11 s for a 512-row codebook table; single-slice is
+    ~0.4 s)."""
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    spark.createDataFrame(rdd, schema).write.mode("overwrite").parquet(path)
+
+
 def save_centroids(spark: SparkSession, centroids: np.ndarray, path: str) -> None:
     rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(rows, "cluster_id int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(path)
+    _write_single_file(spark, rows, "cluster_id int, centroid array<double>", path)
 
 
 def load_centroids(spark: SparkSession, path: str) -> np.ndarray:
@@ -54,9 +63,10 @@ def save_pq(spark: SparkSession, model: PQModel, path: str) -> None:
         for j in range(model.m)
         for c in range(model.ksub)
     ]
-    spark.createDataFrame(
-        rows, "subvector int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_single_file(
+        spark, rows, "subvector int, code int, centroid array<double>",
+        f"{path}/codebooks",
+    )
     if model.centroids is not None:
         save_centroids(spark, model.centroids, f"{path}/ivf_centroids")
 
@@ -153,10 +163,12 @@ def save_vector_index(tier, path: str) -> None:
 
 
 def _write_meta(spark, path, kind, n, id_col, vec_col, fp) -> None:
-    spark.createDataFrame(
+    _write_single_file(
+        spark,
         [(kind, int(n), id_col, vec_col, fp)],
         "kind string, n long, id_col string, vec_col string, fp string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        f"{path}/meta",
+    )
 
 
 def index_freshness(spark: SparkSession, path: str, vectors: DataFrame) -> str:

@@ -247,10 +247,14 @@ class KnowledgeBase:
         postings = self._read("postings")
         stats = B25.build_term_stats(postings, n)
         stats.write.mode("overwrite").parquet(self._p("term_stats"))
-        self.spark.createDataFrame(
+        from customkb_spark.embedding.store import _write_single_file
+
+        _write_single_file(
+            self.spark,
             [(int(n), float(avgdl), fp, self.cfg.language)],
             "n_chunks long, avgdl double, chunks_fp string, language string",
-        ).coalesce(1).write.mode("overwrite").parquet(self._p("bm25_meta"))
+            self._p("bm25_meta"),
+        )
         self._invalidate()
         return {
             "n_chunks": n, "avgdl": avgdl,
