@@ -42,14 +42,14 @@ def _nullif_empty(col):
     return F.nullif(F.trim(col), F.lit(""))
 
 
-def extract_citations(
-    docs: DataFrame,
-    id_col: str = "doc_id",
+def citation_columns(
     text_col: str = "text",
     head_chars: int = HEAD_CHARS,
     title_max: int = 80,
-) -> DataFrame:
-    """Deterministic head-of-document extraction.
+) -> dict:
+    """The extraction rules as reusable column expressions (also the
+    stateless streaming form — ``streaming.curation.curate_stream``
+    rides them through its gate):
 
     - title: first markdown heading, else the first line truncated to
       ``title_max``; an all-numeric title is dropped (the reference's
@@ -66,11 +66,24 @@ def extract_citations(
     title = F.when(title.rlike(r"^[0-9]+$"), F.lit(None)).otherwise(title)
     author = _nullif_empty(F.regexp_extract(head, _RX_AUTHOR, 1))
     year = _nullif_empty(F.regexp_extract(head, _RX_YEAR, 1)).cast("long")
+    return {"title": title, "author": author, "year": year}
+
+
+def extract_citations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_chars: int = HEAD_CHARS,
+    title_max: int = 80,
+) -> DataFrame:
+    """Deterministic head-of-document extraction (see
+    :func:`citation_columns` for the rules)."""
+    cols = citation_columns(text_col, head_chars, title_max)
     return docs.select(
         F.col(id_col),
-        title.alias("title"),
-        author.alias("author"),
-        year.alias("year"),
+        cols["title"].alias("title"),
+        cols["author"].alias("author"),
+        cols["year"].alias("year"),
     )
 
 

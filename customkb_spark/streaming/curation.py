@@ -38,6 +38,7 @@ def curate_stream(
     gopher: bool = True,
     dsir_model: dict[str, float] | None = None,
     quality_model=None,
+    citations: bool = False,
 ) -> DataFrame:
     """The stateless curation gate over a (streaming or batch) frame:
 
@@ -86,6 +87,14 @@ def curate_stream(
         # the ml transform only ADDS columns, so it applies in place
         # (the staged token array survives for the final drop)
         out = score_quality(out, quality_model)
+    if citations:
+        # the citations regex tier is pure per-row column algebra —
+        # stateless, so bibliographic metadata rides the same gate
+        # (no join: a stream-stream join would need state)
+        from customkb_spark.operators.citations import citation_columns
+
+        for name, col in citation_columns(text_col).items():
+            out = out.withColumn(name, col)
     if language is not None:
         out = out.filter(F.col("language") == language)
     if min_quality > 0.0:

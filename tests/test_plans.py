@@ -322,3 +322,16 @@ def test_boilerplate_spans_aggregation_only(spark, documents):
 
     plan = explain_str(boilerplate_spans(documents), "simple")
     assert "Window" not in plan
+
+
+def test_citations_plan_jvm_only_and_pruned(spark):
+    """The citations regex tier must stay whole-stage-codegen JVM work:
+    no Python evaluation node, and the documents scan pruned to the two
+    columns the extraction touches."""
+    from customkb_spark.operators.citations import extract_citations
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(extract_citations(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "lang" not in plan.split("ReadSchema", 1)[1][:200]  # pruned
+    assert "source" not in plan.split("ReadSchema", 1)[1][:200]

@@ -116,3 +116,21 @@ def test_gopher_signals_match_filter_operator(spark):
         .select("doc_id", "p").collect()
     }
     assert via_filter == via_cols
+
+
+def test_streaming_citations_match_batch_extraction(spark, tmp_path):
+    """citations=True rides the stateless gate: the streamed
+    title/author/year equal the batch extract_citations output."""
+    from customkb_spark.operators.citations import extract_citations
+
+    got = {
+        r.doc_id: (r.title, r.author, r.year)
+        for r in _run_stream(spark, tmp_path, citations=True)
+        .select("doc_id", "title", "author", "year")
+        .collect()
+    }
+    want = {
+        r.doc_id: (r.title, r.author, r.year)
+        for r in extract_citations(_batch(spark)).collect()
+    }
+    assert got == want and len(got) == len(ROWS)
