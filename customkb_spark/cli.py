@@ -135,6 +135,25 @@ def cmd_embed(args) -> int:
     return 0
 
 
+def cmd_serve_http(args) -> int:
+    """Reference scripts/retrieve_api.py as a subcommand: run the
+    dep-gated HTTP retrieval shim for one KB."""
+    from customkb_spark.http_api import serve
+
+    try:
+        serve(
+            args.kb_dir,
+            host=args.host,
+            port=args.port,
+            max_chars=args.max_chars,
+            top_k=args.top_k,
+        )
+    except (NotImplementedError, ImportError) as e:
+        print(f"serve-http: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_query(args) -> int:
     kb = _kb(args)
     if args.top_k is not None:
@@ -519,6 +538,17 @@ def build_parser() -> argparse.ArgumentParser:
     common(b)
     b.add_argument("--force", action="store_true", help="rebuild even if fresh")
     b.set_defaults(fn=cmd_bm25)
+
+    sv = sub.add_parser(
+        "serve-http",
+        help="retrieval HTTP API (POST {query}->{context}; needs fastapi+uvicorn)",
+    )
+    common(sv)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8100)
+    sv.add_argument("--top-k", type=int, default=5)
+    sv.add_argument("--max-chars", type=int, default=3000)
+    sv.set_defaults(fn=cmd_serve_http)
 
     cat = sub.add_parser("categorize", help="checkpointed document categorization")
     common(cat)

@@ -111,3 +111,12 @@ def test_build_app_with_mocked_transport(engine, monkeypatch):
 
     resp_empty = routes[("POST", "/")](types.SimpleNamespace(query="  "))
     assert resp_empty.context == ""
+
+
+def test_cli_serve_http_dep_gated(tmp_path, capsys):
+    from customkb_spark import cli
+
+    rc = cli.main(["serve-http", str(tmp_path / "kb"), "--port", "8123"])
+    if _no_fastapi():
+        assert rc == 2
+        assert "serve-http:" in capsys.readouterr().err
