@@ -466,6 +466,10 @@ class KnowledgeBase:
                 )
             # no vectors table yet ⇒ EVERY embeddable chunk is pending
             out["pending_embed"] = pending.count()
+        # A7: schema-version aggregate over the migrations event log
+        from customkb_spark.plans.migrations import get_current_schema_version
+
+        out["schema_version"] = get_current_schema_version(self.spark, self.kb_dir)
         # BM25 index freshness: content fingerprint + language must match
         if self._exists("bm25_meta") and chunks is not None:
             from customkb_spark.embedding.store import content_fingerprint

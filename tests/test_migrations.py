@@ -1,0 +1,71 @@
+"""A7 schema migrations (plans/migrations.py, reference
+database/migrations.py): append-only event log, MAX-version aggregate
+excluding rollbacks, idempotent BM25 column migration."""
+
+from __future__ import annotations
+
+from customkb_spark.plans import migrations as MG
+
+
+def test_version_zero_when_untracked(spark, tmp_path):
+    assert MG.get_current_schema_version(spark, str(tmp_path / "kb")) == 0
+
+
+def test_record_and_aggregate_versions(spark, tmp_path):
+    kb_dir = str(tmp_path / "kb")
+    MG.record_migration(spark, kb_dir, 1, "bm25_columns", now=100.0)
+    assert MG.get_current_schema_version(spark, kb_dir) == 1
+    MG.record_migration(spark, kb_dir, 2, "categories", now=200.0)
+    assert MG.get_current_schema_version(spark, kb_dir) == 2
+    # rollback of v2 drops the current version back to 1
+    MG.record_rollback(spark, kb_dir, 2, now=300.0)
+    assert MG.get_current_schema_version(spark, kb_dir) == 1
+    # re-apply after rollback: the aggregate sees an applied event but
+    # the rollback marker still voids the version (reference semantics:
+    # rollback_at IS NULL) — a re-apply gets a NEW version number
+    MG.record_migration(spark, kb_dir, 3, "categories-v2", now=400.0)
+    assert MG.get_current_schema_version(spark, kb_dir) == 3
+
+
+def test_migrate_for_bm25_idempotent(spark, tmp_path):
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    kb_dir = str(tmp_path / "kb")
+    docs = spark.createDataFrame(
+        [(i, f"spark data state-of-the-art document {i} " * 5, f"/d/{i}.md") for i in range(4)],
+        ["doc_id", "text", "source"],
+    )
+    kb = KnowledgeBase(spark, kb_dir, KBConfig(vector_dimensions=8))
+    kb.database(docs)
+    assert MG.get_current_schema_version(spark, kb_dir) == 0
+
+    # the current engine schema carries the BM25 columns already — the
+    # migration is for LEGACY tables, so idempotence short-circuits
+    assert MG.migrate_for_bm25(kb) is False
+    assert MG.get_current_schema_version(spark, kb_dir) == 0
+
+    # simulate a pre-BM25 legacy table: drop the columns and rewrite
+    legacy = kb._read("chunks").drop("bm25_tokens", "doc_length")
+    legacy.write.mode("overwrite").parquet(kb._p("chunks") + ".legacy")
+    import shutil
+
+    shutil.rmtree(kb._p("chunks"))
+    shutil.move(kb._p("chunks") + ".legacy", kb._p("chunks"))
+    kb._invalidate()
+
+    assert MG.migrate_for_bm25(kb) is True
+    chunks = kb._read("chunks")
+    assert "bm25_tokens" in chunks.columns and "doc_length" in chunks.columns
+    row = chunks.first()
+    assert row.doc_length == len(row.bm25_tokens) > 0
+    assert "state-of-the-art" in row.bm25_tokens  # F3 contract survives
+    assert MG.get_current_schema_version(spark, kb_dir) == MG.BM25_MIGRATION_VERSION
+
+    # second run: columns exist, no rewrite, no duplicate event
+    assert MG.migrate_for_bm25(kb) is False
+    assert MG.get_current_schema_version(spark, kb_dir) == MG.BM25_MIGRATION_VERSION
+
+    # the migrated table still serves queries (index builds from text)
+    kb.embed()
+    assert kb.query("spark data document", context_only=True) != ""
