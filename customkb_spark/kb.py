@@ -20,9 +20,13 @@ Semantics preserved from the reference:
   fused-retrieval pipeline; ``context_only`` mirrors the reference's
   --context-only flag, otherwise the (stubbed) LLM answers.
 
-At 100 TB: chunks/vectors are written partitioned by a hash bucket of
-``sourcedoc`` — each document's chunks co-locate, so the context range
-join and sid window never shuffle the corpus; the ingest log stays tiny.
+At 100 TB: write the chunks table BUCKETED by ``sourcedoc``
+(plans/layout.py — bucketBy into the catalog, per-bucket sorted by
+sid) so each document's chunks co-locate and every per-doc operator
+(sid window, context range join, chunk stats, categorize sampling)
+plans exchange-free; proven on the plan in
+tests/test_plans.py::test_bucketed_groupby_no_exchange. The ingest
+log stays tiny either way.
 """
 
 from __future__ import annotations

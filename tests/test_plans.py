@@ -335,3 +335,34 @@ def test_citations_plan_jvm_only_and_pruned(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "lang" not in plan.split("ReadSchema", 1)[1][:200]  # pruned
     assert "source" not in plan.split("ReadSchema", 1)[1][:200]
+
+
+def test_bucketed_groupby_no_exchange(spark, documents):
+    """The co-location claim, proven on the plan: a groupBy on the
+    bucket column over the bucketed chunks table plans with NO
+    Exchange; the same aggregate over the plain parquet table needs
+    one. (plans/layout.py — the 100 TB layout story.)"""
+    from customkb_spark.ingest.pipeline import documents_to_chunks
+    from customkb_spark.plans import layout as L
+
+    chunks = documents_to_chunks(documents.limit(50), chunk_size=200)
+    L.drop_table(spark, "t_bucketed_chunks")
+    try:
+        L.write_bucketed(chunks, "t_bucketed_chunks", "sourcedoc", n_buckets=4)
+        bucketed = L.read_bucketed(spark, "t_bucketed_chunks")
+        plan_b = explain_str(bucketed.groupBy("sourcedoc").count(), "simple")
+        assert "Exchange" not in plan_b
+        assert "SelectedBucketsCount" in explain_str(
+            bucketed.groupBy("sourcedoc").count()
+        ) or "Bucketed: true" in explain_str(bucketed.groupBy("sourcedoc").count())
+        # control: the un-bucketed twin shuffles
+        plan_p = explain_str(chunks.groupBy("sourcedoc").count(), "simple")
+        assert "Exchange" in plan_p
+        # window keyed on (sourcedoc) also plans exchange-free
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sourcedoc").orderBy("sid")
+        plan_w = explain_str(bucketed.withColumn("rn", F.row_number().over(w)), "simple")
+        assert "Exchange" not in plan_w
+    finally:
+        L.drop_table(spark, "t_bucketed_chunks")
