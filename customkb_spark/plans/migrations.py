@@ -144,15 +144,66 @@ def migrate_for_bm25(kb) -> bool:
     out = chunks.withColumn("bm25_tokens", toks).withColumn(
         "doc_length", F.size("bm25_tokens").cast("long")
     )
-    tmp = kb._p("chunks") + ".migrating"
-    out.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(kb._p("chunks"))
-    shutil.move(tmp, kb._p("chunks"))
-    kb._invalidate()
+    _rewrite_chunks(kb, out)
     record_migration(
         kb.spark, kb.kb_dir, BM25_MIGRATION_VERSION, "bm25_columns",
         "materialize bm25_tokens + doc_length on chunks",
+    )
+    return True
+
+
+def _rewrite_chunks(kb, out) -> None:
+    """Atomic-ish table swap shared by the column migrations."""
+    import shutil
+
+    tmp = kb._p("chunks") + ".migrating"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(kb._p("chunks"))
+    shutil.move(tmp, kb._p("chunks"))
+    kb._invalidate()
+
+
+CATEGORIES_MIGRATION_VERSION = 2
+
+
+def migrate_add_categories(kb) -> bool:
+    """Reference migrate_add_categories (migrations.py:168-224):
+    primary_category + categories columns (NULL until categorize runs).
+    The reference's idx_primary_category has no parquet analogue — the
+    category filter (P3) is a broadcast semi-join, and at scale the
+    table can be re-written partitioned by primary_category for
+    pruning. Idempotent on ``primary_category`` like the reference."""
+    chunks = kb._read("chunks")
+    if "primary_category" in chunks.columns:
+        return False
+    out = chunks.withColumn(
+        "primary_category", F.lit(None).cast("string")
+    ).withColumn("categories", F.lit(None).cast("array<string>"))
+    _rewrite_chunks(kb, out)
+    record_migration(
+        kb.spark, kb.kb_dir, CATEGORIES_MIGRATION_VERSION, "add_categories",
+        "Added category columns for document classification",
+    )
+    return True
+
+
+TIMESTAMPS_MIGRATION_VERSION = 3
+
+
+def migrate_add_timestamps(kb) -> bool:
+    """Reference migrate_add_timestamps (migrations.py:227-290):
+    created_at/updated_at stamped at migration time. The reference's
+    AFTER UPDATE trigger has no analogue in append-only tables —
+    rewrites go through kb.database(force)/optimize, which stamp
+    updated_at themselves. Idempotent on ``created_at``."""
+    chunks = kb._read("chunks")
+    if "created_at" in chunks.columns:
+        return False
+    now = F.current_timestamp()
+    out = chunks.withColumn("created_at", now).withColumn("updated_at", now)
+    _rewrite_chunks(kb, out)
+    record_migration(
+        kb.spark, kb.kb_dir, TIMESTAMPS_MIGRATION_VERSION, "add_timestamps",
+        "Added timestamp columns for tracking",
     )
     return True

@@ -69,3 +69,32 @@ def test_migrate_for_bm25_idempotent(spark, tmp_path):
     # the migrated table still serves queries (index builds from text)
     kb.embed()
     assert kb.query("spark data document", context_only=True) != ""
+
+
+def test_migrate_categories_and_timestamps(spark, tmp_path):
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    kb_dir = str(tmp_path / "kb2")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text " * 10, f"/d/{i}.md") for i in range(3)],
+        ["doc_id", "text", "source"],
+    )
+    kb = KnowledgeBase(spark, kb_dir, KBConfig(vector_dimensions=8))
+    kb.database(docs)
+
+    assert MG.migrate_add_categories(kb) is True
+    chunks = kb._read("chunks")
+    assert "primary_category" in chunks.columns and "categories" in chunks.columns
+    assert chunks.filter(chunks.primary_category.isNull()).count() == chunks.count()
+    assert MG.migrate_add_categories(kb) is False  # idempotent
+
+    assert MG.migrate_add_timestamps(kb) is True
+    chunks = kb._read("chunks")
+    assert "created_at" in chunks.columns and "updated_at" in chunks.columns
+    assert chunks.filter(chunks.created_at.isNull()).count() == 0
+    assert MG.migrate_add_timestamps(kb) is False  # idempotent
+
+    # version aggregate reflects the applied ladder
+    assert MG.get_current_schema_version(spark, kb_dir) == MG.TIMESTAMPS_MIGRATION_VERSION
+    assert kb.verify()["schema_version"] == MG.TIMESTAMPS_MIGRATION_VERSION
