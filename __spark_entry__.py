@@ -2158,7 +2158,12 @@ def q_ann_ivf_topk(spark, sf_dir):
     checkable even though the k-means training itself is iterative.
     Recall vs the exact oracle is additionally asserted in
     tests/test_ann.py."""
-    from customkb_spark.embedding.index import assign_clusters, ivf_search, train_centroids
+    from customkb_spark.embedding.index import (
+        assign_clusters,
+        ivf_search,
+        ivf_search_batch,
+        train_centroids,
+    )
     from customkb_spark.embedding.store import save_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2166,7 +2171,23 @@ def q_ann_ivf_topk(spark, sf_dir):
     save_centroids(spark, cents, f"{ORACLE_ART_DIR}/ivf/centroids")
     indexed = assign_clusters(emb, cents, "embedding")
     qv = _query_vec(spark, sf_dir, 0)
-    return ivf_search(indexed, cents, qv, k=10, nprobe=4, id_col="vec_id", vec_col="embedding")
+    single = ivf_search(
+        indexed, cents, qv, k=10, nprobe=4, id_col="vec_id", vec_col="embedding"
+    ).select(
+        F.lit("single").alias("mode"), F.lit(-1).cast("long").alias("qid"), "id", "score"
+    )
+    # the batch scale path (one pruned scan for a query SET) rides the
+    # same contract entry, mode-tagged — probes become a broadcast
+    # (qid, cluster_id) pair table instead of a driver filter
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = ivf_search_batch(
+        indexed, cents, qdf, k=5, nprobe=4,
+        id_col="vec_id", vec_col="embedding",
+        query_id_col="qid", query_vec_col="qvec", metric="cosine",
+    ).select(F.lit("batch").alias("mode"), F.col("qid").cast("long").alias("qid"), "id", "score")
+    return single.unionByName(batch)
 
 
 # Mirrors index.assign_clusters (argmin L2, first-min tiebreak ⇒ lowest
@@ -2189,10 +2210,31 @@ assigned AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1),
 probe AS (
   SELECT c.cluster_id FROM cent c, q
-  ORDER BY list_distance(c.centroid, q.qv), c.cluster_id LIMIT 4)
-SELECT a.vec_id AS id, {SQL_COS.format(a='a.ev', b='q.qv')} AS score
-FROM assigned a JOIN probe USING (cluster_id), q
-ORDER BY score DESC, id LIMIT 10
+  ORDER BY list_distance(c.centroid, q.qv), c.cluster_id LIMIT 4),
+single AS (
+  SELECT a.vec_id AS id, {SQL_COS.format(a='a.ev', b='q.qv')} AS score
+  FROM assigned a JOIN probe USING (cluster_id), q
+  ORDER BY score DESC, id LIMIT 10),
+qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id < 5),
+qprobe AS (
+  SELECT qid, cluster_id FROM (
+    SELECT qs.qid, c.cluster_id,
+           row_number() OVER (PARTITION BY qs.qid
+                              ORDER BY list_distance(c.centroid, qs.qv), c.cluster_id) AS rn
+    FROM cent c CROSS JOIN qs)
+  WHERE rn <= 4),
+bscored AS (
+  SELECT qs.qid, a.vec_id AS id, {SQL_COS.format(a='a.ev', b='qs.qv')} AS score
+  FROM assigned a
+  JOIN qprobe p ON a.cluster_id = p.cluster_id
+  JOIN qs ON qs.qid = p.qid),
+batch AS (
+  SELECT qid, id, score FROM bscored
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) <= 5)
+SELECT 'single' AS mode, CAST(-1 AS BIGINT) AS qid, id, score FROM single
+UNION ALL
+SELECT 'batch' AS mode, qid, id, score FROM batch
 """
 
 
