@@ -224,3 +224,47 @@ def test_dsir_weights_finite_and_total(texts, pivot):
 
     assert all(math.isfinite(r.log_weight) for r in out)
     assert all(r.n_tokens > 0 for r in out)
+
+
+@settings(**SETTINGS)
+@given(st.text(max_size=2000))
+def test_parse_llm_json_never_raises(payload):
+    """F19 robustness: arbitrary model output — fences, braces, control
+    chars, emoji — never raises; it parses or yields the fallback."""
+    from customkb_spark.functions.llm_json import parse_llm_json
+
+    got = parse_llm_json(payload, fallback={"x": 1})
+    assert got is not None
+
+
+@settings(**SETTINGS)
+@given(st.text(max_size=2000))
+def test_parse_llm_json_roundtrips_valid_json(payload):
+    import json
+
+    from customkb_spark.functions.llm_json import parse_llm_json
+
+    doc = json.dumps({"k": payload})
+    assert parse_llm_json(doc) == {"k": payload}
+    # fenced form parses to the same object
+    assert parse_llm_json(f"```json\n{doc}\n```") == {"k": payload}
+
+
+@settings(**SETTINGS)
+@given(st.text(min_size=1, max_size=500))
+def test_sanitize_and_mask_idempotent(text):
+    """Sanitize and mask are idempotent — running the gate twice never
+    changes the result again (no oscillating rewrites in log chains)."""
+    from customkb_spark.functions.security import (
+        mask_sensitive_data,
+        sanitize_query_text,
+    )
+
+    masked = mask_sensitive_data(text)
+    assert mask_sensitive_data(masked) == masked
+    try:
+        clean = sanitize_query_text(text)
+    except ValueError:
+        return  # empty-after-strip or oversized: contract says raise
+    if clean:
+        assert sanitize_query_text(clean) == clean
