@@ -232,6 +232,19 @@ def cmd_optimize(args) -> int:
             shutil.rmtree(vindex)
         kb = _kb(args)
         kb._build_index()  # rebuild + persist the fresh tier
+    if getattr(args, "clean_cache", False):
+        # reference scripts/clean_corrupted_cache.py: drop cache rows
+        # with NULL/wrong-dimension vectors (honors --dry-run)
+        from customkb_spark.plans.maintenance import clean_embedding_cache
+
+        kb = _kb(args)
+        report = clean_embedding_cache(
+            spark,
+            os.path.join(args.kb_dir, "emb_cache"),
+            kb.cfg.vector_dimensions,
+            dry_run=getattr(args, "dry_run", False),
+        )
+        print(json.dumps({"emb_cache": report}, indent=2))
     table_stats(spark, args.kb_dir).show(truncate=False)
     # the reference's memory-tier auto-config report (advisory; Spark
     # confs print so cluster deployment can apply them)
@@ -531,6 +544,10 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument(
         "--reindex", action="store_true",
         help="retrain + re-tier the persisted vector index for the current corpus",
+    )
+    o.add_argument(
+        "--clean-cache", action="store_true",
+        help="drop corrupted (NULL/wrong-dimension) embedding-cache rows",
     )
     o.set_defaults(fn=cmd_optimize)
 

@@ -155,3 +155,44 @@ def column_profile(df: DataFrame) -> DataFrame:
         "column string, dtype string, n_rows long, n_nulls long,"
         " n_distinct long, min_value string, max_value string",
     )
+
+
+def clean_embedding_cache(
+    spark: SparkSession,
+    cache_path: str,
+    expected_dims: int,
+    dry_run: bool = False,
+) -> dict:
+    """Cache hygiene — reference scripts/clean_corrupted_cache.py:
+    drop cache entries whose vector is NULL, empty, or has the wrong
+    dimensionality (the reference's dimension-mismatch corruption
+    case, produced by a model switch without a cache key change or a
+    torn write).
+
+    One scan + one rewrite of the cache table (both map-side; the
+    filter is a pure column predicate). Returns the reference script's
+    (total, corrupted, cleaned) accounting. ``dry_run`` reports
+    without rewriting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(cache_path):
+        return {"total": 0, "corrupted": 0, "cleaned": 0}
+    cache = spark.read.parquet(cache_path)
+    ok = F.col("vector").isNotNull() & (F.size("vector") == expected_dims)
+    total = cache.count()
+    good = cache.filter(ok)
+    n_good = good.count()
+    corrupted = total - n_good
+    if corrupted == 0 or dry_run:
+        return {"total": total, "corrupted": corrupted, "cleaned": 0}
+    # rewrite via a temp dir + swap (same pattern as the migrations):
+    # overwrite-in-place would read and clobber the same files
+    import shutil
+
+    tmp = cache_path + ".cleaning"
+    good.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(cache_path)
+    shutil.move(tmp, cache_path)
+    return {"total": total, "corrupted": corrupted, "cleaned": corrupted}

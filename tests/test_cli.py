@@ -399,3 +399,42 @@ def test_embed_reset_keeps_cache_and_restores_on_failure(spark, tmp_path, monkey
     assert not os.path.isdir(os.path.join(kb_dir, "vectors.reset-bak"))
     if cache_existed:
         assert os.path.isdir(os.path.join(kb_dir, "emb_cache"))
+
+
+def test_optimize_clean_cache(spark, tmp_path, capsys):
+    """optimize --clean-cache drops NULL/wrong-dimension cache rows
+    (reference clean_corrupted_cache.py); --dry-run only reports."""
+    from customkb_spark.plans.maintenance import clean_embedding_cache
+
+    kb_dir = str(tmp_path / "kb")
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "d.md").write_text("spark document text " * 20)
+    assert cli.main(["database", kb_dir, "--files", f"{docs}/*.md"]) == 0
+    assert cli.main(["embed", kb_dir]) == 0
+
+    import os
+
+    cache_path = os.path.join(kb_dir, "emb_cache")
+    good = spark.read.parquet(cache_path)
+    dims = len(good.first().vector)
+    bad = spark.createDataFrame(
+        [("badkey1", None), ("badkey2", [0.0] * (dims + 3))], schema=good.schema
+    )
+    bad.write.mode("append").parquet(cache_path)
+    n_total = spark.read.parquet(cache_path).count()
+
+    report = clean_embedding_cache(spark, cache_path, dims, dry_run=True)
+    assert report == {"total": n_total, "corrupted": 2, "cleaned": 0}
+    assert spark.read.parquet(cache_path).count() == n_total  # untouched
+
+    report = clean_embedding_cache(spark, cache_path, dims)
+    assert report["corrupted"] == 2 and report["cleaned"] == 2
+    left = spark.read.parquet(cache_path)
+    assert left.count() == n_total - 2
+    assert left.filter(left.vector.isNull()).count() == 0
+
+    # idempotent + CLI surface
+    assert clean_embedding_cache(spark, cache_path, dims)["cleaned"] == 0
+    assert cli.main(["optimize", kb_dir, "--clean-cache", "--dry-run"]) == 0
+    assert '"corrupted": 0' in capsys.readouterr().out
