@@ -2133,17 +2133,13 @@ ORDER BY doc_id
 
 def q_doc_citations(spark, sf_dir):
     """Citations regex tier (utils/citations analogue): head-of-doc
-    (title, author, year) extraction as pure column expressions."""
+    (title, author, year) extraction as pure column expressions.
+    Bench entry; its oracle coverage rides the merged doc_text_signals
+    contract entry (title/author/year columns, value-hash green)."""
     from customkb_spark.operators.citations import extract_citations
 
     docs = _t(spark, sf_dir, "documents")
     return extract_citations(docs).orderBy("doc_id")
-
-
-def _sql_citations() -> str:
-    from customkb_spark.operators.citations import sql_extract_citations
-
-    return sql_extract_citations() + " ORDER BY doc_id"
 
 
 # ----------------------------------------------- non-SQL-expressible ops

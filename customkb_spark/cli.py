@@ -126,8 +126,13 @@ def cmd_embed(args) -> int:
         n = kb.embed()
     except BaseException:
         for path, bak in backups:
-            if not os.path.isdir(path):
-                os.rename(bak, path)
+            # anything at `path` is the FAILED run's partial output
+            # (Hadoop's committer creates the dir at job setup, so a
+            # bare isdir check would strand the intact backup behind
+            # an empty/torn table that later reads die on)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.rename(bak, path)
         raise
     for _, bak in backups:
         shutil.rmtree(bak, ignore_errors=True)
@@ -138,6 +143,7 @@ def cmd_embed(args) -> int:
 def cmd_serve_http(args) -> int:
     """Reference scripts/retrieve_api.py as a subcommand: run the
     dep-gated HTTP retrieval shim for one KB."""
+    from customkb_spark.exceptions import CustomKBError
     from customkb_spark.http_api import serve
 
     try:
@@ -148,7 +154,7 @@ def cmd_serve_http(args) -> int:
             max_chars=args.max_chars,
             top_k=args.top_k,
         )
-    except (NotImplementedError, ImportError) as e:
+    except (NotImplementedError, ImportError, CustomKBError) as e:
         print(f"serve-http: {e}", file=sys.stderr)
         return 2
     return 0
@@ -176,18 +182,28 @@ def cmd_query(args) -> int:
         if not os.path.isfile(path):
             print(f"query: context file not found: {path}", file=sys.stderr)
             return 2
-    out = kb.query(
-        question,
-        context_only=args.context_only,
-        fmt=args.format,
-        categories=args.category or None,
-        template=args.prompt_template,
-        model=args.model,
-        role=args.role or None,
-        temperature=args.temperature,
-        max_tokens=args.max_tokens,
-        context_files=args.context_files,
-    )
+    try:
+        out = kb.query(
+            question,
+            context_only=args.context_only,
+            fmt=args.format,
+            categories=args.category or None,
+            template=args.prompt_template,
+            model=args.model,
+            role=args.role or None,
+            temperature=args.temperature,
+            max_tokens=args.max_tokens,
+            context_files=args.context_files,
+        )
+    except ValueError as e:
+        # sanitize_query_text contract (oversized / control-chars-only
+        # query): a clear CLI error, not a traceback — mapped through
+        # the typed hierarchy so the message shape is uniform
+        from customkb_spark.exceptions import handle_exception
+
+        err = handle_exception(e, raise_custom=False)
+        print(f"query: {err}", file=sys.stderr)
+        return 2
     print(out)
     return 0
 

@@ -26,14 +26,34 @@ def with_cache_key(df: DataFrame, text_col: str, model: str) -> DataFrame:
 
 
 def split_hits_misses(
-    pending: DataFrame, cache: DataFrame
+    pending: DataFrame, cache: DataFrame, expected_dims: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """pending must carry cache_key; cache is (cache_key, vector).
 
     Returns (hits with vector, misses without). One left join, reused
     for both sides — Catalyst caches the common subplan per action.
-    """
+
+    ``expected_dims`` guards the dimension-mismatch corruption case:
+    the cache key is f'{model}_{sha256(text)}' (reference parity —
+    embed_manager.py:72-85 — which does NOT encode dimensions), so a
+    vector_dimensions change with the same model would otherwise
+    re-serve stale-dimension hits. Wrong-dimension rows count as
+    misses and are re-embedded (and the fresh write-back shadows the
+    stale entry on future probes only if keys differ — run
+    ``optimize --clean-cache`` to purge the stale rows)."""
+    if expected_dims is not None:
+        # collapse duplicate keys, preferring a right-dimension row —
+        # re-embedding a stale-dim entry appends a second row under the
+        # SAME key, and a multi-row key would fan out the probe join.
+        # One partial-aggregated shuffle of the cache table only.
+        good = (F.size("vector") == int(expected_dims)).cast("int")
+        cache = cache.groupBy("cache_key").agg(
+            F.max_by("vector", good).alias("vector")
+        )
     joined = pending.join(cache, "cache_key", "left")
-    hits = joined.filter(F.col("vector").isNotNull())
-    misses = joined.filter(F.col("vector").isNull()).drop("vector")
+    ok = F.col("vector").isNotNull()
+    if expected_dims is not None:
+        ok = ok & (F.size("vector") == int(expected_dims))
+    hits = joined.filter(ok)
+    misses = joined.filter(~ok).drop("vector")
     return hits, misses

@@ -84,11 +84,14 @@ def _synonym_variants(w: str, max_variants: int) -> list[str]:
     (reference enhancement.py:59-126, ≤3 synsets per word), else — or
     when WordNet knows no synonyms for the word — the morphological
     fallback, exactly the reference's own ladder."""
-    from customkb_spark.functions.nlp import has_module, wordnet_synonyms_py
+    from customkb_spark.functions import nlp as N
 
-    if has_module("nltk"):
+    # wordnet_available memoizes the corpus probe (incl. the download
+    # attempt) once per process — per-word re-probing would pay a
+    # network timeout per word on offline clusters with NLTK installed
+    if N.has_module("nltk") and N.wordnet_available():
         try:
-            syns = wordnet_synonyms_py(w, max_synonyms=max_variants)
+            syns = N.wordnet_synonyms_py(w, max_synonyms=max_variants)
             if syns:
                 return syns
         except (ImportError, AttributeError, LookupError, OSError):

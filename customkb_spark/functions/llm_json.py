@@ -68,13 +68,16 @@ def parse_llm_json(
     if text is None or len(text) > max_bytes:
         return fallback
     candidate = extract_json(text)
+    # RecursionError: json.loads recurses per nesting level, so
+    # '['*200k (well under max_bytes) would otherwise blow the stack —
+    # a hostile/buggy provider response must not kill the Arrow batch
     try:
         return json.loads(candidate)
-    except json.JSONDecodeError:
+    except (json.JSONDecodeError, RecursionError):
         pass
     try:
         return json.loads(repair_json(candidate))
-    except json.JSONDecodeError:
+    except (json.JSONDecodeError, RecursionError):
         return fallback
 
 

@@ -242,6 +242,19 @@ def ensure_wordnet() -> None:
         nltk.data.find("corpora/wordnet")
 
 
+@lru_cache(maxsize=1)
+def wordnet_available() -> bool:
+    """Memoized corpus probe — the dispatch path must pay the
+    (possibly network-bound) ensure_wordnet attempt ONCE per process,
+    not once per word per row (an offline cluster with NLTK installed
+    would otherwise attempt a download per query word)."""
+    try:
+        ensure_wordnet()
+        return True
+    except (ImportError, AttributeError, LookupError, OSError):
+        return False
+
+
 def wordnet_synonyms_py(
     word: str, max_synonyms: int = 2, max_synsets: int = 3
 ) -> list[str]:

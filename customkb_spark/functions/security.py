@@ -74,12 +74,13 @@ def mask_sensitive_data(text: str) -> str:
 
 
 def mask_sensitive_col(col: Column | str) -> Column:
-    """Column twin for the query-log sink: the same three rules as
-    JVM-side regexp_replace chain (no Python in the write path)."""
+    """Column twin for the query-log sink: the SAME rules as the
+    driver-side masker (derived from _MASK_RULES, not re-stated, so
+    the two paths cannot desynchronize), applied as a JVM-side
+    regexp_replace chain — no Python in the write path."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, r"sk-ant-[a-zA-Z0-9_-]{95,}", "sk-ant-***MASKED***")
-    c = F.regexp_replace(c, r"sk-[a-zA-Z0-9]{40,}", "sk-***MASKED***")
-    c = F.regexp_replace(c, r"\b[a-zA-Z0-9]{32,}\b", "***MASKED***")
+    for pattern, repl in _MASK_RULES:
+        c = F.regexp_replace(c, pattern.pattern, repl)
     return c
 
 

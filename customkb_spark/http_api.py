@@ -18,10 +18,18 @@ Reference behavior mirrored (retrieve_api.py:62-113):
 
 from __future__ import annotations
 
+import threading
+
 from customkb_spark.kb import KnowledgeBase
 
 DEFAULT_MAX_CHARS = 3000
 DEFAULT_TOP_K = 5
+
+# per-call top_k rides on engine.cfg (KnowledgeBase.query has no knob
+# parameter); the lock serializes the set-query-restore window so
+# concurrent requests with different top_k can't race on shared config
+# — the local Spark driver serializes the actual work anyway
+_CFG_LOCK = threading.Lock()
 
 
 def retrieve_context(
@@ -31,14 +39,24 @@ def retrieve_context(
     top_k: int | None = DEFAULT_TOP_K,
 ) -> str:
     """POST-body core: context-only hybrid retrieval, plain format,
-    truncated. Never raises on empty input (the reference returns an
-    empty context instead of 4xx)."""
+    truncated. Never raises on bad input — empty/whitespace,
+    control-chars-only, and oversized queries all return an empty
+    context (the reference returns empty instead of 4xx)."""
     query = (query or "").strip()
     if not query:
         return ""
-    if top_k is not None:
-        engine.cfg.query_top_k = int(top_k)
-    context = engine.query(query, context_only=True, fmt="plain")
+    try:
+        with _CFG_LOCK:
+            prior_top_k = engine.cfg.query_top_k
+            if top_k is not None:
+                engine.cfg.query_top_k = int(top_k)
+            try:
+                context = engine.query(query, context_only=True, fmt="plain")
+            finally:
+                engine.cfg.query_top_k = prior_top_k
+    except ValueError:
+        # sanitize_query_text rejection (too long / strips to empty)
+        return ""
     if context and len(context) > max_chars:
         context = context[:max_chars]
     return context or ""
@@ -110,10 +128,13 @@ def serve(
     import uvicorn  # dep-gated
 
     from customkb_spark.config import KBConfig
+    from customkb_spark.exceptions import KnowledgeBaseNotFoundError
     from customkb_spark.session import get_spark
 
     import os
 
+    if not os.path.isdir(os.path.join(kb_dir, "chunks")):
+        raise KnowledgeBaseNotFoundError(os.path.basename(kb_dir.rstrip("/")))
     cfg_path = os.path.join(kb_dir, "kb.cfg")
     cfg = KBConfig.from_file(cfg_path) if os.path.exists(cfg_path) else KBConfig()
     engine = KnowledgeBase(get_spark("customkb-http"), kb_dir, cfg)

@@ -189,7 +189,9 @@ class KnowledgeBase:
                     [], "cache_key string, vector array<float>"
                 )
             )
-            hits, misses = split_hits_misses(keyed, cache)
+            hits, misses = split_hits_misses(
+                keyed, cache, expected_dims=self.cfg.vector_dimensions
+            )
             # materialize once — the plan is consumed three times
             # (write-back, union, count); a real provider must not be
             # re-invoked per action

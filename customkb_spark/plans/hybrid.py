@@ -108,6 +108,8 @@ def hybrid_search(
     # control chars never reach tokenization/the embedding provider,
     # oversized/empty queries raise before any job is planned
     query_text = sanitize_query_text(query_text)
+    if not query_text:  # control-chars-only strips to nothing
+        raise ValueError("Query text cannot be empty")
     cfg = cfg or KBConfig()
     if query_vec is None:
         spark = index.vectors.sparkSession
@@ -197,7 +199,13 @@ def hybrid_search_batch(
     """
     cfg = cfg or KBConfig()
     from customkb_spark.embedding.embedder import embed_texts
+    from customkb_spark.functions.security import sanitize_query_col
     from customkb_spark.operators.topk import knn_join
+
+    # column twin of the single-query sanitize gate: batch and single
+    # retrieval must tokenize/embed identical text for the same query
+    # (rows can't raise — a stripped-to-empty query just scores nothing)
+    queries = queries.withColumn("query_text", sanitize_query_col("query_text"))
 
     qvecs = embed_texts(
         queries, "qid", "query_text", cfg.vector_model, cfg.vector_dimensions

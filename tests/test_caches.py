@@ -198,3 +198,32 @@ def test_enhance_query_cached(spark, tmp_path):
     # expired → recompute + second row appended
     assert enhance_query_cached(spark, path, q, ttl_days=1, now=1000.0 + 90000) == want
     assert spark.read.parquet(path).count() == 2
+
+
+def test_cache_dim_mismatch_hits_become_misses(spark):
+    """The cache key omits dimensions (reference parity) — stale-dim
+    entries must re-embed, not re-serve, and a same-key stale+fresh
+    pair must not fan out the probe join (code-review r4)."""
+    from customkb_spark.embedding.cache import split_hits_misses
+
+    pending = spark.createDataFrame(
+        [(1, "k1"), (2, "k2")], "id long, cache_key string"
+    )
+    cache = spark.createDataFrame(
+        [("k1", [1.0, 2.0]), ("k2", [1.0, 2.0, 3.0])],
+        "cache_key string, vector array<float>",
+    )
+    hits, misses = split_hits_misses(pending, cache, expected_dims=2)
+    assert [r.id for r in hits.collect()] == [1]
+    assert [r.id for r in misses.collect()] == [2]
+    # duplicate key (stale 3-dim + fresh 2-dim): one hit row, right dims
+    cache2 = cache.union(
+        spark.createDataFrame([("k2", [9.0, 9.0])], cache.schema)
+    )
+    hits2, misses2 = split_hits_misses(pending, cache2, expected_dims=2)
+    assert misses2.count() == 0
+    got = {r.id: list(r.vector) for r in hits2.collect()}
+    assert len(got) == 2 and got[2] == [9.0, 9.0]
+    # no-guard path unchanged (both rows hit regardless of dims)
+    h0, m0 = split_hits_misses(pending, cache)
+    assert h0.count() == 2 and m0.count() == 0

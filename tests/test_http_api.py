@@ -120,3 +120,13 @@ def test_cli_serve_http_dep_gated(tmp_path, capsys):
     if _no_fastapi():
         assert rc == 2
         assert "serve-http:" in capsys.readouterr().err
+
+
+def test_top_k_override_restored_and_oversized_query_empty(engine):
+    prior = engine.cfg.query_top_k
+    out = A.retrieve_context(engine, "spark data document", top_k=2)
+    assert out != ""
+    assert engine.cfg.query_top_k == prior  # per-request override restored
+    # sanitize rejection (too long) → empty context, not a 500
+    assert A.retrieve_context(engine, "x" * 20_000) == ""
+    assert engine.cfg.query_top_k == prior

@@ -149,3 +149,10 @@ def test_chat_json_categorizer_registered():
     from customkb_spark.operators.categorize import _CATEGORIZERS, ChatJSONCategorizer
 
     assert _CATEGORIZERS["chat-json"] is ChatJSONCategorizer
+
+
+def test_deeply_nested_payload_hits_fallback_not_recursion():
+    """'['*200k is under max_bytes but would blow json.loads's stack —
+    the never-raises contract must hold (code-review r4)."""
+    assert parse_llm_json("[" * 200_000, fallback="FB") == "FB"
+    assert parse_llm_json("{" * 200_000, fallback="FB") == "FB"

@@ -307,6 +307,11 @@ def test_expand_synonyms_wordnet_empty_falls_through(monkeypatch):
     monkeypatch.setattr(
         "customkb_spark.functions.nlp.has_module", lambda name: name == "nltk"
     )
+    # the availability probe is lru_cached per process; pin it open so
+    # an earlier real-environment False doesn't mask the fake module
+    monkeypatch.setattr(
+        "customkb_spark.functions.nlp.wordnet_available", lambda: True
+    )
     assert E._synonym_variants("tables", 3) == ["table"]
     monkeypatch.setattr(
         "customkb_spark.functions.nlp.wordnet_synonyms_py",

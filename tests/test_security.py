@@ -126,3 +126,30 @@ def test_query_log_masks_secrets(spark, tmp_path):
     row = read_query_log(spark, path).first()
     assert row.query == "find sk-***MASKED*** docs"
     assert row.kb == "kb1" and row.n_results == 3
+
+
+def test_hybrid_search_control_chars_only_rejected(spark):
+    """Control-chars-only query strips to empty — must raise like the
+    pre-strip empty case, not run retrieval on ''."""
+    from customkb_spark.plans import hybrid as HY
+
+    with pytest.raises(ValueError, match="empty"):
+        HY.hybrid_search(None, "\x01\x02\x03")
+
+
+def test_cli_query_oversized_returns_rc2(spark, tmp_path, capsys):
+    """A >10k-char --query-file is a clear rc=2 error, not a traceback
+    (code-review r4: sanitize ValueError surfaced raw)."""
+    from customkb_spark import cli
+
+    kb_dir = str(tmp_path / "kb")
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "d.md").write_text("spark document text " * 30)
+    assert cli.main(["database", kb_dir, "--files", f"{docs}/*.md"]) == 0
+    assert cli.main(["embed", kb_dir]) == 0
+    qf = tmp_path / "q.txt"
+    qf.write_text("word " * 3000)  # 15k chars
+    rc = cli.main(["query", kb_dir, "--query-file", str(qf), "--context-only"])
+    assert rc == 2
+    assert "too long" in capsys.readouterr().err
