@@ -77,7 +77,38 @@ def train_quality_classifier(
     labeled = df.withColumn(
         "_qc_label", F.coalesce(positive_pred, F.lit(False)).cast("double")
     )
-    return _pipeline(text_col, n_features, max_iter, reg_param).fit(labeled)
+    # Fit the stages by hand instead of Pipeline.fit: LBFGS re-evaluates
+    # its input on EVERY iteration, so an uncached lineage re-tokenizes
+    # and re-hashes the corpus max_iter times (the dominant cost —
+    # measured ~2x train time at bench scale). Persist the featurized
+    # frame once, fit on it, drop it. Caching the training set for an
+    # iterative fit is corpus-sized but standard (MLlib itself warns
+    # when an LR input is uncached); at production scale the classifier
+    # trains on a bounded reference+raw sample, not the full corpus.
+    from pyspark import StorageLevel
+    from pyspark.ml import PipelineModel
+
+    tok, tf, lr = _pipeline(text_col, n_features, max_iter, reg_param).getStages()
+    feats = (
+        tf.transform(tok.transform(labeled))
+        .select("_qc_label", _FEATURES_COL)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_rows = feats.count()  # materializes the cache
+        # right-size the iteration tasks: every LBFGS pass launches one
+        # task per partition, so a small training set spread over many
+        # partitions pays max_iter x partitions of pure task overhead
+        # (500 rows x 32 partitions x 10 passes dominated bench train
+        # time). ~50k rows per task amortizes launch cost; large inputs
+        # keep their parallelism.
+        cur = feats.rdd.getNumPartitions()
+        target = max(1, min(cur, n_rows // 50_000 + 1))
+        fit_input = feats.coalesce(target) if target < cur else feats
+        lr_model = lr.fit(fit_input)
+    finally:
+        feats.unpersist()
+    return PipelineModel([tok, tf, lr_model])
 
 
 def score_quality(
