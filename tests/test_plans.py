@@ -143,6 +143,11 @@ def test_bm25_inline_stats_no_term_window(spark, documents):
     bplan = explain_str(batch, "simple")
     # the rank window partitions by qid (bounded output), never by term
     assert "SortMergeJoin" not in bplan and bplan.count("BroadcastHashJoin") >= 2
+    # single corpus scan (r4): the tokenize+explode ran once, inside the
+    # matched-postings checkpoint job — the scoring plan reads only the
+    # checkpointed RDD, so NO parquet/corpus scan may appear downstream
+    # (two would mean the df-stats and fan-out subtrees each re-scan)
+    assert "ExistingRDD" in bplan and "Scan parquet" not in bplan
 
 
 def test_cross_corpus_bench_side_broadcasts(spark):
