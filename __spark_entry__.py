@@ -1275,6 +1275,42 @@ WHERE {SQL_COS.format(a='CAST(a.embedding AS DOUBLE[])', b='CAST(b.embedding AS 
 """
 
 
+def q_semantic_near_dups(spark, sf_dir):
+    """SemDeDup candidate pairs (Abbas et al. 2023): k-means cluster the
+    embedding space (nlist=8, seeded trainer), exact cosine only WITHIN
+    each cluster. Centroids persist to ORACLE_ART_DIR so the oracle SQL
+    replays assignment (argmin L2) and the same-cluster pair join."""
+    from customkb_spark.embedding.index import train_centroids
+    from customkb_spark.embedding.store import save_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, "embedding", nlist=8)
+    save_centroids(spark, cents, f"{ORACLE_ART_DIR}/semantic/centroids")
+    return D.semantic_duplicates(emb, cents, "vec_id", "embedding", threshold=0.35)
+
+
+# assignment mirrors SQL_ANN_IVF's `assigned` CTE (argmin L2,
+# cluster_id tiebreak); the pair join then mirrors SQL_EMB_DUPS with
+# the extra same-cluster predicate
+def _sql_semantic_dups() -> str:
+    return f"""
+WITH cent AS (SELECT cluster_id, centroid
+              FROM read_parquet('{ORACLE_ART_DIR}/semantic/centroids/*.parquet')),
+dist AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cluster_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS d
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, ev, cluster_id FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {SQL_COS.format(a='a.ev', b='b.ev')} AS cos_sim
+FROM assigned a JOIN assigned b
+  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+WHERE {SQL_COS.format(a='a.ev', b='b.ev')} >= 0.35
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components (min-label
     propagation) over the embedding near-dup pairs — A≈B≈C collapses
@@ -2558,16 +2594,20 @@ FROM ({_sql_simhash()}) s JOIN ({SQL_FINGERPRINT}) f USING (id)
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
     """Embedding near-dup pairs: exact all-pairs + hyperplane-LSH
-    bucketed variants union-merged. LSH pairs ⊆ exact pairs — the diff
-    is the recall the bucketing trades for never shuffling the corpus
-    into a cross join."""
+    bucketed + SemDeDup k-means-cluster-scoped variants union-merged.
+    LSH and semantic pairs are each ⊆ exact pairs — the diff is the
+    recall each bucketing trades for never shuffling the corpus into a
+    cross join."""
     exact = q_embedding_near_dups(spark, sf_dir).select(
         F.lit("exact").alias("mode"), "*"
     )
     lsh = q_lsh_bucketed_near_dups(spark, sf_dir).select(
         F.lit("lsh").alias("mode"), "*"
     )
-    return exact.unionByName(lsh)
+    sem = q_semantic_near_dups(spark, sf_dir).select(
+        F.lit("semantic").alias("mode"), "*"
+    )
+    return exact.unionByName(lsh).unionByName(sem)
 
 
 def _sql_near_dup_pairs() -> str:
@@ -2575,6 +2615,8 @@ def _sql_near_dup_pairs() -> str:
 SELECT 'exact' AS mode, * FROM ({SQL_EMB_DUPS})
 UNION ALL
 SELECT 'lsh' AS mode, * FROM ({_sql_lsh_near_dups()})
+UNION ALL
+SELECT 'semantic' AS mode, * FROM ({_sql_semantic_dups()})
 """
 
 

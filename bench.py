@@ -93,6 +93,7 @@ EXTRA_QUERIES = [
     "pack_sequences",
     "dsir_importance",
     "doc_citations",
+    "semantic_near_dups",
     # quality_classifier: measured as a train/score split in the ann
     # (model-building) leg instead — an extras entry would retrain
     # LBFGS on every run and conflate build with scoring

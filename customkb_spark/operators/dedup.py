@@ -374,3 +374,103 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate stage: k-means-cluster the
+    embedding space, then search for near-duplicate pairs ONLY within
+    each cluster — pairwise cost drops from O(n²) to Σ|cluster|², and
+    the cluster id is the one shuffle key (the same discipline as the
+    MinHash band buckets and the LSH hyperplane buckets).
+
+    ``centroids``: the trained k-means array (embedding/index.
+    train_centroids — seeded driver-sample Lloyd's, persistable through
+    embedding/store so runs and oracles replay the same assignment).
+    Returns (id_a, id_b, cos_sim) same-cluster pairs ≥ threshold.
+    Semantic pairs ⊆ exact all-pairs output: the cluster scope is the
+    recall/cost trade, and nlist is the knob (nlist=1 ≡ brute force;
+    at scale pick nlist ∝ √n so clusters stay bounded).
+    """
+    from customkb_spark.embedding.index import assign_clusters
+
+    assigned = assign_clusters(embeddings, centroids, vec_col)
+    return embedding_near_duplicates(
+        assigned, id_col, vec_col, threshold, bucket_col="cluster_id"
+    )
+
+
+def semdedup_apply(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    keep: str = "low_centroid_sim",
+) -> DataFrame:
+    """Full SemDeDup application: semantic pairs → connected components
+    → one survivor per duplicate group.
+
+    ``keep`` picks the survivor within each group:
+    - ``"low_centroid_sim"`` — the paper's policy: keep the member
+      LEAST similar to its cluster centroid (prunes the dense core of
+      each semantic clump, retaining the diverse rim).
+    - ``"min_id"`` — the engine's canonical keep-first policy (matches
+      ``connected_components``' representative labels).
+
+    Returns every embedding id with (cluster_id, centroid_sim, kept).
+    Scale shape: assignment and centroid_sim are per-row column exprs
+    over broadcast centroids; components run over the edge list only;
+    the survivor choice is a window partitioned by duplicate group
+    (bounded by group size, never global).
+    """
+    from pyspark.sql import Window
+
+    from customkb_spark.embedding.index import assign_clusters
+
+    if keep not in ("low_centroid_sim", "min_id"):
+        raise ValueError(f"semdedup_apply: unknown keep policy {keep!r}")
+    assigned = assign_clusters(embeddings, centroids, vec_col)
+    # cosine to the row's own centroid: element_at over the broadcast
+    # centroid array literal — JVM-side, no join
+    cent_arr = F.array(
+        *[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids]
+    )
+    with_sim = assigned.select(
+        F.col(id_col).alias("id"),
+        "cluster_id",
+        F.round(
+            V.cosine(F.col(vec_col), F.element_at(cent_arr, F.col("cluster_id") + 1)),
+            6,
+        ).alias("centroid_sim"),
+    )
+    pairs = embedding_near_duplicates(
+        assigned, id_col, vec_col, threshold, bucket_col="cluster_id"
+    )
+    groups = connected_components(pairs).withColumnRenamed("cluster_id", "group_id")
+    member = with_sim.join(groups, "id", "left")
+    order = (
+        [F.asc("centroid_sim"), F.asc("id")]
+        if keep == "low_centroid_sim"
+        else [F.asc("id")]
+    )
+    # split BEFORE the window: singletons (most of a real corpus) all
+    # carry a NULL group_id, and routing them through the window would
+    # collapse them into one skewed partition. Only grouped members —
+    # bounded by the duplicate mass — enter the window.
+    w = Window.partitionBy("group_id").orderBy(*order)
+    grouped = member.filter(F.col("group_id").isNotNull()).select(
+        "id",
+        "cluster_id",
+        "centroid_sim",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+    singles = member.filter(F.col("group_id").isNull()).select(
+        "id", "cluster_id", "centroid_sim", F.lit(True).alias("kept")
+    )
+    return grouped.unionByName(singles)

@@ -103,3 +103,78 @@ def test_connected_components_string_ids_converge(spark):
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert set(got.values()) == {"doc00"}
     assert len(got) == 9
+
+
+def test_semantic_duplicates_subset_of_exact(spark):
+    """SemDeDup pairs are exact pairs filtered to same-cluster scope;
+    nlist=1 degenerates to brute force (full recall)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant a tight near-dup of row 0
+    rows.append((100, [float(x) for x in (base[0] + 0.01)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_duplicates(emb, threshold=0.9).collect()
+    }
+    assert (0, 100) in exact
+
+    from customkb_spark.embedding.index import train_centroids
+
+    cents1 = train_centroids(emb, "embedding", nlist=1, sample_size=100)
+    sem1 = {
+        (r.id_a, r.id_b)
+        for r in D.semantic_duplicates(emb, cents1, threshold=0.9).collect()
+    }
+    assert sem1 == exact  # one cluster == brute force
+
+    cents4 = train_centroids(emb, "embedding", nlist=4, sample_size=100)
+    sem4 = {
+        (r.id_a, r.id_b)
+        for r in D.semantic_duplicates(emb, cents4, threshold=0.9).collect()
+    }
+    assert sem4 <= exact  # cluster scope only ever drops pairs
+    # a 0.01-perturbed duplicate lands in the same k-means cell
+    assert (0, 100) in sem4
+
+
+def test_semdedup_apply_keep_policies(spark):
+    """The paper's low-centroid-sim policy keeps the rim member of each
+    duplicate group; min_id keeps the canonical representative;
+    singletons always survive; exactly one survivor per group."""
+    import numpy as np
+
+    from customkb_spark.embedding.index import train_centroids
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal(8)
+    rows = [
+        (1, [float(x) for x in a]),
+        (2, [float(x) for x in a * 1.001 + 0.001]),  # near-dup of 1
+        (3, [float(x) for x in -a]),  # far singleton
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_centroids(emb, "embedding", nlist=2, sample_size=100)
+
+    for policy in ("low_centroid_sim", "min_id"):
+        out = {r.id: r for r in D.semdedup_apply(
+            emb, cents, threshold=0.99, keep=policy
+        ).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[3].kept  # singleton survives
+        kept_in_group = [i for i in (1, 2) if out[i].kept]
+        assert len(kept_in_group) == 1  # exactly one survivor
+        if policy == "min_id":
+            assert out[1].kept
+        else:
+            lo = min((out[i].centroid_sim, i) for i in (1, 2))[1]
+            assert out[lo].kept
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep policy"):
+        D.semdedup_apply(emb, cents, keep="bogus")
