@@ -474,3 +474,49 @@ def semdedup_apply(
         "id", "cluster_id", "centroid_sim", F.lit(True).alias("kept")
     )
     return grouped.unionByName(singles)
+
+
+def semdedup_incremental(
+    new_embeddings: DataFrame,
+    kept_embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Incremental SemDeDup: admit only new docs that are NOT semantic
+    duplicates of the already-kept corpus (the production ingest path —
+    a new batch dedups against the standing dataset, never re-pairing
+    the corpus against itself).
+
+    Both sides are assigned to the SAME frozen centroids (the
+    incremental-ANN discipline of embedding/store: training is not
+    redone per batch, drift is a separate retrain signal), and the
+    cosine join is new×kept restricted to matching cluster cells — cost
+    is |batch| × avg-cell-occupancy, independent of corpus size beyond
+    the cell it lands in. Returns the admitted rows of
+    ``new_embeddings`` (original columns), minus any new doc whose
+    nearest kept same-cell neighbor clears ``threshold``; new-vs-new
+    duplicates within the batch are NOT resolved here — run
+    ``semdedup_apply`` on the admitted batch when that matters.
+    """
+    from customkb_spark.embedding.index import assign_clusters
+
+    new_a = assign_clusters(new_embeddings, centroids, vec_col)
+    kept_a = assign_clusters(kept_embeddings, centroids, vec_col).select(
+        F.col(id_col).alias("_kept_id"),
+        F.col(vec_col).alias("_kept_vec"),
+        "cluster_id",
+    )
+    sim = V.cosine(F.col(vec_col), F.col("_kept_vec"))
+    dup_ids = (
+        new_a.join(kept_a, "cluster_id")
+        .filter(F.round(sim, 6) >= threshold)
+        .select(F.col(id_col).alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        new_embeddings.join(
+            dup_ids, new_embeddings[id_col] == dup_ids["_dup_id"], "left_anti"
+        )
+    )

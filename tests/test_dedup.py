@@ -178,3 +178,37 @@ def test_semdedup_apply_keep_policies(spark):
 
     with pytest.raises(ValueError, match="keep policy"):
         D.semdedup_apply(emb, cents, keep="bogus")
+
+
+def test_semdedup_incremental_admits_only_novel(spark):
+    """New batch dedups against the kept corpus under frozen centroids:
+    a near-dup of a kept doc is rejected, novel docs are admitted, and
+    batch-internal duplicates pass through (semdedup_apply's job)."""
+    import numpy as np
+
+    from customkb_spark.embedding.index import train_centroids
+
+    rng = np.random.default_rng(3)
+    a, b = rng.standard_normal(8), rng.standard_normal(8)
+    kept = spark.createDataFrame(
+        [(1, [float(x) for x in a])], ["vec_id", "embedding"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, [float(x) for x in a * 1.001]),  # dup of kept 1 → rejected
+            (11, [float(x) for x in b]),          # novel → admitted
+            (12, [float(x) for x in b * 1.001]),  # batch-internal dup → admitted
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = train_centroids(
+        kept.unionByName(new), "embedding", nlist=2, sample_size=100
+    )
+    got = sorted(
+        r.vec_id
+        for r in D.semdedup_incremental(new, kept, cents, threshold=0.99).collect()
+    )
+    assert got == [11, 12]
+    # schema passthrough: admitted rows keep the original columns
+    cols = D.semdedup_incremental(new, kept, cents, threshold=0.99).columns
+    assert cols == ["vec_id", "embedding"]
