@@ -111,6 +111,65 @@ def incremental_bm25_stats(
     )
 
 
+def streaming_semantic_dedup(
+    docs_stream: DataFrame,
+    kept_path: str,
+    checkpoint_dir: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> StreamingQuery:
+    """Streaming SemDeDup admission: maintain a semantically-deduped
+    corpus table as embedded documents stream in.
+
+    Per micro-batch (foreachBatch):
+    1. reject batch rows that semantically duplicate the standing kept
+       table (``semdedup_incremental`` — frozen centroids, cell-scoped
+       cosine, cost independent of corpus size beyond the landed cells);
+    2. resolve batch-INTERNAL duplicate groups with ``semdedup_apply``
+       (one survivor per group, paper keep policy);
+    3. append survivors to ``kept_path`` behind an id anti-join, so an
+       epoch replay after a crash re-admits nothing (the same
+       idempotency discipline as incremental_pack_maintenance).
+
+    Centroids are frozen for the stream's lifetime — the batch trainer
+    owns retraining (embedding/store drift stats are the signal), after
+    which the stream restarts on the new artifact.
+    """
+    from customkb_spark.operators.dedup import semdedup_apply, semdedup_incremental
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(kept_path):
+            kept = spark.read.parquet(kept_path)
+        else:
+            kept = spark.createDataFrame([], batch_df.schema)
+        admitted = semdedup_incremental(
+            batch_df, kept, centroids, id_col, vec_col, threshold
+        )
+        marks = semdedup_apply(admitted, centroids, id_col, vec_col, threshold)
+        survivors = (
+            admitted.join(
+                marks.filter("kept").select(F.col("id").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+            # epoch-replay idempotency: never re-append an id already kept
+            .join(kept.select(id_col), id_col, "left_anti")
+            .localCheckpoint()
+        )
+        if survivors.limit(1).count():
+            survivors.write.mode("append").parquet(kept_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_term_stats(spark: SparkSession, stats_path: str) -> tuple[DataFrame, int]:
     """(term, df, idf) + corpus size N from the maintained table —
     BM25's idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1), the same formula

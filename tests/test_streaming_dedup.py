@@ -71,3 +71,53 @@ def test_incremental_bm25_stats_matches_batch(spark, sf_dir, tmp_path):
     }
     got = {r["term"]: (r["df"], round(r["idf"], 6)) for r in stats2.collect()}
     assert got == batch
+
+
+def test_streaming_semantic_dedup_admits_and_replays_idempotently(spark, tmp_path):
+    """Two waves through the streaming SemDeDup gate: wave 1 seeds the
+    kept table (internal dup resolved to one survivor), wave 2 rejects
+    a semantic dup of kept and admits the novel doc; re-running wave 2
+    with a fresh checkpoint (worst-case replay) appends nothing."""
+    import numpy as np
+
+    from customkb_spark.embedding.index import train_centroids
+
+    rng = np.random.default_rng(5)
+    a, b, c = (rng.standard_normal(8) for _ in range(3))
+    vec = lambda v: [float(x) for x in v]
+    all_rows = [
+        (1, vec(a)), (2, vec(a * 1.001)),          # wave 1: internal dup pair
+        (3, vec(b)),                                # wave 1: novel
+        (10, vec(a * 0.999)),                       # wave 2: dup of kept
+        (11, vec(c)),                               # wave 2: novel
+    ]
+    emb_schema = "vec_id: long, embedding: array<double>"
+    cents = train_centroids(
+        spark.createDataFrame(all_rows, emb_schema), "embedding",
+        nlist=2, sample_size=100,
+    )
+    kept_path = str(tmp_path / "kept")
+
+    def run_wave(rows, ckpt):
+        src = str(tmp_path / f"src_{ckpt}")
+        spark.createDataFrame(rows, emb_schema).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = SD.streaming_semantic_dedup(
+            stream, kept_path, str(tmp_path / f"ck_{ckpt}"), cents,
+            threshold=0.99,
+        )
+        q.awaitTermination(120)
+
+    run_wave(all_rows[:3], "w1")
+    kept1 = sorted(r.vec_id for r in spark.read.parquet(kept_path).collect())
+    assert 3 in kept1 and len(kept1) == 2  # one of {1,2} + {3}
+
+    run_wave(all_rows[3:], "w2")
+    kept2 = sorted(r.vec_id for r in spark.read.parquet(kept_path).collect())
+    assert kept2 == kept1 + [11]  # 10 rejected as dup of kept, 11 admitted
+
+    run_wave(all_rows[3:], "w2_replay")  # fresh checkpoint = full replay
+    kept3 = sorted(r.vec_id for r in spark.read.parquet(kept_path).collect())
+    assert kept3 == kept2  # id anti-join makes the append idempotent
