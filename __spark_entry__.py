@@ -2621,27 +2621,53 @@ SELECT 'semantic' AS mode, * FROM ({_sql_semantic_dups()})
 
 
 def q_dedup_clusters_apply(spark, sf_dir):
-    """Cluster resolution + keep-first application in one entry: every
-    corpus id with its resolved duplicate-cluster id (singletons map to
-    themselves) and the survival decision. Covers dedup_clusters (the
-    connected-components labels, vs DuckDB's recursive CTE) AND
-    corpus_dedup_apply (kept = ships in the deduplicated corpus)."""
+    """Cluster resolution + keep application, mode-tagged union:
+
+    - ``minid``: components over the exact near-dup pairs, canonical
+      min-id survivor — covers dedup_clusters (the component labels,
+      vs DuckDB's recursive CTE) AND corpus_dedup_apply (kept = ships).
+      ``cluster_id`` is the component label; centroid_sim is NULL.
+    - ``semantic``: the full SemDeDup application (cluster-scoped pairs
+      → components → paper's low-centroid-sim survivor) replayed by the
+      oracle from the persisted k-means centroids. ``cluster_id`` is
+      the k-means cell; kept = survives semantic pruning."""
+    from customkb_spark.embedding.index import train_centroids
+    from customkb_spark.embedding.store import save_centroids
+
     emb = _t(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
     clusters = D.connected_components(pairs)
     cid = F.coalesce(F.col("cluster_id"), F.col("vec_id"))
-    return (
+    minid = (
         emb.select("vec_id")
         .join(clusters, emb["vec_id"] == clusters["id"], "left")
         .select(
+            F.lit("minid").alias("mode"),
             "vec_id",
             cid.alias("cluster_id"),
+            F.lit(None).cast("double").alias("centroid_sim"),
             (cid == F.col("vec_id")).alias("kept"),
         )
-        .orderBy("vec_id")
     )
+    cents = train_centroids(emb, "embedding", nlist=8)
+    save_centroids(spark, cents, f"{ORACLE_ART_DIR}/semantic/centroids")
+    sem = D.semdedup_apply(
+        emb, cents, "vec_id", "embedding", threshold=0.35, keep="low_centroid_sim"
+    ).select(
+        F.lit("semantic").alias("mode"),
+        F.col("id").alias("vec_id"),
+        F.col("cluster_id").cast("long"),
+        "centroid_sim",
+        "kept",
+    )
+    return minid.unionByName(sem).orderBy("mode", "vec_id")
 
 
+# semantic mode mirrors dedup.semdedup_apply exactly: assignment (argmin
+# L2, cluster_id tiebreak), per-member cosine to its own centroid
+# (rounded 6, so ordering ties resolve identically on both engines, then
+# vec_id tiebreak), components over the same-cluster pairs, and the
+# grouped/singleton split — singletons never enter the survivor window.
 SQL_CLUSTERS_APPLY = f"""
 WITH RECURSIVE pairs AS ({SQL_EMB_DUPS}),
 edges AS (
@@ -2652,12 +2678,57 @@ reach(id, r) AS (
   SELECT a, a FROM edges
   UNION
   SELECT x.id, e.b FROM reach x JOIN edges e ON x.r = e.a),
-clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-SELECT e.vec_id,
+clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+cent AS (SELECT cluster_id, centroid
+         FROM read_parquet('{ORACLE_ART_DIR}/semantic/centroids/*.parquet')),
+dist AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cluster_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS d
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, ev, cluster_id FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1),
+csim AS (
+  SELECT a.vec_id, a.cluster_id,
+         {SQL_COS.format(a='a.ev', b='c.centroid')} AS centroid_sim
+  FROM assigned a JOIN cent c USING (cluster_id)),
+spairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {SQL_COS.format(a='a.ev', b='b.ev')} >= 0.35),
+sedges AS (
+  SELECT id_a AS a, id_b AS b FROM spairs
+  UNION
+  SELECT id_b, id_a FROM spairs),
+sreach(id, r) AS (
+  SELECT a, a FROM sedges
+  UNION
+  SELECT x.id, e.b FROM sreach x JOIN sedges e ON x.r = e.a),
+sgroups AS (SELECT id, min(r) AS group_id FROM sreach GROUP BY id),
+labeled AS (
+  SELECT s.vec_id, s.cluster_id, s.centroid_sim, g.group_id
+  FROM csim s LEFT JOIN sgroups g ON s.vec_id = g.id),
+sem_grouped AS (
+  SELECT vec_id, cluster_id, centroid_sim,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY centroid_sim, vec_id) = 1 AS kept
+  FROM labeled WHERE group_id IS NOT NULL),
+sem_singles AS (
+  SELECT vec_id, cluster_id, centroid_sim, TRUE AS kept
+  FROM labeled WHERE group_id IS NULL)
+SELECT 'minid' AS mode, e.vec_id,
        coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+       CAST(NULL AS DOUBLE) AS centroid_sim,
        coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept
 FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.id
-ORDER BY e.vec_id
+UNION ALL
+SELECT 'semantic' AS mode, vec_id, CAST(cluster_id AS BIGINT), centroid_sim, kept
+FROM sem_grouped
+UNION ALL
+SELECT 'semantic' AS mode, vec_id, CAST(cluster_id AS BIGINT), centroid_sim, kept
+FROM sem_singles
+ORDER BY mode, vec_id
 """
 
 
