@@ -1275,27 +1275,26 @@ WHERE {SQL_COS.format(a='CAST(a.embedding AS DOUBLE[])', b='CAST(b.embedding AS 
 """
 
 
-def q_semantic_near_dups(spark, sf_dir):
-    """SemDeDup candidate pairs (Abbas et al. 2023): k-means cluster the
-    embedding space (nlist=8, seeded trainer), exact cosine only WITHIN
-    each cluster. Centroids persist to ORACLE_ART_DIR so the oracle SQL
-    replays assignment (argmin L2) and the same-cluster pair join."""
+def _semantic_centroids(spark, emb):
+    """The ONE trainer for the shared semantic-dedup artifact: both
+    q_semantic_near_dups and q_dedup_clusters_apply replay their oracle
+    from {ORACLE_ART_DIR}/semantic/centroids, so nlist/seed must change
+    HERE or the two entries silently diverge (last-writer-wins)."""
     from customkb_spark.embedding.index import train_centroids
     from customkb_spark.embedding.store import save_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, "embedding", nlist=8)
     save_centroids(spark, cents, f"{ORACLE_ART_DIR}/semantic/centroids")
-    return D.semantic_duplicates(emb, cents, "vec_id", "embedding", threshold=0.35)
+    return cents
 
 
-# assignment mirrors SQL_ANN_IVF's `assigned` CTE (argmin L2,
-# cluster_id tiebreak); the pair join then mirrors SQL_EMB_DUPS with
-# the extra same-cluster predicate
-def _sql_semantic_dups() -> str:
-    return f"""
-WITH cent AS (SELECT cluster_id, centroid
-              FROM read_parquet('{ORACLE_ART_DIR}/semantic/centroids/*.parquet')),
+# Shared CTE block (cent/dist/assigned): k-means assignment from the
+# persisted semantic centroids — argmin L2, cluster_id tiebreak,
+# mirroring index.assign_clusters exactly like SQL_ANN_IVF does. Spliced
+# into every semantic-mode oracle so the assignment contract lives once.
+SQL_SEMANTIC_ASSIGNED = f"""
+cent AS (SELECT cluster_id, centroid
+         FROM read_parquet('{ORACLE_ART_DIR}/semantic/centroids/*.parquet')),
 dist AS (
   SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cluster_id,
          list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS d
@@ -1303,6 +1302,22 @@ dist AS (
 assigned AS (
   SELECT vec_id, ev, cluster_id FROM dist
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1)
+"""
+
+
+def q_semantic_near_dups(spark, sf_dir):
+    """SemDeDup candidate pairs (Abbas et al. 2023): k-means cluster the
+    embedding space (nlist=8, seeded trainer), exact cosine only WITHIN
+    each cluster. Centroids persist to ORACLE_ART_DIR so the oracle SQL
+    replays assignment (argmin L2) and the same-cluster pair join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _semantic_centroids(spark, emb)
+    return D.semantic_duplicates(emb, cents, "vec_id", "embedding", threshold=0.35)
+
+
+def _sql_semantic_dups() -> str:
+    return f"""
+WITH {SQL_SEMANTIC_ASSIGNED}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {SQL_COS.format(a='a.ev', b='b.ev')} AS cos_sim
 FROM assigned a JOIN assigned b
@@ -2631,9 +2646,6 @@ def q_dedup_clusters_apply(spark, sf_dir):
       → components → paper's low-centroid-sim survivor) replayed by the
       oracle from the persisted k-means centroids. ``cluster_id`` is
       the k-means cell; kept = survives semantic pruning."""
-    from customkb_spark.embedding.index import train_centroids
-    from customkb_spark.embedding.store import save_centroids
-
     emb = _t(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
     clusters = D.connected_components(pairs)
@@ -2649,8 +2661,7 @@ def q_dedup_clusters_apply(spark, sf_dir):
             (cid == F.col("vec_id")).alias("kept"),
         )
     )
-    cents = train_centroids(emb, "embedding", nlist=8)
-    save_centroids(spark, cents, f"{ORACLE_ART_DIR}/semantic/centroids")
+    cents = _semantic_centroids(spark, emb)
     sem = D.semdedup_apply(
         emb, cents, "vec_id", "embedding", threshold=0.35, keep="low_centroid_sim"
     ).select(
@@ -2679,15 +2690,7 @@ reach(id, r) AS (
   UNION
   SELECT x.id, e.b FROM reach x JOIN edges e ON x.r = e.a),
 clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-cent AS (SELECT cluster_id, centroid
-         FROM read_parquet('{ORACLE_ART_DIR}/semantic/centroids/*.parquet')),
-dist AS (
-  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cluster_id,
-         list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS d
-  FROM embeddings e CROSS JOIN cent c),
-assigned AS (
-  SELECT vec_id, ev, cluster_id FROM dist
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1),
+{SQL_SEMANTIC_ASSIGNED.strip()},
 csim AS (
   SELECT a.vec_id, a.cluster_id,
          {SQL_COS.format(a='a.ev', b='c.centroid')} AS centroid_sim

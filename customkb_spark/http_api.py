@@ -42,21 +42,29 @@ def retrieve_context(
     truncated. Never raises on bad input — empty/whitespace,
     control-chars-only, and oversized queries all return an empty
     context (the reference returns empty instead of 4xx)."""
+    from customkb_spark.functions.security import sanitize_query_text
+
     query = (query or "").strip()
     if not query:
         return ""
+    # sanitize HERE, narrowly: only the length/control-char rejection
+    # maps to an empty context. A blanket except around engine.query
+    # would also swallow internal config ValueErrors (e.g. an empty
+    # vector_model) and mask a broken KB as empty-but-200 responses.
     try:
-        with _CFG_LOCK:
-            prior_top_k = engine.cfg.query_top_k
-            if top_k is not None:
-                engine.cfg.query_top_k = int(top_k)
-            try:
-                context = engine.query(query, context_only=True, fmt="plain")
-            finally:
-                engine.cfg.query_top_k = prior_top_k
+        query = sanitize_query_text(query)
     except ValueError:
-        # sanitize_query_text rejection (too long / strips to empty)
         return ""
+    if not query:
+        return ""
+    with _CFG_LOCK:
+        prior_top_k = engine.cfg.query_top_k
+        if top_k is not None:
+            engine.cfg.query_top_k = int(top_k)
+        try:
+            context = engine.query(query, context_only=True, fmt="plain")
+        finally:
+            engine.cfg.query_top_k = prior_top_k
     if context and len(context) > max_chars:
         context = context[:max_chars]
     return context or ""

@@ -499,11 +499,22 @@ def semdedup_incremental(
     nearest kept same-cell neighbor clears ``threshold``; new-vs-new
     duplicates within the batch are NOT resolved here — run
     ``semdedup_apply`` on the admitted batch when that matters.
+
+    If ``kept_embeddings`` already carries a ``cluster_id`` column (the
+    streaming gate persists it at admit time, partitioned by cell), the
+    stored assignment is reused — re-deriving argmin-L2 for the whole
+    standing corpus on every batch is exactly the linear-in-corpus cost
+    this path exists to avoid, and a cluster-partitioned kept table
+    additionally prunes the scan to the batch's landed cells.
     """
     from customkb_spark.embedding.index import assign_clusters
 
     new_a = assign_clusters(new_embeddings, centroids, vec_col)
-    kept_a = assign_clusters(kept_embeddings, centroids, vec_col).select(
+    if "cluster_id" in kept_embeddings.columns:
+        kept_src = kept_embeddings
+    else:
+        kept_src = assign_clusters(kept_embeddings, centroids, vec_col)
+    kept_a = kept_src.select(
         F.col(id_col).alias("_kept_id"),
         F.col(vec_col).alias("_kept_vec"),
         "cluster_id",

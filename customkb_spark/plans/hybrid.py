@@ -199,13 +199,25 @@ def hybrid_search_batch(
     """
     cfg = cfg or KBConfig()
     from customkb_spark.embedding.embedder import embed_texts
-    from customkb_spark.functions.security import sanitize_query_col
+    from customkb_spark.functions.security import (
+        MAX_QUERY_LENGTH,
+        sanitize_query_col,
+    )
     from customkb_spark.operators.topk import knn_join
 
     # column twin of the single-query sanitize gate: batch and single
-    # retrieval must tokenize/embed identical text for the same query
-    # (rows can't raise — a stripped-to-empty query just scores nothing)
-    queries = queries.withColumn("query_text", sanitize_query_col("query_text"))
+    # retrieval must tokenize/embed identical text for the same query.
+    # The single path RAISES on empty and oversized queries; rows can't
+    # raise, so invalid rows are DROPPED — their qids are simply absent
+    # from the result, the batch analogue of the error. (Without the
+    # length filter an oversized row would ship an unbounded payload to
+    # the embedding provider that the single path refuses.)
+    queries = queries.withColumn(
+        "query_text", sanitize_query_col("query_text")
+    ).filter(
+        (F.length("query_text") > 0)
+        & (F.length("query_text") <= MAX_QUERY_LENGTH)
+    )
 
     qvecs = embed_texts(
         queries, "qid", "query_text", cfg.vector_model, cfg.vector_dimensions

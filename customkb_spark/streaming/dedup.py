@@ -151,16 +151,24 @@ def streaming_semantic_dedup(
         marks = semdedup_apply(admitted, centroids, id_col, vec_col, threshold)
         survivors = (
             admitted.join(
-                marks.filter("kept").select(F.col("id").alias(id_col)),
+                # carry the cell assignment into the kept table: later
+                # batches reuse it (semdedup_incremental's cluster_id
+                # fast path) instead of re-assigning the whole standing
+                # corpus per micro-batch, and partitionBy(cluster_id)
+                # below lets those reads prune to the landed cells
+                marks.filter("kept").select(
+                    F.col("id").alias(id_col), "cluster_id"
+                ),
                 id_col,
-                "left_semi",
             )
             # epoch-replay idempotency: never re-append an id already kept
             .join(kept.select(id_col), id_col, "left_anti")
             .localCheckpoint()
         )
         if survivors.limit(1).count():
-            survivors.write.mode("append").parquet(kept_path)
+            survivors.write.mode("append").partitionBy("cluster_id").parquet(
+                kept_path
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

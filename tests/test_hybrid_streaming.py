@@ -132,3 +132,22 @@ def test_hybrid_query_with_reranking(spark, documents):
     # reranking changes ordering/selection but still returns context
     assert out_rr.count() > 0
     assert set(out_rr.columns) == set(out_base.columns)
+
+
+def test_batch_drops_invalid_query_rows(spark, documents):
+    """Single-query parity for invalid input: hybrid_search RAISES on
+    empty/oversized queries, so the batch path must DROP those rows
+    (absent qids are the batch analogue of the error) — not embed an
+    unbounded payload or score an empty string (code-review r4)."""
+    idx = _index(spark, documents)
+    cfg = KBConfig(query_top_k=3)
+    queries = spark.createDataFrame(
+        [
+            (0, "spark data query table"),  # valid
+            (1, "\x01\x02\x03"),            # strips to empty
+            (2, "word " * 3000),            # 15k chars, over the 10k cap
+        ],
+        ["qid", "query_text"],
+    )
+    got = {r["qid"] for r in HY.hybrid_search_batch(idx, queries, cfg).collect()}
+    assert got == {0}

@@ -45,14 +45,21 @@ def main() -> int:
     #   fraction of those pairs recovered. This is the property SemDeDup
     #   relies on: tight duplicate balls land in the same k-means cell.
     n_plant = 200
-    planted = emb.orderBy("vec_id").limit(n_plant).select(
+    base = emb.orderBy("vec_id").limit(n_plant)
+    planted = base.select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
             "embedding", lambda x: (x * 1.001 + 0.0005).cast("float")
         ).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    planted_pairs = {(i, i + 10_000_000) for i in range(n_plant)}
+    # the ACTUAL sampled ids, not range(n) — a corpus whose ids are
+    # offset or non-contiguous would otherwise score recall 0 silently
+    planted_pairs = {
+        (r.vec_id, r.vec_id + 10_000_000)
+        for r in base.select("vec_id").collect()
+    }
+    n_plant = len(planted_pairs)
 
     exact = {
         (r.id_a, r.id_b)
