@@ -104,6 +104,14 @@ def bm25_score(
         if corpus_size is None:
             raise ValueError("bm25_score: corpus_size required when term_stats is None")
         n = float(corpus_size)
+        # df-stats and scoring are two subtrees over `matched`, so the
+        # tokenize+explode lineage runs twice — CONCURRENTLY. The
+        # checkpoint that fixes the batch path (bm25_score_batch) was
+        # A/B-measured here too: wall-time identical within noise (the
+        # materialization barrier eats what the saved scan gains, with
+        # no query set to amortize it), so the single-query form keeps
+        # the overlapped scans. Scale users take the persisted
+        # term_stats path (one scan, no stats subtree) or the batch API.
         stats = F.broadcast(
             matched.groupBy("term")
             .agg(F.count("*").alias("df"))
