@@ -268,3 +268,42 @@ def test_sanitize_and_mask_idempotent(text):
         return  # empty-after-strip or oversized: contract says raise
     if clean:
         assert sanitize_query_text(clean) == clean
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=10, unique_by=tuple,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.floats(min_value=0.1, max_value=0.99),
+)
+def test_semantic_pairs_subset_of_exact(vecs, nlist, threshold):
+    """Cluster scoping only ever DROPS pairs (recall trade, never a
+    false positive), and nlist=1 is exactly brute force — for arbitrary
+    vectors, cell counts, and thresholds."""
+    from customkb_spark.embedding.index import train_centroids
+    from customkb_spark.operators import dedup as D
+
+    spark = _spark()
+    # zero vectors have undefined cosine; keep the property about scope
+    vecs = [v for v in vecs if any(x != 0.0 for x in v)] or [[1.0, 0.0, 0.0, 0.0]]
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id: long, embedding: array<double>"
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_duplicates(emb, threshold=threshold).collect()
+    }
+    cents = train_centroids(emb, "embedding", nlist=nlist, sample_size=100)
+    sem = {
+        (r.id_a, r.id_b)
+        for r in D.semantic_duplicates(emb, cents, threshold=threshold).collect()
+    }
+    assert sem <= exact
+    if nlist == 1:
+        assert sem == exact
