@@ -428,6 +428,56 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """Semantic dedup (SemDeDup) over an embeddings parquet: k-means
+    cell-scoped near-dup groups → one survivor per group
+    (operators/dedup.semdedup_apply). Writes the per-row
+    (id, cluster_id, centroid_sim, kept) report and prints a JSON
+    summary. ``--centroids`` loads a persisted artifact if present
+    (else trains and, if given, saves there) — the same frozen-centroid
+    lifecycle as the ANN store."""
+    from customkb_spark.embedding.index import train_centroids
+    from customkb_spark.embedding.store import load_centroids, save_centroids
+    from customkb_spark.operators.dedup import semdedup_apply
+
+    spark = _spark()
+    emb = spark.read.parquet(args.embeddings_parquet)
+    if args.centroids and os.path.isdir(args.centroids):
+        cents = load_centroids(spark, args.centroids)
+    else:
+        cents = train_centroids(emb, args.vec_col, nlist=args.nlist)
+        if args.centroids:
+            save_centroids(spark, cents, args.centroids)
+    try:
+        report = semdedup_apply(
+            emb, cents, args.id_col, args.vec_col, args.threshold, keep=args.keep
+        )
+    except ValueError as e:
+        print(f"semdedup: {e}", file=sys.stderr)
+        return 2
+    if args.out:
+        report.write.mode("overwrite").parquet(args.out)
+        report = spark.read.parquet(args.out)  # summary reuses the write
+    row = report.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "rows": row["rows"],
+                "kept": row["kept"],
+                "dropped": row["rows"] - row["kept"],
+                "nlist": len(cents),
+                "threshold": args.threshold,
+                "keep": args.keep,
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack a (curated) documents parquet into fixed-length training
     sequences (operators/packing.py): assign train/val/test splits by
@@ -619,6 +669,22 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dsir-target", default=None, help="source value of the DSIR in-domain slice")
     c.add_argument("--quality-ref", default=None, help="source value of the classifier reference slice")
     c.set_defaults(fn=cmd_curate)
+
+    sd = sub.add_parser("semdedup", help="semantic dedup over an embeddings parquet")
+    sd.add_argument("embeddings_parquet")
+    sd.add_argument("--out", default=None, help="write per-row keep report parquet here")
+    sd.add_argument("--nlist", type=int, default=16, help="k-means cells (scope/recall knob)")
+    sd.add_argument("--threshold", type=float, default=0.95, help="cosine duplicate threshold")
+    sd.add_argument(
+        "--keep",
+        default="low_centroid_sim",
+        choices=["low_centroid_sim", "min_id"],
+        help="survivor policy per duplicate group",
+    )
+    sd.add_argument("--centroids", default=None, help="load-or-save centroid artifact path")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.set_defaults(fn=cmd_semdedup)
 
     pk = sub.add_parser("pack", help="pack documents into training sequences")
     pk.add_argument("docs_parquet")

