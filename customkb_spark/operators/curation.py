@@ -754,6 +754,60 @@ def cluster_balanced_sample(
     ).drop("_cid")
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    total: int,
+    alpha: float = 0.7,
+    seed: str = "tmix-v1",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual/multi-domain
+    LLM recipe (sampling proportion ∝ n_s^alpha): alpha=1 keeps natural
+    proportions, alpha→0 flattens toward equal-per-source, the usual
+    0.3–0.7 range up-weights tail sources without drowning the head.
+
+    Per-source keep rate = min(1, total · n_s^alpha / (Z · n_s)) with
+    Z = Σ_t n_t^alpha, applied through :func:`stratified_sample`'s
+    md5-threshold draw — so the mix inherits its guarantees: map-side,
+    retry-safe, engine-portable, and NESTED across ``total`` budgets
+    (a smaller budget's sample is a subset of a larger one at the same
+    seed/alpha). Sources whose rate caps at 1.0 contribute everything
+    they have; the realized total then lands slightly under ``total``
+    rather than stealing mass from other sources (documented, not
+    renormalized — renormalizing would break the nesting property).
+
+    Plan shape: one tiny per-source count agg, then the map-side
+    threshold filter. Rates are data-dependent driver scalars →
+    invariant-tested rather than oracled (the fixed-rate mixing oracle
+    is ``stratified_sample`` / `corpus_sampling`).
+    """
+    if total < 0:
+        raise ValueError("temperature_mix: total must be >= 0")
+    if alpha < 0:
+        raise ValueError("temperature_mix: alpha must be >= 0")
+    sizes = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        if r[strata_col] is not None
+    }
+    if not sizes:
+        return df.limit(0)
+    z = sum(n**alpha for n in sizes.values())
+    rates = {
+        str(s): min(1.0, total * (n**alpha) / z / n) for s, n in sizes.items()
+    }
+    return stratified_sample(
+        df.filter(F.col(strata_col).isNotNull()).withColumn(
+            "_s", F.col(strata_col).cast("string")
+        ),
+        "_s",
+        rates,
+        key_col,
+        seed=seed,
+    ).drop("_s")
+
+
 # ------------------------------------------- importance resampling
 
 

@@ -460,3 +460,39 @@ def test_dsir_train_null_predicate(spark):
     model = C.dsir_train(df, F.col("source") == "wiki")
     explicit = C.dsir_train(df.fillna({"source": "raw"}), F.col("source") == "wiki")
     assert model == explicit
+
+
+def test_temperature_mix_proportions_and_nesting(spark):
+    """alpha flattens source proportions toward equal; budgets are
+    nested at a fixed seed/alpha; alpha=1 reproduces natural-proportion
+    uniform sampling (same rate for every source)."""
+    rows = [(i, "head" if i < 9000 else "tail") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    nat = C.temperature_mix(df, "source", "doc_id", total=2000, alpha=1.0)
+    by = {r.source: r.n for r in nat.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # alpha=1: every source keeps the SAME rate (total/N) — proportions natural
+    assert by["head"] / by["tail"] == pytest.approx(9.0, rel=0.25)
+
+    flat = C.temperature_mix(df, "source", "doc_id", total=2000, alpha=0.0)
+    byf = {r.source: r.n for r in flat.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # alpha=0: expected equal mass per source (1000 each; tail has 1000 rows)
+    assert byf["tail"] == pytest.approx(1000, rel=0.15)
+    assert byf["head"] == pytest.approx(1000, rel=0.15)
+
+    # nesting: the 1000-budget sample is a subset of the 2000-budget one
+    small = {r.doc_id for r in C.temperature_mix(df, "source", "doc_id", 1000, 0.5).collect()}
+    large = {r.doc_id for r in C.temperature_mix(df, "source", "doc_id", 2000, 0.5).collect()}
+    assert small <= large
+
+    # NULL strata dropped, empty input clean
+    with_null = df.union(spark.createDataFrame([(99_999, None)], df.schema))
+    assert C.temperature_mix(with_null, "source", "doc_id", 100).filter(
+        F.col("source").isNull()
+    ).count() == 0
+    assert C.temperature_mix(df.limit(0), "source", "doc_id", 100).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        C.temperature_mix(df, "source", "doc_id", total=-1)
