@@ -2104,22 +2104,64 @@ FROM v ORDER BY rank LIMIT 200
 
 
 def q_unigram_surprisal(spark, sf_dir):
-    """Perplexity-proxy quality signal: per-doc mean −ln p(token) under
-    the corpus unigram LM (CCNet-style ranking, engine-native)."""
+    """Perplexity-proxy quality signals, both LM rungs in one entry:
+    per-doc mean −ln p(token) under the corpus unigram LM (CCNet-style
+    ranking) + the hashed Stupid-Backoff bigram surprisal
+    (curation.bigram_surprisal — constant-size bucket tables, DSIR
+    decimal-sum conventions)."""
     docs = _t(spark, sf_dir, "documents")
-    return CU.unigram_surprisal(docs).orderBy("doc_id")
+    uni = CU.unigram_surprisal(docs)
+    bi = CU.bigram_surprisal(docs).select("doc_id", "bigram_surprisal")
+    return uni.join(bi, "doc_id").orderBy("doc_id")
 
 
+# bigram CTEs mirror curation.bigram_surprisal exactly: concat_ws-based
+# buckets (concat_ws SKIPS NULLs in both engines — a plain || would
+# null-propagate in DuckDB and diverge on first tokens), per-token
+# −ln p rounded 9dp, DECIMAL sum, mean rounded 6.
 SQL_SURPRISAL = f"""
-WITH tk AS (SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS token FROM documents),
+WITH tkl AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS token FROM tkl),
 v AS (SELECT token, count(*) AS tf FROM tk GROUP BY token),
 tot AS (SELECT sum(tf) AS total FROM v),
 s AS (
   SELECT tk.doc_id, -ln(v.tf / CAST(tot.total AS DOUBLE)) AS s
-  FROM tk JOIN v USING (token) CROSS JOIN tot)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(s), 6) AS mean_surprisal
-FROM s GROUP BY doc_id ORDER BY doc_id
+  FROM tk JOIN v USING (token) CROSS JOIN tot),
+uni0 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(s), 6) AS mean_surprisal
+  FROM s GROUP BY doc_id),
+pc AS (
+  SELECT doc_id,
+         CASE WHEN i > 1 THEN toks[i-1] END AS prev,
+         toks[i] AS cur
+  FROM tkl, unnest(generate_series(1, len(toks))) t(i)
+  WHERE len(toks) >= 1),
+pcb AS (
+  SELECT doc_id, prev, cur,
+         substr(md5(concat_ws(':', cur, 'bsur-v1')), 1, 3) AS b_cur,
+         substr(md5(concat_ws(':', prev, 'bsur-v1')), 1, 3) AS b_prev,
+         substr(md5(concat_ws(chr(31), prev, cur, 'bsur-v1')), 1, 4) AS b_pair
+  FROM pc),
+bu AS (SELECT b_cur, count(*) AS c1 FROM pcb GROUP BY b_cur),
+btot AS (SELECT sum(c1) AS t FROM bu),
+bb AS (SELECT b_pair, count(*) AS c2 FROM pcb WHERE prev IS NOT NULL GROUP BY b_pair),
+bs AS (
+  SELECT p.doc_id,
+         CAST(round(-ln(
+           CASE WHEN p.prev IS NULL THEN u.c1 / CAST(btot.t AS DOUBLE)
+                WHEN b.c2 IS NOT NULL THEN b.c2 / CAST(up.c1 AS DOUBLE)
+                ELSE 0.4 * u.c1 / CAST(btot.t AS DOUBLE) END), 9) AS DECIMAL(28,9)) AS s
+  FROM pcb p
+  JOIN bu u USING (b_cur)
+  LEFT JOIN bu up ON up.b_cur = p.b_prev
+  LEFT JOIN bb b USING (b_pair)
+  CROSS JOIN btot),
+bg AS (
+  SELECT doc_id, round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS bigram_surprisal
+  FROM bs GROUP BY doc_id)
+SELECT uni0.doc_id, uni0.n_tokens, uni0.mean_surprisal, bg.bigram_surprisal
+FROM uni0 JOIN bg USING (doc_id) ORDER BY doc_id
 """
 
 

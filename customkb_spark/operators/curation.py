@@ -587,6 +587,102 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_uni_hex: int = 3,
+    n_bi_hex: int = 4,
+    backoff: float = 0.4,
+    seed: str = "bsur-v1",
+) -> DataFrame:
+    """Per-document mean surprisal under a hashed BIGRAM LM with Stupid
+    Backoff — one rung up the CCNet ladder from
+    :func:`unigram_surprisal` (KenLM ranks with a 5-gram; a hashed
+    bigram keeps the model a broadcastable constant-size table):
+
+        p(cur | prev) = c2(prev,cur) / c1(prev)        if the pair was seen
+                      = backoff · c1(cur) / T          otherwise
+        first token:    c1(cur) / T
+
+    Token and pair counts live in hash buckets (md5 prefixes, the DSIR
+    hash-trick: 16^n_uni_hex unigram / 16^n_bi_hex pair buckets), so
+    both model tables are fixed-size regardless of vocabulary and the
+    scoring joins are broadcasts — no vocabulary-sized shuffle touches
+    the token stream. Collisions smooth the model slightly (documented
+    hash-trick behavior, same as DSIR's features).
+
+    Numeric conventions mirror DSIR for engine parity: per-token
+    −ln p rounded to 9 dp and summed in DECIMAL (order-independent),
+    mean rounded to 6. Returns ``id_col, n_tokens, bigram_surprisal``
+    (empty docs emit no row, like unigram_surprisal).
+    """
+    toks = df.select(F.col(id_col), X.tokens(text_col).alias("toks"))
+    # per-row (prev, cur) pairs via index transform — stays inside the
+    # scan, no per-doc window shuffle; prev is NULL at position 0
+    pc = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.col("toks"),
+                lambda c, i: F.struct(
+                    F.when(i > 0, F.element_at(F.col("toks"), i)).alias("prev"),
+                    c.alias("cur"),
+                ),
+            )
+        ).alias("pc"),
+    ).select(id_col, F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+    pc = pc.select(
+        id_col,
+        "prev",
+        "cur",
+        _dsir_bucket(F.col("cur"), seed, n_uni_hex).alias("b_cur"),
+        _dsir_bucket(F.col("prev"), seed, n_uni_hex).alias("b_prev"),
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("prev"), F.col("cur"), F.lit(seed))),
+            1,
+            n_bi_hex,
+        ).alias("b_pair"),
+    )
+    uni = pc.groupBy("b_cur").agg(F.count("*").cast("long").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("t"))
+    uni = F.broadcast(uni.crossJoin(F.broadcast(total)))
+    bi = F.broadcast(
+        pc.filter(F.col("prev").isNotNull())
+        .groupBy("b_pair")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    scored = (
+        pc.join(uni, "b_cur")
+        .join(
+            F.broadcast(
+                uni.select(F.col("b_cur").alias("b_prev"), F.col("c1").alias("c1_prev"))
+            ),
+            "b_prev",
+            "left",
+        )
+        .join(bi, "b_pair", "left")
+    )
+    p = (
+        F.when(F.col("prev").isNull(), F.col("c1") / F.col("t"))
+        .when(
+            F.col("c2").isNotNull(), F.col("c2") / F.col("c1_prev")
+        )
+        .otherwise(F.lit(backoff) * F.col("c1") / F.col("t"))
+    )
+    s = F.round(-F.log(p), 9).cast("decimal(28,9)")
+    return (
+        scored.select(id_col, s.alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("s").cast("double") / F.count("*"), 6).alias(
+                "bigram_surprisal"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------- boilerplate spans
 
 

@@ -496,3 +496,24 @@ def test_temperature_mix_proportions_and_nesting(spark):
 
     with _pytest.raises(ValueError):
         C.temperature_mix(df, "source", "doc_id", total=-1)
+
+
+def test_bigram_surprisal_orders_predictability(spark):
+    """A doc whose bigrams repeat (predictable) must score lower than a
+    doc of the same tokens in bigram-novel order; single-token docs are
+    scored by the unigram rung; empty docs emit no row."""
+    rows = [
+        (1, "the cat sat the cat sat the cat sat the cat sat"),
+        (2, "sat the the cat cat sat cat the sat sat cat the"),  # same unigrams
+        (3, "solo"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in C.bigram_surprisal(df).collect()}
+    assert set(out) == {1, 2, 3}  # empty doc drops
+    # same unigram distribution, so the bigram LM is what separates them
+    assert out[1].bigram_surprisal < out[2].bigram_surprisal
+    assert out[3].n_tokens == 1 and out[3].bigram_surprisal > 0
+    # deterministic across plans/runs
+    again = {r.doc_id: r.bigram_surprisal for r in C.bigram_surprisal(df).collect()}
+    assert again == {k: v.bigram_surprisal for k, v in out.items()}
