@@ -13,6 +13,12 @@ All variants are shuffle-conscious:
 - ngram jaccard: per-row array_intersect over candidate pairs only.
 - embedding:  cosine over LSH/band-bucketed candidates (or brute force
               below a size threshold).
+- semantic:   SemDeDup (Abbas et al. 2023) — k-means cells scope the
+              pair search (semantic_duplicates), components + the
+              paper's low-centroid-sim survivor close the loop
+              (semdedup_apply), and new batches admit against the kept
+              corpus under frozen centroids (semdedup_incremental /
+              streaming.dedup.streaming_semantic_dedup).
 
 Hashes are md5-based (functions/hashing.py) → reproducible across
 engines and runs; no Python UDFs anywhere.
