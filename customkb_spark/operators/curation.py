@@ -617,33 +617,7 @@ def bigram_surprisal(
     mean rounded to 6. Returns ``id_col, n_tokens, bigram_surprisal``
     (empty docs emit no row, like unigram_surprisal).
     """
-    toks = df.select(F.col(id_col), X.tokens(text_col).alias("toks"))
-    # per-row (prev, cur) pairs via index transform — stays inside the
-    # scan, no per-doc window shuffle; prev is NULL at position 0
-    pc = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.col("toks"),
-                lambda c, i: F.struct(
-                    F.when(i > 0, F.element_at(F.col("toks"), i)).alias("prev"),
-                    c.alias("cur"),
-                ),
-            )
-        ).alias("pc"),
-    ).select(id_col, F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
-    pc = pc.select(
-        id_col,
-        "prev",
-        "cur",
-        _dsir_bucket(F.col("cur"), seed, n_uni_hex).alias("b_cur"),
-        _dsir_bucket(F.col("prev"), seed, n_uni_hex).alias("b_prev"),
-        F.substring(
-            F.md5(F.concat_ws("\x1f", F.col("prev"), F.col("cur"), F.lit(seed))),
-            1,
-            n_bi_hex,
-        ).alias("b_pair"),
-    )
+    pc = _bigram_pairs(df, text_col, id_col, n_uni_hex, n_bi_hex, seed)
     uni = pc.groupBy("b_cur").agg(F.count("*").cast("long").alias("c1"))
     total = uni.agg(F.sum("c1").alias("t"))
     uni = F.broadcast(uni.crossJoin(F.broadcast(total)))
@@ -669,6 +643,122 @@ def bigram_surprisal(
             F.col("c2").isNotNull(), F.col("c2") / F.col("c1_prev")
         )
         .otherwise(F.lit(backoff) * F.col("c1") / F.col("t"))
+    )
+    s = F.round(-F.log(p), 9).cast("decimal(28,9)")
+    return (
+        scored.select(id_col, s.alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("s").cast("double") / F.count("*"), 6).alias(
+                "bigram_surprisal"
+            ),
+        )
+    )
+
+
+def _bigram_pairs(
+    df: DataFrame, text_col: str, id_col: str | None, n_uni_hex: int,
+    n_bi_hex: int, seed: str,
+) -> DataFrame:
+    """Shared (prev, cur) bucket stream for the bigram LM — index
+    transform inside the scan (no per-doc window), prev NULL at
+    position 0."""
+    cols = [F.col(id_col)] if id_col else []
+    toks = df.select(*cols, X.tokens(text_col).alias("toks"))
+    pc = toks.select(
+        *cols,
+        F.explode(
+            F.transform(
+                F.col("toks"),
+                lambda c, i: F.struct(
+                    F.when(i > 0, F.element_at(F.col("toks"), i)).alias("prev"),
+                    c.alias("cur"),
+                ),
+            )
+        ).alias("pc"),
+    ).select(*cols, F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+    return pc.select(
+        *cols,
+        "prev",
+        _dsir_bucket(F.col("cur"), seed, n_uni_hex).alias("b_cur"),
+        _dsir_bucket(F.col("prev"), seed, n_uni_hex).alias("b_prev"),
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("prev"), F.col("cur"), F.lit(seed))),
+            1,
+            n_bi_hex,
+        ).alias("b_pair"),
+    )
+
+
+def bigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_uni_hex: int = 3,
+    n_bi_hex: int = 4,
+    seed: str = "bsur-v1",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the hashed Stupid-Backoff LM once, as two constant-size
+    count tables ``(uni, bi)`` — ``uni(b_cur, c1)``, ``bi(b_pair, c2)``
+    — the train/apply split of :func:`bigram_surprisal` (DSIR's
+    dsir_train/dsir_apply pattern, table-backed because 16^4 pair
+    buckets are too many for a literal map). Persist them as parquet
+    next to the KB's other sidecars; :func:`bigram_apply` scores ANY
+    later batch against the frozen model with broadcast joins."""
+    pc = _bigram_pairs(df, text_col, None, n_uni_hex, n_bi_hex, seed)
+    uni = pc.groupBy("b_cur").agg(F.count("*").cast("long").alias("c1"))
+    bi = (
+        pc.filter(F.col("prev").isNotNull())
+        .groupBy("b_pair")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    return uni, bi
+
+
+def bigram_apply(
+    df: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_uni_hex: int = 3,
+    n_bi_hex: int = 4,
+    backoff: float = 0.4,
+    seed: str = "bsur-v1",
+) -> DataFrame:
+    """Score documents under a FROZEN bigram LM from
+    :func:`bigram_train` — new crawls rank against the reference
+    corpus's model without re-reading it (the production use; on the
+    training corpus itself this reproduces :func:`bigram_surprisal`
+    exactly, which is the tested contract).
+
+    Unseen buckets (tokens the model never saw) take a half-count
+    floor, c1 → 0.5, so novel vocabulary scores FINITE-but-high
+    surprisal instead of ∞. Same numeric conventions as the batch
+    form (9-dp rounding, DECIMAL sum). Both model joins broadcast.
+    """
+    pc = _bigram_pairs(df, text_col, id_col, n_uni_hex, n_bi_hex, seed)
+    t_row = uni.agg(F.sum("c1")).collect()[0][0] or 1
+    t = float(t_row)
+    scored = (
+        pc.join(F.broadcast(uni), "b_cur", "left")
+        .join(
+            F.broadcast(
+                uni.select(F.col("b_cur").alias("b_prev"), F.col("c1").alias("c1_prev"))
+            ),
+            "b_prev",
+            "left",
+        )
+        .join(F.broadcast(bi), "b_pair", "left")
+    )
+    c1 = F.coalesce(F.col("c1").cast("double"), F.lit(0.5))
+    p = (
+        F.when(F.col("prev").isNull(), c1 / F.lit(t))
+        .when(
+            F.col("c2").isNotNull() & F.col("c1_prev").isNotNull(),
+            F.col("c2") / F.col("c1_prev"),
+        )
+        .otherwise(F.lit(backoff) * c1 / F.lit(t))
     )
     s = F.round(-F.log(p), 9).cast("decimal(28,9)")
     return (

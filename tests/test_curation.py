@@ -517,3 +517,27 @@ def test_bigram_surprisal_orders_predictability(spark):
     # deterministic across plans/runs
     again = {r.doc_id: r.bigram_surprisal for r in C.bigram_surprisal(df).collect()}
     assert again == {k: v.bigram_surprisal for k, v in out.items()}
+
+
+def test_bigram_train_apply_matches_batch_and_handles_novel(spark):
+    """Frozen-LM scoring: on the training corpus bigram_apply reproduces
+    bigram_surprisal exactly; novel-vocabulary docs score finite (the
+    half-count floor) and higher than in-distribution text."""
+    rows = [(i, "the cat sat on the mat and the cat sat again") for i in range(5)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    uni, bi = C.bigram_train(train)
+    self_scored = {
+        r.doc_id: r.bigram_surprisal
+        for r in C.bigram_apply(train, uni, bi).collect()
+    }
+    batch = {r.doc_id: r.bigram_surprisal for r in C.bigram_surprisal(train).collect()}
+    assert self_scored == batch
+    new = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "zq xv wk unseen zz vocab")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bigram_surprisal for r in C.bigram_apply(new, uni, bi).collect()}
+    import math
+
+    assert all(math.isfinite(v) for v in out.values())
+    assert out[101] > out[100]  # novel vocabulary ranks as high surprisal
