@@ -394,6 +394,26 @@ def cmd_curate(args) -> int:
             id_col,
             "left",
         ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    if args.surprisal:
+        # both LM rungs: corpus unigram + hashed Stupid-Backoff bigram.
+        # left join: empty/token-less docs emit no surprisal row but
+        # must stay in the report (same rationale as the span columns)
+        report = (
+            report.join(
+                CU.unigram_surprisal(docs, text_col, id_col).select(
+                    id_col, "mean_surprisal"
+                ),
+                id_col,
+                "left",
+            )
+            .join(
+                CU.bigram_surprisal(docs, text_col, id_col).select(
+                    id_col, "bigram_surprisal"
+                ),
+                id_col,
+                "left",
+            )
+        )
     if args.dsir_target:
         # domain-targeted DSIR weights: the named source column value is
         # the in-domain slice, everything else the raw corpus
@@ -424,6 +444,9 @@ def cmd_curate(args) -> int:
     ]
     if args.benchmark:
         agg.append(F.sum(F.col("contaminated").cast("long")).alias("contaminated_docs"))
+    if args.surprisal:
+        agg.append(F.round(F.avg("mean_surprisal"), 4).alias("avg_unigram_surprisal"))
+        agg.append(F.round(F.avg("bigram_surprisal"), 4).alias("avg_bigram_surprisal"))
     print(json.dumps(report.agg(*agg).collect()[0].asDict(), default=str, indent=2))
     return 0
 
@@ -668,6 +691,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--text-col", default="text")
     c.add_argument("--dsir-target", default=None, help="source value of the DSIR in-domain slice")
     c.add_argument("--quality-ref", default=None, help="source value of the classifier reference slice")
+    c.add_argument(
+        "--surprisal",
+        action="store_true",
+        help="add unigram + Stupid-Backoff bigram LM surprisal columns",
+    )
     c.set_defaults(fn=cmd_curate)
 
     sd = sub.add_parser("semdedup", help="semantic dedup over an embeddings parquet")

@@ -478,3 +478,21 @@ def test_cli_semdedup(spark, tmp_path, capsys):
         "semdedup", "/root/testdata/sf0.001/embeddings.parquet",
         "--keep", "low_centroid_sim", "--threshold", "2.0",
     ]) == 0  # out-of-range threshold just keeps everything
+
+
+def test_cli_curate_surprisal(spark, tmp_path, capsys):
+    """--surprisal adds both LM rungs to the per-doc report and the
+    summary; empty docs stay in the report with NULL surprisal."""
+    import json as _json
+
+    out = str(tmp_path / "rep")
+    rc = cli.main([
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--surprisal",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["avg_unigram_surprisal"] > 0
+    assert summary["avg_bigram_surprisal"] > 0
+    rep = spark.read.parquet(out)
+    assert {"mean_surprisal", "bigram_surprisal"} <= set(rep.columns)
