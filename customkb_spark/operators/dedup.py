@@ -517,7 +517,19 @@ def semdedup_incremental(
 
     new_a = assign_clusters(new_embeddings, centroids, vec_col)
     if "cluster_id" in kept_embeddings.columns:
-        kept_src = kept_embeddings
+        # EXPLICIT cell pruning: collect the batch's landed cells (a
+        # ≤nlist-value list — one tiny job on the checkpointed batch)
+        # and filter the kept scan to them. Dynamic partition pruning
+        # does NOT fire for this shape (the batch side has no selective
+        # filter, so Spark's DPP heuristic passes), and without the
+        # static IN-filter a partitioned kept table would still be read
+        # in full — the docstring's pruning claim, made true by hand.
+        new_a = new_a.localCheckpoint()
+        cells = [
+            r["cluster_id"]
+            for r in new_a.select("cluster_id").distinct().collect()
+        ]
+        kept_src = kept_embeddings.filter(F.col("cluster_id").isin(cells))
     else:
         kept_src = assign_clusters(kept_embeddings, centroids, vec_col)
     kept_a = kept_src.select(

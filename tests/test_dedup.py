@@ -212,3 +212,36 @@ def test_semdedup_incremental_admits_only_novel(spark):
     # schema passthrough: admitted rows keep the original columns
     cols = D.semdedup_incremental(new, kept, cents, threshold=0.99).columns
     assert cols == ["vec_id", "embedding"]
+
+
+def test_semdedup_incremental_prunes_kept_partitions(spark, tmp_path):
+    """With a cluster-partitioned kept table, the kept scan must carry a
+    static cluster_id IN (...) partition filter for the batch's landed
+    cells — DPP alone does not fire for this shape (code-review r4
+    follow-up), so the operator prunes by hand."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from customkb_spark.embedding.index import assign_clusters, train_centroids
+
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids(emb, "embedding", nlist=8, sample_size=500)
+    kp = str(tmp_path / "kept")
+    assign_clusters(emb, cents, "embedding").write.partitionBy("cluster_id").parquet(kp)
+    kept = spark.read.parquet(kp)
+    new = spark.createDataFrame(
+        [(500, [float(x) for x in rng.standard_normal(8)])],
+        "vec_id long, embedding array<double>",
+    )
+    out = D.semdedup_incremental(new, kept, cents, threshold=0.99)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    pf = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
+    # Catalyst simplifies a single landed cell's IN to an equality
+    assert pf and "cluster_id" in pf[0] and (" IN " in pf[0] or " = " in pf[0])
+    assert out.count() == 1  # novel doc admitted
