@@ -2148,10 +2148,10 @@ btot AS (SELECT sum(c1) AS t FROM bu),
 bb AS (SELECT b_pair, count(*) AS c2 FROM pcb WHERE prev IS NOT NULL GROUP BY b_pair),
 bs AS (
   SELECT p.doc_id,
-         CAST(round(-ln(
+         CAST(round(-ln(least(
            CASE WHEN p.prev IS NULL THEN u.c1 / CAST(btot.t AS DOUBLE)
                 WHEN b.c2 IS NOT NULL THEN b.c2 / CAST(up.c1 AS DOUBLE)
-                ELSE 0.4 * u.c1 / CAST(btot.t AS DOUBLE) END), 9) AS DECIMAL(28,9)) AS s
+                ELSE 0.4 * u.c1 / CAST(btot.t AS DOUBLE) END, 1.0)), 9) AS DECIMAL(28,9)) AS s
   FROM pcb p
   JOIN bu u USING (b_cur)
   LEFT JOIN bu up ON up.b_cur = p.b_prev

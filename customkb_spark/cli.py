@@ -434,6 +434,10 @@ def cmd_curate(args) -> int:
         )
     if args.out:
         report.write.mode("overwrite").parquet(args.out)
+        # the summary re-reads the written parquet — without this the
+        # agg re-runs the whole report lineage (tokenize + every join)
+        # a second time, ~2x wall on large corpora
+        report = spark.read.parquet(args.out)
     agg = [
         F.count("*").alias("docs"),
         F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
@@ -471,13 +475,11 @@ def cmd_semdedup(args) -> int:
         cents = train_centroids(emb, args.vec_col, nlist=args.nlist)
         if args.centroids:
             save_centroids(spark, cents, args.centroids)
-    try:
-        report = semdedup_apply(
-            emb, cents, args.id_col, args.vec_col, args.threshold, keep=args.keep
-        )
-    except ValueError as e:
-        print(f"semdedup: {e}", file=sys.stderr)
-        return 2
+    # bad --keep is already rejected by argparse choices; semdedup_apply
+    # has no other eager failure mode worth a handler here
+    report = semdedup_apply(
+        emb, cents, args.id_col, args.vec_col, args.threshold, keep=args.keep
+    )
     if args.out:
         report.write.mode("overwrite").parquet(args.out)
         report = spark.read.parquet(args.out)  # summary reuses the write
@@ -485,12 +487,13 @@ def cmd_semdedup(args) -> int:
         F.count("*").alias("rows"),
         F.sum(F.col("kept").cast("long")).alias("kept"),
     ).collect()[0]
+    kept = row["kept"] or 0  # sum over zero rows is NULL, not 0
     print(
         json.dumps(
             {
                 "rows": row["rows"],
-                "kept": row["kept"],
-                "dropped": row["rows"] - row["kept"],
+                "kept": kept,
+                "dropped": row["rows"] - kept,
                 "nlist": len(cents),
                 "threshold": args.threshold,
                 "keep": args.keep,

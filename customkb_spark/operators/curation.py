@@ -637,12 +637,17 @@ def bigram_surprisal(
         )
         .join(bi, "b_pair", "left")
     )
-    p = (
+    # least(·, 1): b_pair collisions can push c2 past c1_prev (a pair
+    # bucket aggregates unrelated pairs, the prev bucket doesn't), and
+    # an uncapped p > 1 would emit NEGATIVE surprisal — ranking
+    # collided text as better-than-certain instead of just smoothed
+    p = F.least(
         F.when(F.col("prev").isNull(), F.col("c1") / F.col("t"))
         .when(
             F.col("c2").isNotNull(), F.col("c2") / F.col("c1_prev")
         )
-        .otherwise(F.lit(backoff) * F.col("c1") / F.col("t"))
+        .otherwise(F.lit(backoff) * F.col("c1") / F.col("t")),
+        F.lit(1.0),
     )
     s = F.round(-F.log(p), 9).cast("decimal(28,9)")
     return (
@@ -752,13 +757,15 @@ def bigram_apply(
         .join(F.broadcast(bi), "b_pair", "left")
     )
     c1 = F.coalesce(F.col("c1").cast("double"), F.lit(0.5))
-    p = (
+    # least(·, 1): same collision cap as bigram_surprisal
+    p = F.least(
         F.when(F.col("prev").isNull(), c1 / F.lit(t))
         .when(
             F.col("c2").isNotNull() & F.col("c1_prev").isNotNull(),
             F.col("c2") / F.col("c1_prev"),
         )
-        .otherwise(F.lit(backoff) * c1 / F.lit(t))
+        .otherwise(F.lit(backoff) * c1 / F.lit(t)),
+        F.lit(1.0),
     )
     s = F.round(-F.log(p), 9).cast("decimal(28,9)")
     return (
@@ -972,26 +979,24 @@ def temperature_mix(
         raise ValueError("temperature_mix: total must be >= 0")
     if alpha < 0:
         raise ValueError("temperature_mix: alpha must be >= 0")
+    # size the strata over the SAME cast-to-string column the filter
+    # will key on — Python's str() and Spark's cast disagree for
+    # booleans ('True' vs 'true') and floats ('1e-07' vs '1.0E-7'),
+    # and a mismatched rate key silently drops the whole stratum
+    keyed = df.filter(F.col(strata_col).isNotNull()).withColumn(
+        "_s", F.col(strata_col).cast("string")
+    )
     sizes = {
-        r[strata_col]: r["n"]
-        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
-        if r[strata_col] is not None
+        r["_s"]: r["n"]
+        for r in keyed.groupBy("_s").agg(F.count("*").alias("n")).collect()
     }
     if not sizes:
         return df.limit(0)
     z = sum(n**alpha for n in sizes.values())
     rates = {
-        str(s): min(1.0, total * (n**alpha) / z / n) for s, n in sizes.items()
+        s: min(1.0, total * (n**alpha) / z / n) for s, n in sizes.items()
     }
-    return stratified_sample(
-        df.filter(F.col(strata_col).isNotNull()).withColumn(
-            "_s", F.col(strata_col).cast("string")
-        ),
-        "_s",
-        rates,
-        key_col,
-        seed=seed,
-    ).drop("_s")
+    return stratified_sample(keyed, "_s", rates, key_col, seed=seed).drop("_s")
 
 
 # ------------------------------------------- importance resampling

@@ -473,11 +473,36 @@ def test_cli_semdedup(spark, tmp_path, capsys):
     assert rc2 == 0
     summary2 = _json.loads(capsys.readouterr().out)
     assert summary2["kept"] == summary["kept"]
-    # bad keep policy is a clean rc=2, not a traceback
+    # out-of-range threshold finds no pairs: everything kept, clean rc=0
+    # (a bad --keep is rejected by argparse choices before cmd_semdedup)
     assert cli.main([
         "semdedup", "/root/testdata/sf0.001/embeddings.parquet",
         "--keep", "low_centroid_sim", "--threshold", "2.0",
-    ]) == 0  # out-of-range threshold just keeps everything
+    ]) == 0
+    summary3 = _json.loads(capsys.readouterr().out)
+    assert summary3["dropped"] == 0
+
+
+def test_cli_semdedup_empty_input(spark, tmp_path, capsys):
+    """Zero-row embeddings: sum(kept) aggregates to NULL — the summary
+    must print 0s, not crash on int - None (code-review r4)."""
+    import json as _json
+
+    src = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    ).write.parquet(src)
+    # pre-trained centroids: an empty corpus can't train its own
+    from customkb_spark.embedding.index import train_centroids
+    from customkb_spark.embedding.store import save_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents_dir = str(tmp_path / "cents")
+    save_centroids(spark, train_centroids(emb, "embedding", nlist=2), cents_dir)
+    rc = cli.main(["semdedup", src, "--centroids", cents_dir])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["rows"] == 0 and summary["kept"] == 0 and summary["dropped"] == 0
 
 
 def test_cli_curate_surprisal(spark, tmp_path, capsys):

@@ -541,3 +541,16 @@ def test_bigram_train_apply_matches_batch_and_handles_novel(spark):
 
     assert all(math.isfinite(v) for v in out.values())
     assert out[101] > out[100]  # novel vocabulary ranks as high surprisal
+
+
+def test_temperature_mix_nonstring_strata(spark):
+    """Boolean (and other non-string) strata must sample, not silently
+    drop: Python str(True)='True' vs Spark cast 'true' used to zero
+    every rate lookup (code-review r4)."""
+    bdf = spark.createDataFrame(
+        [(i, i < 8000) for i in range(10_000)], "doc_id long, is_code boolean"
+    )
+    out = C.temperature_mix(bdf, "is_code", "doc_id", total=1000, alpha=0.5)
+    n = out.count()
+    assert 500 < n < 1500  # near-budget, not zero
+    assert out.filter(~F.col("is_code")).count() > 0  # both strata present
