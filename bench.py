@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -154,7 +155,10 @@ def _run(qs, spark, names, sf_dir, runs=2) -> tuple[dict[str, float], dict[str, 
             samples.append(time.time() - t0)
         samples.sort()
         mins[name] = round(samples[0], 3)
-        meds[name] = round(samples[len(samples) // 2], 3)
+        # statistics.median averages the two middle samples for even N
+        # (ADVICE r4: upper-middle indexing made 'med' the max at runs=2,
+        # biasing the stall-vs-regression signal to the worst run)
+        meds[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {mins[name]}s med={meds[name]}s ({n} rows)", file=sys.stderr)
     return mins, meds
 

@@ -300,7 +300,10 @@ def apply_frontmatter(
     force: bool = False,
 ) -> DataFrame:
     """Join citations onto documents and rewrite ``text_col`` with the
-    frontmatter applied. Citation side is broadcast when small; string
+    frontmatter applied. The citations side is one row per document
+    (corpus-sized), so no broadcast hint is forced — AQE picks
+    broadcast only when the side is actually under the threshold; a
+    sort-merge join on ``id_col`` is correct at any scale. String
     surgery runs in one Arrow-batched pandas UDF."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -322,7 +325,7 @@ def apply_frontmatter(
         F.col("author").alias("_fm_author"),
         F.col("year").alias("_fm_year"),
     )
-    joined = docs.join(F.broadcast(cits), id_col, "left")
+    joined = docs.join(cits, id_col, "left")
     out = joined.withColumn(
         text_col,
         _apply(

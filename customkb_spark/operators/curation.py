@@ -947,6 +947,12 @@ def cluster_balanced_sample(
     ).drop("_cid")
 
 
+#: sentinel stratum label for rows whose ``strata_col`` is NULL —
+#: chosen to be an implausible real source name; such rows form their
+#: own stratum rather than being dropped from the mix
+NULL_STRATUM = "__null_stratum__"
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str,
@@ -970,6 +976,11 @@ def temperature_mix(
     rather than stealing mass from other sources (documented, not
     renormalized — renormalizing would break the nesting property).
 
+    Rows whose ``strata_col`` is NULL are NOT dropped: they are mapped
+    to the :data:`NULL_STRATUM` sentinel and participate in the mix as
+    their own source (ADVICE r4 — silent exclusion loses documents
+    from a partially-populated source column with no signal).
+
     Plan shape: one tiny per-source count agg, then the map-side
     threshold filter. Rates are data-dependent driver scalars →
     invariant-tested rather than oracled (the fixed-rate mixing oracle
@@ -982,9 +993,12 @@ def temperature_mix(
     # size the strata over the SAME cast-to-string column the filter
     # will key on — Python's str() and Spark's cast disagree for
     # booleans ('True' vs 'true') and floats ('1e-07' vs '1.0E-7'),
-    # and a mismatched rate key silently drops the whole stratum
-    keyed = df.filter(F.col(strata_col).isNotNull()).withColumn(
-        "_s", F.col(strata_col).cast("string")
+    # and a mismatched rate key silently drops the whole stratum.
+    # NULL strata map to a sentinel stratum (ADVICE r4): a corpus with
+    # a partially-populated source column keeps those rows in the mix
+    # as their own source instead of silently losing them.
+    keyed = df.withColumn(
+        "_s", F.coalesce(F.col(strata_col).cast("string"), F.lit(NULL_STRATUM))
     )
     sizes = {
         r["_s"]: r["n"]

@@ -54,8 +54,11 @@ def _read_log(spark: SparkSession, kb_dir: str):
 
 def get_current_schema_version(spark: SparkSession, kb_dir: str) -> int:
     """Reference get_current_schema_version (migrations.py:19-51): the
-    highest version with an applied event and no rollback event;
-    0 when untracked."""
+    highest version whose latest applied event postdates any rollback
+    event; 0 when untracked. A version rolled back and later re-applied
+    counts as applied again (the reference's in-place row clears
+    ``rollback_at`` on re-apply; the append-only log expresses the same
+    state by comparing max timestamps)."""
     log = _read_log(spark, kb_dir)
     if log is None:
         return 0
@@ -64,7 +67,13 @@ def get_current_schema_version(spark: SparkSession, kb_dir: str) -> int:
         F.max("rollback_at").alias("rolled_back"),
     )
     row = (
-        state.filter(F.col("applied").isNotNull() & F.col("rolled_back").isNull())
+        state.filter(
+            F.col("applied").isNotNull()
+            & (
+                F.col("rolled_back").isNull()
+                | (F.col("applied") > F.col("rolled_back"))
+            )
+        )
         .agg(F.max("version").alias("v"))
         .first()
     )

@@ -485,11 +485,15 @@ def test_temperature_mix_proportions_and_nesting(spark):
     large = {r.doc_id for r in C.temperature_mix(df, "source", "doc_id", 2000, 0.5).collect()}
     assert small <= large
 
-    # NULL strata dropped, empty input clean
-    with_null = df.union(spark.createDataFrame([(99_999, None)], df.schema))
-    assert C.temperature_mix(with_null, "source", "doc_id", 100).filter(
-        F.col("source").isNull()
-    ).count() == 0
+    # NULL strata participate as their own sentinel stratum (ADVICE r4:
+    # silently dropping them loses documents with no signal); alpha=0
+    # gives the one-row NULL source equal mass → its row survives
+    null_rows = [(99_990 + i, None) for i in range(5)]
+    with_null = df.union(spark.createDataFrame(null_rows, df.schema))
+    mixed = C.temperature_mix(with_null, "source", "doc_id", 3000, alpha=0.0)
+    assert mixed.filter(F.col("source").isNull()).count() == 5
+    # and the output keeps the original schema (no _s leak, NULL intact)
+    assert mixed.columns == df.columns
     assert C.temperature_mix(df.limit(0), "source", "doc_id", 100).count() == 0
 
     import pytest as _pytest

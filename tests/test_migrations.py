@@ -20,9 +20,15 @@ def test_record_and_aggregate_versions(spark, tmp_path):
     # rollback of v2 drops the current version back to 1
     MG.record_rollback(spark, kb_dir, 2, now=300.0)
     assert MG.get_current_schema_version(spark, kb_dir) == 1
-    # re-apply after rollback: the aggregate sees an applied event but
-    # the rollback marker still voids the version (reference semantics:
-    # rollback_at IS NULL) — a re-apply gets a NEW version number
+    # re-apply after rollback of the SAME version: a newer applied
+    # event postdating the rollback counts as applied again (ADVICE r4
+    # — the reference's in-place row clears rollback_at on re-apply;
+    # the append-only log compares max timestamps instead)
+    MG.record_migration(spark, kb_dir, 2, "categories", now=350.0)
+    assert MG.get_current_schema_version(spark, kb_dir) == 2
+    # ...and a second rollback postdating the re-apply voids it again
+    MG.record_rollback(spark, kb_dir, 2, now=360.0)
+    assert MG.get_current_schema_version(spark, kb_dir) == 1
     MG.record_migration(spark, kb_dir, 3, "categories-v2", now=400.0)
     assert MG.get_current_schema_version(spark, kb_dir) == 3
 
