@@ -80,12 +80,95 @@ def train_centroids(
     return lloyd_kmeans(sample, nlist, iters, seed)
 
 
+#: centroid count above which the literal-expression assignment path is
+#: replaced by the Arrow-batched matmul path. The expression tree is
+#: O(nlist × dim) literals — fine at the IVF tiers we bench (nlist ≤ a
+#: few hundred), but at FAISS-scale nlist (4k-64k) Catalyst would spend
+#: minutes analyzing a plan with millions of literal nodes. FAISS itself
+#: assigns with one BLAS matmul (reference embed_manager.py:694-715);
+#: the matmul path is that same shape, batched through Arrow.
+ASSIGN_EXPR_MAX_NLIST = 256
+
+
+def _matmul_assign_udf(centroids: np.ndarray, with_sim: bool):
+    """Arrow-batched pandas UDF holding the centroid matrix: one
+    ``(batch × nlist)`` numpy matmul per Arrow batch. Ships the
+    centroid matrix once per python worker via closure serialization
+    (nlist × dim doubles — 512 MB at nlist=64k/dim=1024, the same
+    footprint FAISS's coarse quantizer holds per node).
+
+    argmin over full ``d2 = |c|² − 2·x·C`` (the per-row ``|x|²`` term
+    cannot change the argmin) with numpy's first-minimum tiebreak —
+    matching the expression path's ``array_position(d, array_min(d))``
+    first-match semantics."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    c2 = (C * C).sum(axis=1)
+    cnorm = np.sqrt(c2)
+
+    if not with_sim:
+
+        @pandas_udf("int")
+        def _assign(vs):
+            if not len(vs):
+                return pd.Series([], dtype="int32")
+            X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            dots = X @ C.T
+            assign = (c2[None, :] - 2.0 * dots).argmin(axis=1)
+            return pd.Series(assign.astype(np.int32))
+
+        return _assign
+
+    @pandas_udf("struct<cluster_id:int,centroid_sim:double>")
+    def _assign_sim(vs):
+        if not len(vs):
+            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int32"),
+                                 "centroid_sim": pd.Series([], dtype="float64")})
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        dots = X @ C.T
+        assign = (c2[None, :] - 2.0 * dots).argmin(axis=1)
+        rows = np.arange(len(X))
+        xnorm = np.sqrt((X * X).sum(axis=1))
+        denom = xnorm * cnorm[assign]
+        sim = np.divide(
+            dots[rows, assign], denom, out=np.zeros(len(X)), where=denom > 0
+        )
+        return pd.DataFrame(
+            {"cluster_id": assign.astype(np.int32), "centroid_sim": np.round(sim, 6)}
+        )
+
+    return _assign_sim
+
+
 def assign_clusters(
-    vectors: DataFrame, centroids: np.ndarray, vec_col: str = "vector"
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "vector",
+    method: str = "auto",
 ) -> DataFrame:
-    """Add ``cluster_id`` = argmin L2 distance to centroid — a pure
-    column expression (array of distances → array_position of min), so
-    assignment runs JVM-side with no Python in the loop."""
+    """Add ``cluster_id`` = argmin L2 distance to centroid.
+
+    Two physical strategies, same semantics (first-minimum tiebreak):
+
+    - ``expr`` (nlist ≤ :data:`ASSIGN_EXPR_MAX_NLIST`): a pure column
+      expression (array of distances → array_position of min) — JVM
+      whole-stage codegen, zero Python.
+    - ``matmul`` (large nlist): Arrow-batched pandas UDF doing one
+      ``(batch × nlist)`` numpy matmul — the plan stays O(1) in nlist
+      (one UDF node) instead of O(nlist × dim) literal nodes that stall
+      Catalyst analysis at FAISS-scale nlist.
+
+    ``method='auto'`` picks by nlist; pass explicitly to pin a path
+    (tests equality-check the two).
+    """
+    if method == "auto":
+        method = "expr" if len(centroids) <= ASSIGN_EXPR_MAX_NLIST else "matmul"
+    if method == "matmul":
+        return vectors.withColumn(
+            "cluster_id", _matmul_assign_udf(centroids, with_sim=False)(F.col(vec_col))
+        )
     dists = F.array(
         *[
             V.l2_distance(F.col(vec_col), F.lit(c.tolist()).cast("array<double>"))
@@ -95,6 +178,45 @@ def assign_clusters(
     return vectors.withColumn(
         "cluster_id",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def assign_with_centroid_sim(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "vector",
+    method: str = "auto",
+) -> DataFrame:
+    """``assign_clusters`` + ``centroid_sim`` = round(cosine(vec, own
+    centroid), 6) in one pass — the SemDeDup keep-policy input
+    (operators/dedup.semdedup_apply).
+
+    Same two strategies as :func:`assign_clusters`: the expr path
+    indexes a broadcast centroid array literal (element_at), the matmul
+    path reads the cosine out of the same dot-product matrix the argmin
+    already computed — one UDF, no second pass over the vectors.
+    """
+    if method == "auto":
+        method = "expr" if len(centroids) <= ASSIGN_EXPR_MAX_NLIST else "matmul"
+    if method == "matmul":
+        packed = vectors.withColumn(
+            "_asim", _matmul_assign_udf(centroids, with_sim=True)(F.col(vec_col))
+        )
+        return (
+            packed.withColumn("cluster_id", F.col("_asim.cluster_id"))
+            .withColumn("centroid_sim", F.col("_asim.centroid_sim"))
+            .drop("_asim")
+        )
+    assigned = assign_clusters(vectors, centroids, vec_col, method="expr")
+    cent_arr = F.array(
+        *[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids]
+    )
+    return assigned.withColumn(
+        "centroid_sim",
+        F.round(
+            V.cosine(F.col(vec_col), F.element_at(cent_arr, F.col("cluster_id") + 1)),
+            6,
+        ),
     )
 
 

@@ -430,30 +430,23 @@ def semdedup_apply(
       ``connected_components``' representative labels).
 
     Returns every embedding id with (cluster_id, centroid_sim, kept).
-    Scale shape: assignment and centroid_sim are per-row column exprs
-    over broadcast centroids; components run over the edge list only;
-    the survivor choice is a window partitioned by duplicate group
-    (bounded by group size, never global).
+    Scale shape: assignment and centroid_sim come from
+    ``index.assign_with_centroid_sim`` in ONE pass — JVM column exprs
+    over broadcast centroids at small nlist, an Arrow-batched matmul
+    UDF above ``ASSIGN_EXPR_MAX_NLIST`` (the plan stays O(1) in nlist);
+    components run over the edge list only; the survivor choice is a
+    window partitioned by duplicate group (bounded by group size,
+    never global).
     """
     from pyspark.sql import Window
 
-    from customkb_spark.embedding.index import assign_clusters
+    from customkb_spark.embedding.index import assign_with_centroid_sim
 
     if keep not in ("low_centroid_sim", "min_id"):
         raise ValueError(f"semdedup_apply: unknown keep policy {keep!r}")
-    assigned = assign_clusters(embeddings, centroids, vec_col)
-    # cosine to the row's own centroid: element_at over the broadcast
-    # centroid array literal — JVM-side, no join
-    cent_arr = F.array(
-        *[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids]
-    )
+    assigned = assign_with_centroid_sim(embeddings, centroids, vec_col)
     with_sim = assigned.select(
-        F.col(id_col).alias("id"),
-        "cluster_id",
-        F.round(
-            V.cosine(F.col(vec_col), F.element_at(cent_arr, F.col("cluster_id") + 1)),
-            6,
-        ).alias("centroid_sim"),
+        F.col(id_col).alias("id"), "cluster_id", "centroid_sim"
     )
     pairs = embedding_near_duplicates(
         assigned, id_col, vec_col, threshold, bucket_col="cluster_id"

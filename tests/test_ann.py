@@ -162,3 +162,77 @@ def test_ivf_search_batch_recall_and_plan(spark, embeddings):
     with contextlib.redirect_stdout(buf):
         got.explain("simple")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+# ---------------------------------------------------------------- matmul path
+
+
+def test_assign_matmul_equals_expr(spark, embeddings):
+    """The Arrow-batched matmul assignment is semantics-identical to the
+    literal-expression path (same argmin, same first-min tiebreak); the
+    one-pass assign_with_centroid_sim agrees on both columns."""
+    import numpy as np
+
+    from customkb_spark.embedding.index import assign_with_centroid_sim
+
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    expr = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(embeddings, cents, "embedding", method="expr")
+        .select("vec_id", "cluster_id").collect()
+    }
+    mm = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(embeddings, cents, "embedding", method="matmul")
+        .select("vec_id", "cluster_id").collect()
+    }
+    assert expr == mm
+
+    se = {
+        r["vec_id"]: (r["cluster_id"], r["centroid_sim"])
+        for r in assign_with_centroid_sim(embeddings, cents, "embedding", method="expr")
+        .select("vec_id", "cluster_id", "centroid_sim").collect()
+    }
+    sm = {
+        r["vec_id"]: (r["cluster_id"], r["centroid_sim"])
+        for r in assign_with_centroid_sim(embeddings, cents, "embedding", method="matmul")
+        .select("vec_id", "cluster_id", "centroid_sim").collect()
+    }
+    assert se.keys() == sm.keys()
+    for k in se:
+        assert se[k][0] == sm[k][0]
+        # both sides round to 6 decimals; summation-order fp noise can
+        # flip the last rounded digit
+        assert abs(se[k][1] - sm[k][1]) <= 2e-6, k
+
+
+def test_assign_matmul_large_nlist_plans_and_runs(spark):
+    """nlist=4096 × dim=1024 — the tier where the literal-expression
+    tree (4M+ literal nodes) would stall Catalyst. The matmul plan is
+    O(1) in nlist (one ArrowEvalPython node) and must run in seconds;
+    assignments are cross-checked against a driver-side numpy argmin."""
+    import time
+
+    import numpy as np
+
+    from customkb_spark.embedding.index import ASSIGN_EXPR_MAX_NLIST
+
+    rng = np.random.default_rng(7)
+    nlist, dim, n = 4096, 1024, 64
+    cents = rng.standard_normal((nlist, dim))
+    X = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "vec_id int, embedding array<double>"
+    )
+    assert nlist > ASSIGN_EXPR_MAX_NLIST  # auto must choose matmul
+    t0 = time.time()
+    out = assign_clusters(df, cents, "embedding")  # method="auto"
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    elapsed = time.time() - t0
+    # plan is one UDF node, not 4M literals — the string stays tiny
+    assert len(plan) < 20_000
+    assert elapsed < 60, f"large-nlist assignment took {elapsed:.1f}s"
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = {i: int(d2[i].argmin()) for i in range(n)}
+    assert got == want
