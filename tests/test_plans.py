@@ -322,6 +322,30 @@ def test_vocab_and_surprisal_aggregation_shapes(spark, documents):
     assert "Window" not in splan
 
 
+def test_vocab_rank_has_no_single_partition_exchange(spark, documents):
+    """The two-phase global rank (VERDICT r4 #6): range-partitioned
+    local ranks + broadcast offsets — a web-scale vocabulary must never
+    route through a no-partition window's single reducer."""
+    from customkb_spark.operators.curation import build_vocab
+
+    plan = explain_str(build_vocab(documents, rank_partitions=32), "simple")
+    assert "Exchange SinglePartition" not in plan
+    # ...while the legacy single-window path (tiny inputs) does
+    legacy = explain_str(build_vocab(documents, rank_partitions=1), "simple")
+    assert "Exchange SinglePartition" in legacy
+
+
+def test_bucketed_surprisal_broadcasts_model(spark, documents):
+    """The hashed-LM scoring join must be a broadcast (constant 16^k
+    model rows) — the token stream never shuffles on a vocabulary key
+    (VERDICT r4 #5)."""
+    from customkb_spark.operators.curation import unigram_surprisal
+
+    plan = explain_str(unigram_surprisal(documents, n_buckets_hex=3), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_boilerplate_spans_aggregation_only(spark, documents):
     from customkb_spark.operators.curation import boilerplate_spans
 
