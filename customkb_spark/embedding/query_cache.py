@@ -52,7 +52,12 @@ def probe_query_embedding(
     import os
 
     if not os.path.isdir(path):
+        from customkb_spark.functions import cache_stats
+
+        cache_stats.record(cache_stats.QUERY_TTL_CACHE, misses=1)
         return None
+    from customkb_spark.functions import cache_stats
+
     now = time.time() if now is None else now
     key = query_cache_key(query_text, model)
     rows = (
@@ -64,6 +69,9 @@ def probe_query_embedding(
         .orderBy(F.desc("created_at"))
         .limit(1)
         .collect()
+    )
+    cache_stats.record(
+        cache_stats.QUERY_TTL_CACHE, hits=1 if rows else 0, misses=0 if rows else 1
     )
     return [float(x) for x in rows[0]["embedding"]] if rows else None
 

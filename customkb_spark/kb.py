@@ -209,8 +209,18 @@ class KnowledgeBase:
             if write_back.limit(1).count():
                 write_back.write.mode("append").parquet(self._p("emb_cache"))
             vectors = hits.select("id", "vector").unionByName(new_vectors)
+            # hit/miss counters (reference performance_analyzer cache
+            # section): misses = freshly-embedded rows (checkpointed —
+            # the count re-invokes no provider); hits = the remainder
+            miss_n = new_vectors.count()
 
         n = vectors.count()
+        if use_cache:
+            from customkb_spark.functions import cache_stats
+
+            cache_stats.record(
+                cache_stats.EMBEDDING_CACHE, hits=n - miss_n, misses=miss_n
+            )
         if n:
             vectors.write.mode("append").parquet(self._p("vectors"))
             self._invalidate()
@@ -502,4 +512,9 @@ class KnowledgeBase:
             )
         else:
             out["vector_index"] = "absent"
+        # per-cache hit/miss counters this driver process has observed
+        # (reference performance_analyzer.py:67-136's cache section)
+        from customkb_spark.functions import cache_stats
+
+        out["cache_stats"] = cache_stats.snapshot()
         return out

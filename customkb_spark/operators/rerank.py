@@ -144,6 +144,7 @@ def rerank_hits_cached(
     id_col: str = "doc_id",
     text_col: str = "text",
     scorer=None,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``rerank_hits`` with a read-through score cache — the reference's
     two-tier (query, document) score cache (rerank_manager.py:48-119) as
@@ -157,6 +158,11 @@ def rerank_hits_cached(
     scorer work at all (the pandas-UDF path sees zero batches). If the
     scorer is expensive, localCheckpoint the result before consuming
     both outputs, or the miss branch re-scores once per action.
+
+    ``stats``, when given, is filled eagerly with ``{"hits", "misses"}``
+    probe counts (reference performance_analyzer's cache section) — one
+    extra aggregate over the ≤rerank_top_k-row head join, which never
+    evaluates the scorer column (the count touches only ``_cached``).
     """
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     ranked = hits.select("id", "score", F.row_number().over(w).alias("orig_rank"))
@@ -183,6 +189,13 @@ def rerank_hits_cached(
         if scorer is not None
         else overlap_score(query_terms, F.col("_text"))
     )
+    if stats is not None:
+        row = joined.agg(
+            F.sum(F.col("_cached").isNotNull().cast("int")).alias("h"),
+            F.count("*").alias("n"),
+        ).first()
+        stats["hits"] = int(row["h"] or 0)
+        stats["misses"] = int(row["n"]) - stats["hits"]
     misses = joined.filter(F.col("_cached").isNull()).withColumn(
         "rerank_score", F.coalesce(score_expr, F.lit(0.0))
     )

@@ -342,6 +342,9 @@ def query(
 
         q_terms = query_terms(query_text, min_len=1, language=cfg.language)
         if rerank_cache is not None or rerank_cache_sink is not None:
+            from customkb_spark.functions import cache_stats
+
+            probe_stats: dict = {}
             reranked, new_entries = rerank_hits_cached(
                 fused,
                 index.chunks,
@@ -351,7 +354,10 @@ def query(
                 cfg.reranking_top_k,
                 id_col="id",
                 text_col="originaltext",
+                stats=probe_stats,
             )
+            if probe_stats:
+                cache_stats.record(cache_stats.RERANK_CACHE, **probe_stats)
             if rerank_cache_sink is not None:
                 rerank_cache_sink(new_entries)
         else:

@@ -119,3 +119,43 @@ def tune_session(spark: SparkSession) -> SparkSession:
         except Exception:  # static confs on a running session — ignore
             pass
     return spark
+
+
+def get_task_resource_addresses(resource: str = "gpu") -> list[str]:
+    """Worker-side: the resource addresses assigned to THIS task.
+
+    The runtime consumer of the ``spark.task.resource.gpu.amount``
+    plumbing in :func:`build_conf` — a Pandas-UDF/mapPartitions stage
+    that needs a device calls this inside the worker to pin its work to
+    the task's assigned GPU (the reference's per-process device
+    selection, utils/gpu_utils.py:115-148; on Spark the scheduler hands
+    each task its address set through ``TaskContext.resources()``
+    instead of the process scanning the host).
+
+    Returns ``[]`` off-task (driver code) or on a CPU-only session, so
+    callers can fall back to CPU without probing the host.
+    """
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is None:
+        return []
+    res = ctx.resources()
+    if resource not in res:
+        return []
+    return [str(a) for a in res[resource].addresses]
+
+
+def task_resource_report(
+    spark: SparkSession, num_slots: int = 2, resource: str = "gpu"
+) -> list[list[str]]:
+    """Driver-side probe: run ``num_slots`` one-partition tasks that
+    each read their :func:`get_task_resource_addresses` and return the
+    per-task address lists — validates end-to-end that the conf
+    declared by :func:`build_conf` actually materializes as scheduler
+    assignments (``kb verify``'s GPU check)."""
+    return (
+        spark.sparkContext.parallelize(range(num_slots), num_slots)
+        .mapPartitions(lambda _: [get_task_resource_addresses(resource)])
+        .collect()
+    )

@@ -227,3 +227,76 @@ def test_cache_dim_mismatch_hits_become_misses(spark):
     # no-guard path unchanged (both rows hit regardless of dims)
     h0, m0 = split_hits_misses(pending, cache)
     assert h0.count() == 2 and m0.count() == 0
+
+
+# ------------------------------------------------- hit/miss counters
+
+
+def test_cache_counters_move_across_cached_requery(spark, tmp_path):
+    """VERDICT r4 #9 (reference performance_analyzer.py:67-136): the
+    per-cache hit/miss counters must move as each cache is probed —
+    miss on the cold probe, hit on the re-query — for all three caches,
+    and kb.verify() must surface the snapshot."""
+    from customkb_spark.functions import cache_stats
+
+    cache_stats.reset()
+
+    # query-TTL cache: cold probe = miss, warm probe = hit
+    qpath = str(tmp_path / "qc")
+    assert probe_query_embedding(spark, qpath, "q", "m") is None
+    save_query_embedding(spark, qpath, "q", "m", [1.0, 2.0])
+    assert probe_query_embedding(spark, qpath, "q", "m") is not None
+    snap = cache_stats.snapshot()
+    assert snap["query_ttl"]["misses"] == 1 and snap["query_ttl"]["hits"] == 1
+    assert snap["query_ttl"]["hit_rate"] == 0.5
+
+    # rerank score cache: cold = 3 misses, warm = 3 hits
+    s1: dict = {}
+    _, entries = rerank_hits_cached(
+        _hits(spark), _docs(spark), "spark data", ["spark", "data"], None,
+        rerank_top_k=3, stats=s1,
+    )
+    assert s1 == {"hits": 0, "misses": 3}
+    cache = spark.createDataFrame(
+        [(r["pair_key"], r["rerank_score"]) for r in entries.collect()],
+        RERANK_CACHE_SCHEMA,
+    )
+    s2: dict = {}
+    rerank_hits_cached(
+        _hits(spark), _docs(spark), "spark data", ["spark", "data"], cache,
+        rerank_top_k=3, stats=s2,
+    )
+    assert s2 == {"hits": 3, "misses": 0}
+
+
+def test_kb_embed_cache_counters_and_verify_surface(spark, tmp_path):
+    """Embedding cache counters: first embed records all misses; after
+    dropping the vectors table (cache intact) the re-embed records all
+    hits. kb.verify() carries the snapshot."""
+    import shutil
+
+    from customkb_spark.functions import cache_stats
+    from customkb_spark.kb import KnowledgeBase
+
+    cache_stats.reset()
+    kb = KnowledgeBase(spark, str(tmp_path / "kb"))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "s1"), (2, "delta epsilon zeta", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    kb.database(docs)
+    n1 = kb.embed()
+    snap = cache_stats.snapshot()
+    assert snap["embedding"]["misses"] == n1 > 0
+    assert snap["embedding"]["hits"] == 0
+
+    shutil.rmtree(str(tmp_path / "kb" / "vectors"))  # lose the vectors, keep the cache
+    n2 = kb.embed()
+    assert n2 == n1
+    snap = cache_stats.snapshot()
+    assert snap["embedding"]["hits"] == n1  # second pass: all cache hits
+    assert snap["embedding"]["misses"] == n1
+
+    v = kb.verify()
+    assert v["cache_stats"]["embedding"]["hits"] == n1
+    assert 0.0 < v["cache_stats"]["embedding"]["hit_rate"] <= 1.0

@@ -121,3 +121,60 @@ def test_streaming_semantic_dedup_admits_and_replays_idempotently(spark, tmp_pat
     run_wave(all_rows[3:], "w2_replay")  # fresh checkpoint = full replay
     kept3 = sorted(r.vec_id for r in spark.read.parquet(kept_path).collect())
     assert kept3 == kept2  # id anti-join makes the append idempotent
+
+
+def test_streaming_semantic_dedup_equals_batch_apply(spark, tmp_path):
+    """Multi-batch streaming==batch equivalence (VERDICT r4 #7): three
+    waves where batch-internal AND cross-batch duplicates coexist; the
+    final streaming kept table must equal ``semdedup_apply`` on the
+    concatenated corpus under the same frozen centroids.
+
+    Groups are tight clusters (all-pairs >= threshold, no chains) and
+    each cross-batch group's FIRST-arriving member is also its
+    low-centroid-sim member, so the stream's greedy first-wins
+    admission and the batch keep policy pick the same survivors — the
+    regime where the two modes are defined to agree (a chain A~B~C
+    split across batches is the documented divergence case: greedy
+    admission evaluates against survivors only)."""
+    import math
+
+    import numpy as np
+
+    from customkb_spark.operators.dedup import semdedup_apply
+
+    def v0(deg):  # cell-0 plane: (e0, e2)
+        r = math.radians(deg)
+        return [math.cos(r), 0.0, math.sin(r), 0.0]
+
+    def v1(deg):  # cell-1 plane: (e1, e3)
+        r = math.radians(deg)
+        return [0.0, math.cos(r), 0.0, math.sin(r)]
+
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    waves = [
+        # wave 1: g1 leader (lowest centroid-sim of its group) + singleton
+        [(1, v0(20)), (2, v0(70))],
+        # wave 2: cross-batch dup of 1, plus an internal dup pair in cell 1
+        [(5, v0(18)), (6, v1(24)), (7, v1(25))],
+        # wave 3: another cross-batch dup of 1, plus a cell-1 singleton
+        [(9, v0(19)), (8, v1(65))],
+    ]
+    emb_schema = "vec_id: long, embedding: array<double>"
+    kept_path = str(tmp_path / "kept_eq")
+
+    for i, rows in enumerate(waves):
+        src = str(tmp_path / f"eq_src_{i}")
+        spark.createDataFrame(rows, emb_schema).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = SD.streaming_semantic_dedup(
+            stream, kept_path, str(tmp_path / f"eq_ck_{i}"), cents, threshold=0.95
+        )
+        q.awaitTermination(120)
+
+    stream_kept = sorted(r.vec_id for r in spark.read.parquet(kept_path).collect())
+
+    full = spark.createDataFrame([r for w in waves for r in w], emb_schema)
+    batch_marks = semdedup_apply(full, cents, threshold=0.95, keep="low_centroid_sim")
+    batch_kept = sorted(r.id for r in batch_marks.filter("kept").collect())
+
+    assert stream_kept == batch_kept == [1, 2, 7, 8]
