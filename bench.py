@@ -361,6 +361,11 @@ def _leg(leg_name: str) -> dict[str, float] | None:
 
 
 def main() -> None:
+    # bench times steady-state queries; oracle-artifact parquet writes
+    # (flagship chunks/vectors, ANN centroids/codebooks) belong to the
+    # correctness harness, which runs in its own process without this
+    # env — see __spark_entry__._persist_oracle_artifacts
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_ART_SKIP", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     leg = os.environ.get("SPARK_GRAFT_BENCH_LEG")
