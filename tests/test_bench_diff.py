@@ -1,0 +1,41 @@
+"""tools/bench_diff.py verdict logic: fingerprint-identical slowdowns
+read as stalls, fingerprint changes as plan changes."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from bench_diff import diff  # noqa: E402
+
+
+def _mk(times, fps):
+    return {"queries": times, "plan_fp": fps}
+
+
+def test_same_plan_slowdown_is_stall():
+    old = _mk({"q": 1.0}, {"q": "abc"})
+    new = _mk({"q": 3.0}, {"q": "abc"})
+    rows = diff(old, new, threshold=1.5)
+    assert rows == [("headline:q", "stall", "1.0s -> 3.0s (3.00x) [same plan]")]
+
+
+def test_fingerprint_change_is_plan_change_even_when_fast():
+    old = _mk({"q": 1.0}, {"q": "abc"})
+    new = _mk({"q": 1.01}, {"q": "xyz"})
+    (row,) = diff(old, new, threshold=1.5)
+    assert row[1] == "plan-change"
+
+
+def test_added_removed_faster_steady():
+    old = _mk({"a": 1.0, "b": 2.0, "c": 4.0}, {})
+    new = _mk({"a": 1.05, "c": 1.0, "d": 0.5}, {})
+    verdicts = {name.split(":")[1]: v for name, v, _ in diff(old, new, threshold=1.5)}
+    assert verdicts == {"a": "steady", "b": "removed", "c": "faster", "d": "added"}
+
+
+def test_no_fingerprint_slowdown_is_slower_not_stall():
+    old = _mk({"q": 1.0}, {})
+    new = _mk({"q": 3.0}, {})
+    (row,) = diff(old, new, threshold=1.5)
+    assert row[1] == "slower"

@@ -1,0 +1,91 @@
+"""Decide stall-vs-regression between two BENCH_full artifacts.
+
+The per-query plan fingerprint (bench._plan_fingerprint — optimized
+plan with run-varying ids normalized out) makes the call mechanical:
+
+  - fingerprint UNCHANGED + time up      → environment stall (or data
+    growth); the plan Spark would run is byte-identical
+  - fingerprint CHANGED                  → a real plan change; the time
+    delta is attributable to code
+  - query added/removed                  → suite change
+
+Usage:
+    python tools/bench_diff.py BENCH_full_r05.json BENCH_full_r06.json
+    python tools/bench_diff.py old.json new.json --threshold 1.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+SECTIONS = [
+    # (times-key, fingerprint-key, label)
+    ("queries", "plan_fp", "headline"),
+    ("extra_queries", "plan_fp", "extras"),
+    ("sf1_queries", "sf1_plan_fp", "sf1"),
+    ("sf10_queries", "sf10_plan_fp", "sf10"),
+    ("ann", None, "ann"),
+]
+
+
+def diff(old: dict, new: dict, threshold: float) -> list[tuple[str, str, str]]:
+    """[(query, verdict, detail)] — verdicts: plan-change, stall,
+    faster, steady, added, removed."""
+    rows: list[tuple[str, str, str]] = []
+    for tkey, fkey, label in SECTIONS:
+        o_t, n_t = old.get(tkey, {}), new.get(tkey, {})
+        o_fp = old.get(fkey, {}) if fkey else {}
+        n_fp = new.get(fkey, {}) if fkey else {}
+        for q in sorted(set(o_t) | set(n_t)):
+            name = f"{label}:{q}"
+            if q not in n_t:
+                rows.append((name, "removed", f"was {o_t[q]}s"))
+                continue
+            if q not in o_t:
+                rows.append((name, "added", f"{n_t[q]}s"))
+                continue
+            ratio = n_t[q] / o_t[q] if o_t[q] else float("inf")
+            fp_known = q in o_fp and q in n_fp
+            fp_same = fp_known and o_fp[q] == n_fp[q]
+            detail = f"{o_t[q]}s -> {n_t[q]}s ({ratio:.2f}x)"
+            if fp_known and not fp_same:
+                rows.append((name, "plan-change", detail + " [fingerprint differs]"))
+            elif ratio >= threshold:
+                verdict = "stall" if fp_same else "slower"
+                rows.append((name, verdict, detail + (" [same plan]" if fp_same else " [no fingerprint]")))
+            elif ratio <= 1.0 / threshold:
+                rows.append((name, "faster", detail))
+            else:
+                rows.append((name, "steady", detail))
+    return rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="ratio above which a slowdown is reported (default 1.5)")
+    ap.add_argument("--all", action="store_true", help="print steady rows too")
+    args = ap.parse_args()
+    with open(args.old) as f:
+        old = json.load(f)
+    with open(args.new) as f:
+        new = json.load(f)
+    rows = diff(old, new, args.threshold)
+    interesting = [r for r in rows if r[1] != "steady" or args.all]
+    width = max((len(r[0]) for r in interesting), default=10)
+    for name, verdict, detail in interesting:
+        print(f"{name:<{width}}  {verdict:<11}  {detail}")
+    n_regress = sum(1 for r in rows if r[1] == "plan-change")
+    n_stall = sum(1 for r in rows if r[1] == "stall")
+    print(f"\n{len(rows)} queries compared: {n_regress} plan changes, "
+          f"{n_stall} same-plan slowdowns (stalls), "
+          f"{sum(1 for r in rows if r[1] == 'faster')} faster")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
