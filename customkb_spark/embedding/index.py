@@ -226,6 +226,30 @@ def nearest_clusters(query_vec: list[float], centroids: np.ndarray, nprobe: int)
     return [int(i) for i in d2.argsort()[:nprobe]]
 
 
+def _probe_clusters_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-batched twin of :func:`nearest_clusters`: per query row,
+    the ``nprobe`` nearest cluster ids by L2 with argsort's stable
+    index tiebreak — the distributed probe path for
+    :func:`ivf_search_batch` (no driver loop over the query set)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    c2 = (C * C).sum(axis=1)
+    k = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def _probe(vs):
+        out = []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            d2 = c2 - 2.0 * (C @ x) + (x @ x)
+            out.append([int(i) for i in d2.argsort(kind="stable")[:k]])
+        return pd.Series(out)
+
+    return _probe
+
+
 def ivf_search_batch(
     indexed_vectors: DataFrame,
     centroids: np.ndarray,
@@ -237,41 +261,62 @@ def ivf_search_batch(
     query_id_col: str = "qid",
     query_vec_col: str = "qvec",
     metric: str = "cosine",
+    probe_mode: str = "driver",
 ) -> DataFrame:
     """IVF-pruned top-k for a whole query SET in one pass — the scale
     path for batch retrieval (operators/topk.knn_join is the exact
     brute-force twin that scores Q×N pairs; this scores only each
     query's ``nprobe`` probed clusters).
 
-    Plan: probe pairs (qid, cluster_id) are computed driver-side from
-    the tiny centroid table and BROADCAST; the corpus joins them on
-    cluster_id (pruned scan — with the table partitioned by cluster_id
-    this is partition pruning), then joins the broadcast query vectors,
-    scores JVM-side, and windows top-k per query. The corpus is never
-    shuffled; the only shuffle is the per-query window over candidate
+    Plan: probe pairs (qid, cluster_id) come from the tiny centroid
+    table, either computed on the driver and BROADCAST
+    (``probe_mode="driver"``, right for bounded interactive query
+    sets) or as an Arrow-batched per-row UDF over the queries
+    DataFrame with AQE-decided joins (``probe_mode="distributed"`` —
+    the shape for scoring MILLIONS of queries, where a driver loop
+    over collect()ed rows is the bottleneck and the probe table may
+    exceed broadcast size). The corpus then joins probes on cluster_id
+    (pruned scan — with the table partitioned by cluster_id this is
+    partition pruning), joins the query vectors, scores JVM-side, and
+    windows top-k per query. The corpus is never shuffled by retrieval;
+    the only corpus-side shuffle is the per-query window over candidate
     rows (≤ Q × probed-cluster sizes).
     """
     from pyspark.sql import Window
 
     from customkb_spark.operators.topk import _metric_score
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    probes = [
-        (row[0], c)
-        for row in qrows
-        for c in nearest_clusters([float(x) for x in row[1]], centroids, nprobe)
-    ]
-    spark = indexed_vectors.sparkSession
-    # qid field type mirrors the caller's query-id column — hardcoding
-    # long breaks string/int-typed query ids at createDataFrame or,
-    # worse, mismatches the join (ADVICE r2)
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    probe_df = spark.createDataFrame(
-        probes, f"{query_id_col} {qid_type}, cluster_id int"
-    )
-    cand = indexed_vectors.join(F.broadcast(probe_df), "cluster_id").join(
-        F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
-    )
+    if probe_mode == "distributed":
+        probe_df = queries.select(
+            query_id_col,
+            F.explode(
+                _probe_clusters_udf(centroids, nprobe)(F.col(query_vec_col))
+            ).alias("cluster_id"),
+        )
+        # AQE decides broadcast-vs-shuffle for both joins by actual size
+        cand = indexed_vectors.join(probe_df, "cluster_id").join(
+            queries.select(query_id_col, query_vec_col), query_id_col
+        )
+    elif probe_mode == "driver":
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        probes = [
+            (row[0], c)
+            for row in qrows
+            for c in nearest_clusters([float(x) for x in row[1]], centroids, nprobe)
+        ]
+        spark = indexed_vectors.sparkSession
+        # qid field type mirrors the caller's query-id column — hardcoding
+        # long breaks string/int-typed query ids at createDataFrame or,
+        # worse, mismatches the join (ADVICE r2)
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        probe_df = spark.createDataFrame(
+            probes, f"{query_id_col} {qid_type}, cluster_id int"
+        )
+        cand = indexed_vectors.join(F.broadcast(probe_df), "cluster_id").join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+        )
+    else:
+        raise ValueError(f"ivf_search_batch: unknown probe_mode {probe_mode!r}")
     score = _metric_score(F.col(vec_col), F.col(query_vec_col), metric)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("id"))
     return (

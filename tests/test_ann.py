@@ -236,3 +236,62 @@ def test_assign_matmul_large_nlist_plans_and_runs(spark):
     d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     want = {i: int(d2[i].argmin()) for i in range(n)}
     assert got == want
+
+
+def test_ivf_search_batch_distributed_probes_match_driver(spark, embeddings):
+    """probe_mode='distributed' (per-row UDF + AQE joins — the
+    million-query shape) must return exactly the driver-probe result."""
+    from pyspark.sql import functions as F
+
+    from customkb_spark.embedding.index import ivf_search_batch
+
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    indexed = assign_clusters(embeddings, cents, "embedding").cache()
+    qdf = embeddings.filter("vec_id < 7").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    kw = dict(k=5, nprobe=3, id_col="vec_id", vec_col="embedding",
+              query_id_col="qid", query_vec_col="qvec", metric="cosine")
+    drv = ivf_search_batch(indexed, cents, qdf, probe_mode="driver", **kw)
+    dist = ivf_search_batch(indexed, cents, qdf, probe_mode="distributed", **kw)
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    assert canon(drv) == canon(dist)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ivf_search_batch(indexed, cents, qdf, probe_mode="bogus", **kw)
+
+
+def test_semdedup_apply_matmul_tier_matches_expr(spark):
+    """semdedup_apply above ASSIGN_EXPR_MAX_NLIST (matmul assignment +
+    fused centroid_sim) must produce the same keep decisions as the
+    literal-expression tier forced on the same centroids."""
+    import numpy as np
+
+    from customkb_spark.embedding.index import (
+        ASSIGN_EXPR_MAX_NLIST,
+        assign_with_centroid_sim,
+    )
+    from customkb_spark.operators.dedup import semdedup_apply
+
+    rng = np.random.default_rng(11)
+    nlist = ASSIGN_EXPR_MAX_NLIST + 44  # force the matmul tier in auto
+    cents = rng.standard_normal((nlist, 8))
+    base = rng.standard_normal((120, 8))
+    rows = [(i, [float(x) for x in base[i % 120] * (1 + 1e-4 * (i // 120))])
+            for i in range(240)]  # 120 near-dup pairs
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = {r["id"]: (r["cluster_id"], r["kept"])
+            for r in semdedup_apply(emb, cents, threshold=0.999).collect()}
+    # cross-check the assignment tier against the expr path directly
+    expr = {r["vec_id"]: (r["cluster_id"], r["centroid_sim"])
+            for r in assign_with_centroid_sim(emb, cents, "embedding", method="expr")
+            .select("vec_id", "cluster_id", "centroid_sim").collect()}
+    mm = {r["vec_id"]: (r["cluster_id"], r["centroid_sim"])
+          for r in assign_with_centroid_sim(emb, cents, "embedding", method="matmul")
+          .select("vec_id", "cluster_id", "centroid_sim").collect()}
+    assert {k: v[0] for k, v in expr.items()} == {k: v[0] for k, v in mm.items()}
+    # every planted pair collapses to one survivor under the matmul tier
+    kept = sum(1 for _, k in auto.values() if k)
+    assert kept == 120
