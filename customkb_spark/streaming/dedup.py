@@ -1,7 +1,9 @@
 """Streaming deduplication + incremental BM25 index maintenance.
 
-Two streaming forms a training-data pipeline needs beyond batch dedup
-(operators/dedup.py):
+Streaming forms a training-data pipeline needs beyond batch dedup
+(operators/dedup.py) — one gate per duplicate geometry: exact
+(``streaming_dedup_exact``), lexical near-dup
+(``streaming_minhash_dedup``), semantic (``streaming_semantic_dedup``):
 
 - ``streaming_dedup_exact``: drop documents whose content hash was
   already seen, state-bounded by a watermark
@@ -192,3 +194,136 @@ def read_term_stats(spark: SparkSession, stats_path: str) -> tuple[DataFrame, in
         ).alias("idf"),
     )
     return stats, int(n)
+
+
+def streaming_minhash_dedup(
+    docs_stream: DataFrame,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Streaming MinHash-LSH admission: maintain a near-dup-free corpus
+    as documents stream in — the lexical third of the streaming dedup
+    family (``streaming_dedup_exact`` = exact hashes,
+    ``streaming_semantic_dedup`` = embedding space; this gate catches
+    90%-overlap crawl re-fetches neither of those sees).
+
+    Standing state under ``kept_dir``:
+      - ``docs``:    (id, text) — admitted documents
+      - ``buckets``: (id, band, band_key, kp) — their LSH buckets,
+        written PARTITIONED BY ``kp`` (md5-prefix of the band key, 256
+        values), so each micro-batch's candidate probe prunes the
+        standing bucket scan to the ≤256 partitions its own keys land
+        in — the same landed-cell discipline as the semantic gate's
+        cluster-partitioned kept table. Candidate cost per batch is
+        ∝ batch-bucket collisions, never standing-corpus size.
+
+    Per micro-batch (foreachBatch):
+    1. signatures + band buckets for the batch (map-side, zero
+       shuffle — operators/dedup.minhash_signatures);
+    2. probe the standing buckets (kp-pruned scan, batch side
+       broadcastable) → (new, old) candidate pairs → EXACT shingle
+       Jaccard verify against the standing docs → reject new docs with
+       a kept near-dup (first-wins, like the other gates);
+    3. resolve batch-INTERNAL near-dup groups with the batch operator +
+       connected components, keeping each group's min-id member (the
+       canonical keep-first representative);
+    4. append survivors' docs and buckets behind an id anti-join so an
+       epoch replay after a crash re-admits nothing.
+
+    Greedy-vs-batch caveat (same as the semantic gate): admission
+    evaluates against SURVIVORS only, so a chain A~B~C split across
+    batches can keep {A, C} where batch dedup on the union keeps {A};
+    tight duplicate clusters (the real-corpus case) agree — locked by
+    the streaming==batch equivalence test.
+    """
+    from customkb_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        minhash_band_buckets,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    doc_path = os.path.join(kept_dir, "docs")
+    bucket_path = os.path.join(kept_dir, "buckets")
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        bb = minhash_band_buckets(sigs, num_hashes, bands)
+        return bb.withColumn("kp", F.substring(F.md5("band_key"), 1, 2))
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        ).localCheckpoint()
+        bb = _buckets(batch.select(F.col("id").alias(id_col), F.col("text").alias(text_col))).localCheckpoint()
+
+        admitted = batch
+        if os.path.isdir(bucket_path):
+            # landed-partition pruning: only standing buckets under the
+            # batch's own key prefixes are scanned (≤256 values)
+            kps = [r["kp"] for r in bb.select("kp").distinct().collect()]
+            standing = spark.read.parquet(bucket_path).filter(F.col("kp").isin(kps))
+            cand = (
+                bb.select("band", "band_key", F.col("id").alias("id_a"))
+                .join(
+                    standing.select("band", "band_key", F.col("id").alias("id_b")),
+                    ["band", "band_key"],
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            kept_docs = spark.read.parquet(doc_path)
+            # exact-Jaccard verify over (batch ∪ candidate kept) texts;
+            # kept side pre-pruned to candidate ids (semi join)
+            probe_docs = batch.unionByName(
+                kept_docs.join(
+                    cand.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi"
+                )
+            )
+            rejected = (
+                jaccard_verify(
+                    probe_docs.select(F.col("id").alias(id_col), F.col("text").alias(text_col)),
+                    cand, id_col, text_col, shingle_n, threshold,
+                )
+                .select(F.col("id_a").alias("id"))
+                .distinct()
+            )
+            admitted = batch.join(rejected, "id", "left_anti")
+
+        # batch-internal near-dup groups → keep the min-id member
+        internal = admitted.select(
+            F.col("id").alias(id_col), F.col("text").alias(text_col)
+        )
+        sigs_b = minhash_signatures(internal, id_col, text_col, num_hashes, shingle_n)
+        pairs_b = minhash_candidate_pairs(minhash_band_buckets(sigs_b, num_hashes, bands))
+        verified_b = jaccard_verify(internal, pairs_b, id_col, text_col, shingle_n, threshold)
+        comps = connected_components(verified_b)
+        losers = comps.filter(F.col("id") != F.col("cluster_id")).select("id")
+        survivors = admitted.join(losers, "id", "left_anti")
+
+        # epoch-replay idempotency: never re-append an already-kept id
+        if os.path.isdir(doc_path):
+            survivors = survivors.join(
+                spark.read.parquet(doc_path).select("id"), "id", "left_anti"
+            )
+        survivors = survivors.localCheckpoint()
+        if survivors.limit(1).count():
+            survivors.write.mode("append").parquet(doc_path)
+            _buckets(
+                survivors.select(F.col("id").alias(id_col), F.col("text").alias(text_col))
+            ).write.mode("append").partitionBy("kp").parquet(bucket_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -178,3 +178,69 @@ def test_streaming_semantic_dedup_equals_batch_apply(spark, tmp_path):
     batch_kept = sorted(r.id for r in batch_marks.filter("kept").collect())
 
     assert stream_kept == batch_kept == [1, 2, 7, 8]
+
+
+def _run_minhash_wave(spark, tmp_path, rows, tag, kept_dir):
+    src = str(tmp_path / f"mh_src_{tag}")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = SD.streaming_minhash_dedup(
+        stream, kept_dir, str(tmp_path / f"mh_ck_{tag}"),
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_minhash_dedup_admits_rejects_and_replays(spark, tmp_path):
+    """Lexical streaming gate: wave 1 seeds; wave 2 rejects a 90%-copy
+    of kept, admits the novel doc, and collapses a batch-internal
+    near-dup pair to its min-id member; a fresh-checkpoint replay of
+    wave 2 appends nothing. Final kept set equals the batch twin
+    (minhash pairs → connected components, keep-first) on the
+    concatenated corpus."""
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong coffee beside the ancient stone bridge")
+    novel = ("completely different subject matter about distributed "
+             "query engines shuffling columnar batches across executor "
+             "boundaries with adaptive partition coalescing enabled")
+    third = ("yet another unrelated document describing tidal patterns "
+             "along rocky coastlines where migratory birds gather every "
+             "autumn before the long southern crossing begins")
+    waves = [
+        [(1, base), (2, novel)],
+        [(10, base + " extra"), (11, third),
+         (12, third + " tail"), (13, third + " tail x")],
+    ]
+    kept_dir = str(tmp_path / "mh_kept")
+
+    _run_minhash_wave(spark, tmp_path, waves[0], "w1", kept_dir)
+    kept1 = sorted(r.id for r in spark.read.parquet(f"{kept_dir}/docs").collect())
+    assert kept1 == [1, 2]
+
+    _run_minhash_wave(spark, tmp_path, waves[1], "w2", kept_dir)
+    kept2 = sorted(r.id for r in spark.read.parquet(f"{kept_dir}/docs").collect())
+    # 10 rejected (near-dup of kept 1); 11 admitted; {11,12,13} are one
+    # internal near-dup group -> min id 11 survives
+    assert kept2 == [1, 2, 11]
+
+    _run_minhash_wave(spark, tmp_path, waves[1], "w2_replay", kept_dir)
+    kept3 = sorted(r.id for r in spark.read.parquet(f"{kept_dir}/docs").collect())
+    assert kept3 == kept2
+
+    # batch twin on the concatenated corpus (first-wins == keep-first
+    # here: every group's min id arrived first)
+    from customkb_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_duplicates,
+    )
+
+    full = spark.createDataFrame(
+        [r for w in waves for r in w], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_duplicates(full, "doc_id", "text", 16, 4, 3, 0.5)
+    comps = connected_components(pairs)
+    losers = {r.id for r in comps.filter("id != cluster_id").collect()}
+    batch_kept = sorted(d for d, _ in [r for w in waves for r in w] if d not in losers)
+    assert kept3 == batch_kept
