@@ -2116,15 +2116,20 @@ FROM v ORDER BY rank LIMIT 200
 
 
 def q_unigram_surprisal(spark, sf_dir):
-    """Perplexity-proxy quality signals, both LM rungs in one entry:
+    """Perplexity-proxy quality signals, every LM rung in one entry:
     per-doc mean −ln p(token) under the corpus unigram LM (CCNet-style
-    ranking) + the hashed Stupid-Backoff bigram surprisal
+    ranking), the same signal under the constant-size HASHED unigram
+    model (16³ md5-prefix buckets — the broadcast-only scale path,
+    VERDICT r4 #5), and the hashed Stupid-Backoff bigram surprisal
     (curation.bigram_surprisal — constant-size bucket tables, DSIR
     decimal-sum conventions)."""
     docs = _t(spark, sf_dir, "documents")
     uni = CU.unigram_surprisal(docs)
+    bk = CU.unigram_surprisal(docs, n_buckets_hex=3).select(
+        "doc_id", F.col("mean_surprisal").alias("bucketed_surprisal")
+    )
     bi = CU.bigram_surprisal(docs).select("doc_id", "bigram_surprisal")
-    return uni.join(bi, "doc_id").orderBy("doc_id")
+    return uni.join(bk, "doc_id").join(bi, "doc_id").orderBy("doc_id")
 
 
 # bigram CTEs mirror curation.bigram_surprisal exactly: concat_ws-based
@@ -2143,6 +2148,12 @@ uni0 AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          round(avg(s), 6) AS mean_surprisal
   FROM s GROUP BY doc_id),
+bkt AS (SELECT doc_id, substr(md5(concat_ws(':', token, 'usur-v1')), 1, 3) AS token FROM tk),
+bv AS (SELECT token, count(*) AS tf FROM bkt GROUP BY token),
+bks AS (
+  SELECT bkt.doc_id, -ln(bv.tf / CAST(tot.total AS DOUBLE)) AS s
+  FROM bkt JOIN bv USING (token) CROSS JOIN tot),
+bku AS (SELECT doc_id, round(avg(s), 6) AS bucketed_surprisal FROM bks GROUP BY doc_id),
 pc AS (
   SELECT doc_id,
          CASE WHEN i > 1 THEN toks[i-1] END AS prev,
@@ -2172,8 +2183,9 @@ bs AS (
 bg AS (
   SELECT doc_id, round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS bigram_surprisal
   FROM bs GROUP BY doc_id)
-SELECT uni0.doc_id, uni0.n_tokens, uni0.mean_surprisal, bg.bigram_surprisal
-FROM uni0 JOIN bg USING (doc_id) ORDER BY doc_id
+SELECT uni0.doc_id, uni0.n_tokens, uni0.mean_surprisal,
+       bku.bucketed_surprisal, bg.bigram_surprisal
+FROM uni0 JOIN bku USING (doc_id) JOIN bg USING (doc_id) ORDER BY doc_id
 """
 
 
