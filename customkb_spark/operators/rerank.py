@@ -40,6 +40,16 @@ _MODELS: dict = {}
 
 
 def _get_crossencoder(model_name: str):
+    """Per-process model singleton, pinned to the TASK's scheduled GPU.
+
+    Device selection is the reference's memory-aware GPU routing
+    (rerank_manager.py:133-180 + utils/gpu_utils.py:115-148) expressed
+    through Spark resource scheduling: when the session declares
+    ``spark.task.resource.gpu.amount``, the scheduler hands each task
+    an address set and ``session.get_task_resource_addresses()`` reads
+    it here — so N rerank tasks on a multi-GPU executor each load onto
+    THEIR device instead of all piling onto cuda:0. No GPU assignment
+    (CPU session, or off-task) → the library's default device."""
     if model_name not in _MODELS:
         try:
             from sentence_transformers import CrossEncoder  # type: ignore
@@ -48,7 +58,11 @@ def _get_crossencoder(model_name: str):
                 "cross-encoder model unavailable; use overlap_score or "
                 "install sentence-transformers"
             ) from e
-        _MODELS[model_name] = CrossEncoder(model_name)
+        from customkb_spark.session import get_task_resource_addresses
+
+        addrs = get_task_resource_addresses("gpu")
+        device = f"cuda:{addrs[0]}" if addrs else None
+        _MODELS[model_name] = CrossEncoder(model_name, device=device)
     return _MODELS[model_name]
 
 

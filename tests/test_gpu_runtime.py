@@ -107,3 +107,36 @@ def test_task_resources_on_physical_gpu(tmp_path):
         assert report and report[0], "task saw no GPU addresses"
     finally:
         spark.stop()
+
+
+def test_crossencoder_loads_on_task_gpu(monkeypatch):
+    """_get_crossencoder must pass the task's scheduled GPU address as
+    the model device (cuda:<addr>), and None off-GPU — verified with a
+    fake sentence_transformers module so the device routing is tested
+    without the real dependency."""
+    import sys
+    import types
+
+    from customkb_spark.operators import rerank as R
+
+    captured = {}
+
+    class FakeCE:
+        def __init__(self, name, device=None):
+            captured[name] = device
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.CrossEncoder = FakeCE
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    monkeypatch.setattr(R, "_MODELS", {})
+
+    # off-task / CPU session: no gpu resource -> default device
+    R._get_crossencoder("m-cpu")
+    assert captured["m-cpu"] is None
+
+    # task with a scheduled GPU: pin to its address
+    monkeypatch.setattr(
+        "customkb_spark.session.get_task_resource_addresses", lambda r="gpu": ["1"]
+    )
+    R._get_crossencoder("m-gpu")
+    assert captured["m-gpu"] == "cuda:1"
