@@ -2438,6 +2438,14 @@ ORDER BY score DESC, id LIMIT 10
 
 
 FLAGSHIP_QUERY_TEXT = "spark data query table window fast"
+# the oracle's BM25 IN-list derives from the SAME constant through the
+# SAME tokenizer the Spark side uses (plans/hybrid.query_terms ≡
+# bm25_tokenize_py + min-length 2) — editing the query text cannot
+# desync the two sides
+_FLAGSHIP_TERMS_SQL = "(" + ", ".join(
+    f"'{t}'"
+    for t in sorted(set(t for t in X.bm25_tokenize_py(FLAGSHIP_QUERY_TEXT, "en") if len(t) >= 2))
+) + ")"
 
 
 def q_hybrid_context_flagship(spark, sf_dir):
@@ -2508,7 +2516,7 @@ bm AS (
          round(sum( ln((c.n - stats.df + 0.5) / (stats.df + 0.5) + 1.0) * (1.2 + 1.0)
                     / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * post.dl / c.avgdl)) ), 6) AS score
   FROM post JOIN stats USING (term), c
-  WHERE post.term IN ('spark', 'data', 'query', 'table', 'window', 'fast')
+  WHERE post.term IN {_FLAGSHIP_TERMS_SQL}
   GROUP BY id HAVING score > 0),
 bm_top AS (
   SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rnk

@@ -90,12 +90,17 @@ def train_centroids(
 ASSIGN_EXPR_MAX_NLIST = 256
 
 
-def _matmul_assign_udf(centroids: np.ndarray, with_sim: bool):
+def _matmul_assign_udf(centroids: np.ndarray, with_sim: bool, sc=None):
     """Arrow-batched pandas UDF holding the centroid matrix: one
-    ``(batch × nlist)`` numpy matmul per Arrow batch. Ships the
-    centroid matrix once per python worker via closure serialization
-    (nlist × dim doubles — 512 MB at nlist=64k/dim=1024, the same
-    footprint FAISS's coarse quantizer holds per node).
+    ``(batch × nlist)`` numpy matmul per Arrow batch.
+
+    With ``sc`` (a SparkContext) the matrix ships as a Spark BROADCAST
+    — fetched once per executor, read from local disk by every reused
+    python worker. Closure serialization would instead re-transfer the
+    matrix through the executor→worker command pipe per task, which at
+    the tier this path exists for (nlist=64k × dim=1024 → 512 MB, the
+    footprint FAISS's coarse quantizer holds per node) turns a
+    hundred-task stage into hundreds of GB of pipe traffic.
 
     argmin over full ``d2 = |c|² − 2·x·C`` (the per-row ``|x|²`` term
     cannot change the argmin) with numpy's first-minimum tiebreak —
@@ -104,9 +109,11 @@ def _matmul_assign_udf(centroids: np.ndarray, with_sim: bool):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
-    c2 = (C * C).sum(axis=1)
-    cnorm = np.sqrt(c2)
+    Cm = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bc = sc.broadcast(Cm) if sc is not None else None
+
+    def _mat():
+        return bc.value if bc is not None else Cm
 
     if not with_sim:
 
@@ -114,6 +121,8 @@ def _matmul_assign_udf(centroids: np.ndarray, with_sim: bool):
         def _assign(vs):
             if not len(vs):
                 return pd.Series([], dtype="int32")
+            C = _mat()
+            c2 = (C * C).sum(axis=1)
             X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
             dots = X @ C.T
             assign = (c2[None, :] - 2.0 * dots).argmin(axis=1)
@@ -126,6 +135,9 @@ def _matmul_assign_udf(centroids: np.ndarray, with_sim: bool):
         if not len(vs):
             return pd.DataFrame({"cluster_id": pd.Series([], dtype="int32"),
                                  "centroid_sim": pd.Series([], dtype="float64")})
+        C = _mat()
+        c2 = (C * C).sum(axis=1)
+        cnorm = np.sqrt(c2)
         X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
         dots = X @ C.T
         assign = (c2[None, :] - 2.0 * dots).argmin(axis=1)
@@ -166,9 +178,10 @@ def assign_clusters(
     if method == "auto":
         method = "expr" if len(centroids) <= ASSIGN_EXPR_MAX_NLIST else "matmul"
     if method == "matmul":
-        return vectors.withColumn(
-            "cluster_id", _matmul_assign_udf(centroids, with_sim=False)(F.col(vec_col))
+        udf = _matmul_assign_udf(
+            centroids, with_sim=False, sc=vectors.sparkSession.sparkContext
         )
+        return vectors.withColumn("cluster_id", udf(F.col(vec_col)))
     dists = F.array(
         *[
             V.l2_distance(F.col(vec_col), F.lit(c.tolist()).cast("array<double>"))
@@ -199,9 +212,10 @@ def assign_with_centroid_sim(
     if method == "auto":
         method = "expr" if len(centroids) <= ASSIGN_EXPR_MAX_NLIST else "matmul"
     if method == "matmul":
-        packed = vectors.withColumn(
-            "_asim", _matmul_assign_udf(centroids, with_sim=True)(F.col(vec_col))
+        udf = _matmul_assign_udf(
+            centroids, with_sim=True, sc=vectors.sparkSession.sparkContext
         )
+        packed = vectors.withColumn("_asim", udf(F.col(vec_col)))
         return (
             packed.withColumn("cluster_id", F.col("_asim.cluster_id"))
             .withColumn("centroid_sim", F.col("_asim.centroid_sim"))
@@ -223,7 +237,11 @@ def assign_with_centroid_sim(
 def nearest_clusters(query_vec: list[float], centroids: np.ndarray, nprobe: int) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids - q) ** 2).sum(axis=1)
-    return [int(i) for i in d2.argsort()[:nprobe]]
+    # stable sort: exact distance ties (e.g. duplicated centroids after
+    # an emptied k-means cell) break by lower cluster_id, matching the
+    # distributed probe UDF and SQL_ANN_IVF's ORDER BY d, cluster_id —
+    # numpy's default quicksort is NOT stable and could disagree
+    return [int(i) for i in d2.argsort(kind="stable")[:nprobe]]
 
 
 def _probe_clusters_udf(centroids: np.ndarray, nprobe: int):

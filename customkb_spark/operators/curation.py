@@ -562,12 +562,15 @@ def build_vocab(
         w = Window.orderBy(F.desc("tf"), F.asc("token"))
         return vocab.withColumn("rank", F.row_number().over(w).cast("long"))
     # phase 1: range-exchange on the sort key, pin each row's bucket id.
-    # cache() so the counts job and the final query see the SAME range
-    # boundaries (they are sampled from the input once materialized).
+    # localCheckpoint (not cache) so the counts job and the final query
+    # see the SAME range boundaries: eager materialization once, and
+    # the checkpoint RDD is released by the ContextCleaner when the
+    # result DataFrame goes out of scope — cache() would leak one
+    # vocabulary-sized block per call with no handle to unpersist.
     base = (
         vocab.repartitionByRange(rank_partitions, F.desc("tf"), F.asc("token"))
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint()
     )
     counts = {r["_pid"]: r["n"] for r in base.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     # phase 2: cumulative offsets (rank_partitions scalars) broadcast back

@@ -40,7 +40,7 @@ _MODELS: dict = {}
 
 
 def _get_crossencoder(model_name: str):
-    """Per-process model singleton, pinned to the TASK's scheduled GPU.
+    """Per-process model cache, pinned to the TASK's scheduled GPU.
 
     Device selection is the reference's memory-aware GPU routing
     (rerank_manager.py:133-180 + utils/gpu_utils.py:115-148) expressed
@@ -49,21 +49,28 @@ def _get_crossencoder(model_name: str):
     an address set and ``session.get_task_resource_addresses()`` reads
     it here — so N rerank tasks on a multi-GPU executor each load onto
     THEIR device instead of all piling onto cuda:0. No GPU assignment
-    (CPU session, or off-task) → the library's default device."""
-    if model_name not in _MODELS:
-        try:
-            from sentence_transformers import CrossEncoder  # type: ignore
-        except ImportError as e:  # pragma: no cover - not in container
-            raise NotImplementedError(
-                "cross-encoder model unavailable; use overlap_score or "
-                "install sentence-transformers"
-            ) from e
-        from customkb_spark.session import get_task_resource_addresses
+    (CPU session, or off-task) → the library's default device.
 
-        addrs = get_task_resource_addresses("gpu")
-        device = f"cuda:{addrs[0]}" if addrs else None
-        _MODELS[model_name] = CrossEncoder(model_name, device=device)
-    return _MODELS[model_name]
+    The cache key includes the device: with ``spark.python.worker.reuse``
+    (the default) a long-lived worker serves tasks that may be scheduled
+    DIFFERENT GPUs over time — a name-only key would pin every later
+    task to the first task's device.
+    """
+    try:
+        from sentence_transformers import CrossEncoder  # type: ignore
+    except ImportError as e:  # pragma: no cover - not in container
+        raise NotImplementedError(
+            "cross-encoder model unavailable; use overlap_score or "
+            "install sentence-transformers"
+        ) from e
+    from customkb_spark.session import get_task_resource_addresses
+
+    addrs = get_task_resource_addresses("gpu")
+    device = f"cuda:{addrs[0]}" if addrs else None
+    key = (model_name, device)
+    if key not in _MODELS:
+        _MODELS[key] = CrossEncoder(model_name, device=device)
+    return _MODELS[key]
 
 
 def overlap_score(query_terms: list[str], text_col) -> "F.Column":
@@ -204,6 +211,12 @@ def rerank_hits_cached(
         else overlap_score(query_terms, F.col("_text"))
     )
     if stats is not None:
+        # materialize the ≤rerank_top_k-row head join ONCE: without the
+        # checkpoint the stats aggregate would re-execute the entire
+        # upstream retrieval lineage (vector top-k + BM25 + fusion) as
+        # its own job, and the miss branch would run it again per
+        # consuming action
+        joined = joined.localCheckpoint()
         row = joined.agg(
             F.sum(F.col("_cached").isNotNull().cast("int")).alias("h"),
             F.count("*").alias("n"),

@@ -316,10 +316,19 @@ def streaming_minhash_dedup(
             )
         survivors = survivors.localCheckpoint()
         if survivors.limit(1).count():
-            survivors.write.mode("append").parquet(doc_path)
+            # BUCKETS FIRST: the replay guard anti-joins on doc_path, so
+            # a crash between the two appends must leave a state the
+            # replay can repair. Buckets-then-docs: a crash after the
+            # bucket append replays into duplicate bucket rows, which
+            # the candidate generation's distinct() already absorbs.
+            # Docs-then-buckets would be unrecoverable — the replay
+            # would see the docs as kept, skip the append, and those
+            # docs' buckets would be missing from the LSH probe forever
+            # (their future near-dups silently admitted).
             _buckets(
                 survivors.select(F.col("id").alias(id_col), F.col("text").alias(text_col))
             ).write.mode("append").partitionBy("kp").parquet(bucket_path)
+            survivors.write.mode("append").parquet(doc_path)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

@@ -39,3 +39,10 @@ def test_no_fingerprint_slowdown_is_slower_not_stall():
     new = _mk({"q": 3.0}, {})
     (row,) = diff(old, new, threshold=1.5)
     assert row[1] == "slower"
+
+
+def test_zero_vs_zero_is_steady():
+    old = _mk({"q": 0.0}, {"q": "abc"})
+    new = _mk({"q": 0.0}, {"q": "abc"})
+    (row,) = diff(old, new, threshold=1.5)
+    assert row[1] == "steady"

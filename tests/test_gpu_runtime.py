@@ -140,3 +140,13 @@ def test_crossencoder_loads_on_task_gpu(monkeypatch):
     )
     R._get_crossencoder("m-gpu")
     assert captured["m-gpu"] == "cuda:1"
+
+    # cache key includes the device: a REUSED python worker whose next
+    # task is scheduled a different GPU must load onto that GPU, not
+    # serve the first task's cached model
+    monkeypatch.setattr(
+        "customkb_spark.session.get_task_resource_addresses", lambda r="gpu": ["0"]
+    )
+    R._get_crossencoder("m-gpu")
+    assert captured["m-gpu"] == "cuda:0"
+    assert ("m-gpu", "cuda:1") in R._MODELS and ("m-gpu", "cuda:0") in R._MODELS

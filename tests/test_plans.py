@@ -316,7 +316,10 @@ def test_vocab_and_surprisal_aggregation_shapes(spark, documents):
     explode never materializes a per-row window."""
     from customkb_spark.operators.curation import build_vocab, unigram_surprisal
 
-    vplan = explain_str(build_vocab(documents), "simple")
+    # rank_partitions=1 keeps the whole lineage in one plan (the
+    # two-phase path eagerly checkpoints the aggregated vocab, so its
+    # returned plan starts at the checkpoint RDD)
+    vplan = explain_str(build_vocab(documents, rank_partitions=1), "simple")
     assert "HashAggregate" in vplan or "ObjectHashAggregate" in vplan
     splan = explain_str(unigram_surprisal(documents), "simple")
     assert "Window" not in splan

@@ -46,7 +46,13 @@ def diff(old: dict, new: dict, threshold: float) -> list[tuple[str, str, str]]:
             if q not in o_t:
                 rows.append((name, "added", f"{n_t[q]}s"))
                 continue
-            ratio = n_t[q] / o_t[q] if o_t[q] else float("inf")
+            # 0.0-vs-0.0 (sub-millisecond queries round to 0.0) is
+            # steady, not an infinite-ratio stall
+            ratio = (
+                n_t[q] / o_t[q]
+                if o_t[q]
+                else (1.0 if not n_t[q] else float("inf"))
+            )
             fp_known = q in o_fp and q in n_fp
             fp_same = fp_known and o_fp[q] == n_fp[q]
             detail = f"{o_t[q]}s -> {n_t[q]}s ({ratio:.2f}x)"
