@@ -2065,6 +2065,54 @@ FROM r GROUP BY 1 ORDER BY doc_id
 """
 
 
+SUBSTR_K = 8  # production uses ~50 (Lee et al. 2022); 8 surfaces the
+# synthetic corpus's planted template repeats at sf0.01
+
+
+def q_substring_dup_spans(spark, sf_dir):
+    """ExactSubstr (Lee et al. 2022) maximal duplicated token spans:
+    stride-1 k-token window hashes -> one partial-agg shuffle marks
+    every non-corpus-order-first occurrence -> per-doc
+    gaps-and-islands merge. The canonical first copy of each repeated
+    run is NOT reported (it survives dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicated_substring_spans(docs, k=SUBSTR_K).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SQL_SUBSTR_SPANS = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ')) AS whash
+  FROM tk, unnest(range(1, greatest(len(toks) - {SUBSTR_K} + 1, 0) + 1)) g(i)
+  WHERE len(toks) >= {SUBSTR_K}),
+r AS (SELECT doc_id, pos,
+        row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS occn
+      FROM occ),
+dup AS (SELECT doc_id, pos FROM r WHERE occn > 1),
+fl AS (SELECT doc_id, pos,
+         CASE WHEN max(pos + {SUBSTR_K}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {SUBSTR_K}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS newf
+       FROM dup),
+isl AS (SELECT doc_id, pos,
+          sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM fl)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SUBSTR_K} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 def q_weighted_sample_per_source(spark, sf_dir):
     """Quality-weighted selection (A-ES weighted sampling without
     replacement): top 3 docs per source, weight = n_chars — longer
@@ -3172,6 +3220,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fusion_scores": q_fusion_scores,
     "context_range_join": q_context_range_join,
     "dedup_exact": q_dedup_exact,
+    "substring_dup_spans": q_substring_dup_spans,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "doc_fingerprints": q_doc_fingerprints_all,
     "dedup_clusters_apply": q_dedup_clusters_apply,
@@ -3222,6 +3271,7 @@ _ORACLES: dict[str, str] = {
     "fusion_scores": SQL_FUSION_SCORES,
     "context_range_join": SQL_CONTEXT,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "substring_dup_spans": SQL_SUBSTR_SPANS,
     "minhash_lsh_dedup": _sql_minhash(),
     "doc_fingerprints": _sql_fingerprints_all(),
     "dedup_clusters_apply": SQL_CLUSTERS_APPLY,

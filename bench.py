@@ -87,6 +87,7 @@ EXTRA_QUERIES = [
     "pii_redaction",
     "repetition_signals",
     "span_dedup_stats",
+    "substring_dup_spans",
     "stratified_sample_mix",
     "vocab_topk",
     "boilerplate_spans",
@@ -108,6 +109,7 @@ EXTRA_QUERIES = [
 # the explode/shuffle cost dominates and near-linearity is measurable
 SF10_QUERIES = [
     "span_dedup_stats",
+    "substring_dup_spans",
     "corpus_filter_pipeline",
     "cross_corpus_shingle_join",
     "minhash_lsh_dedup",

@@ -11,6 +11,11 @@ All variants are shuffle-conscious:
 - simhash:    per-row fingerprint (single aggregate over the token
               array, zero shuffle); duplicates share a fingerprint.
 - ngram jaccard: per-row array_intersect over candidate pairs only.
+- exact substring: stride-1 k-token window hashes → one partial-agg
+              shuffle marks non-canonical occurrences → per-doc
+              gaps-and-islands merge into maximal duplicated spans
+              (ExactSubstr, Lee et al. 2022); apply cuts the spans out,
+              keeping the corpus-order first copy.
 - embedding:  cosine over LSH/band-bucketed candidates (or brute force
               below a size threshold).
 - semantic:   SemDeDup (Abbas et al. 2023) — k-means cells scope the
@@ -36,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from customkb_spark.functions import hashing as H
 from customkb_spark.functions import text as X
@@ -541,4 +547,161 @@ def semdedup_incremental(
         new_embeddings.join(
             dup_ids, new_embeddings[id_col] == dup_ids["_dup_id"], "left_anti"
         )
+    )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """ExactSubstr duplicated-span report — Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" (the
+    suffix-array exact-substring dedup; no reference module implements
+    it, the paper is the spec — it complements the reference's
+    document-level hygiene in database/chunking.py the same way
+    span_dedup_stats complements C4).
+
+    Every stride-1 window of ``k`` tokens is hashed; an occurrence is a
+    *duplicate* when the same window text occurs elsewhere in the
+    corpus and this occurrence is not the corpus-order first (min
+    (doc, pos) — the canonical copy, which survives). Overlapping or
+    adjacent duplicate windows merge into maximal spans
+    (gaps-and-islands), the fixed-window approximation of the paper's
+    arbitrary-length suffix-array repeats: any duplicated substring of
+    m >= k tokens yields m-k+1 consecutive duplicated windows that
+    merge back into exactly the full span; nothing shorter than k can
+    produce a window at all.
+
+    Returns ``(id_col, span_start, span_end, n_windows)`` — token
+    positions under the corpus tokenizer (functions/text.tokens),
+    0-based, end-exclusive, ordered within a doc by span_start.
+
+    Plan at 100 TB:
+    - window hashing is map-side (O(n_tokens x k) chars hashed per
+      doc; a rolling Karp-Rabin over per-token hashes is the upgrade
+      path if k grows — same output contract);
+    - the occurrence table shuffles ONCE on the 128-bit window hash
+      with full partial aggregation (count + min-struct both combine
+      map-side), so a hyper-common boilerplate window collapses to one
+      row per map task and can't pin a reducer;
+    - duplicate marking joins occurrences against the (count > 1)
+      aggregate — one row per duplicated hash on the build side, no
+      fan-out. Below the broadcast threshold the duplicated-hash table
+      broadcasts and the occurrence side never shuffles; above it the
+      sort-merge join is AQE-skew-splittable (a boilerplate window with
+      millions of occurrences splits across tasks because the build
+      side carries exactly one row per key);
+    - the occurrence lineage is evaluated twice (probe + aggregate
+      input) — both are map-side scans; localCheckpoint it only when
+      tokenize+hash dominates the cost of materializing a
+      corpus-token-sized table;
+    - the interval merge is a per-document window (bounded by doc
+      length), never a corpus-wide or single-partition sort.
+    """
+    toked = docs.select(F.col(id_col), X.tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= k
+    )
+    occ = toked.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
+            )
+        ).alias("pos", "whash"),
+    )
+    agg = (
+        occ.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("_n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .filter(F.col("_n_occ") > 1)
+    )
+    dup = (
+        occ.join(agg, "whash")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        id_col,
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    islands = flagged.select(
+        id_col,
+        "pos",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Shipped-corpus counterpart of duplicated_substring_spans: cut
+    the duplicated spans out of every document, keeping the
+    corpus-order canonical occurrence (ExactSubstr's remove-all-but-one
+    policy). A fully-duplicated non-canonical document comes back with
+    empty text (the paper drops it; callers filter on n_tokens >
+    removed_tokens if they want that).
+
+    Returns ``(id_col, n_tokens, removed_tokens, text_col)`` — the
+    cleaned text re-joined on single spaces (the tokenizer's whitespace
+    canonicalization, same convention as content_hash). Every input doc
+    appears exactly once, cleaned or untouched.
+
+    The span list per doc is small (it is the output of an interval
+    merge), so the token filter is an O(n_tokens x n_spans) JVM
+    expression — no Python, no extra shuffle beyond the spans job.
+    """
+    spans = duplicated_substring_spans(docs, id_col, text_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toked = docs.select(F.col(id_col), X.tokens(text_col).alias("_toks"))
+    joined = toked.join(per_doc, id_col, "left").select(
+        id_col,
+        "_toks",
+        F.coalesce(
+            "_spans",
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ).alias("_spans"),
+    )
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_spans",
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.array_join(kept, " ").alias(text_col),
     )

@@ -245,3 +245,79 @@ def test_semdedup_incremental_prunes_kept_partitions(spark, tmp_path):
     # Catalyst simplifies a single landed cell's IN to an equality
     assert pf and "cluster_id" in pf[0] and (" IN " in pf[0] or " = " in pf[0])
     assert out.count() == 1  # novel doc admitted
+
+
+def test_substring_spans_planted_cross_doc(spark):
+    """A shared >=k-token passage is reported once, in the
+    non-canonical doc only, covering exactly the shared run."""
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " and runs far away"),
+            (2, "intro words here " + shared + " trailing bits"),
+            (3, "completely different content with no shared runs at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = D.duplicated_substring_spans(docs, k=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # doc 1 is corpus-order first -> canonical; doc 2 carries the span
+    assert r["doc_id"] == 2
+    assert (r["span_start"], r["span_end"]) == (3, 13)  # 10 shared tokens
+
+
+def test_substring_spans_below_k_invisible(spark):
+    """A shared run shorter than k can produce no window at all."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique tail one"),
+            (2, "other head alpha beta gamma delta distinct end"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert D.duplicated_substring_spans(docs, k=5).count() == 0
+
+
+def test_substring_spans_internal_repeat_merges(spark):
+    """Self-repetition: first occurrence canonical, later copies merge
+    into ONE maximal island even though their windows overlap."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee aa bb cc dd ee aa bb cc dd ee")],
+        ["doc_id", "text"],
+    )
+    rows = D.duplicated_substring_spans(docs, k=5).collect()
+    assert len(rows) == 1
+    assert (rows[0]["span_start"], rows[0]["span_end"]) == (5, 15)
+
+
+def test_exact_substring_dedup_apply(spark):
+    """Apply cuts the duplicated spans, keeps the canonical copy, and
+    returns every doc exactly once with consistent counters."""
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " enda aa"),
+            (2, "head x " + shared + " endb bb"),
+            (3, "unrelated words entirely here today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.exact_substring_dedup(docs, k=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["removed_tokens"] == 0 and out[1]["text"].startswith("one two")
+    assert out[2]["removed_tokens"] == 8
+    assert out[2]["text"] == "head x endb bb"
+    assert out[3]["removed_tokens"] == 0
+    for r in out.values():
+        assert r["n_tokens"] - r["removed_tokens"] == len(r["text"].split())
+
+
+def test_substring_spans_fully_duplicated_doc_empties(spark):
+    """A non-canonical doc that is one big duplicated run cleans to
+    empty text (the paper's drop case, left to the caller)."""
+    t = "p q r s t u v w"
+    docs = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.exact_substring_dedup(docs, k=4).collect()}
+    assert out[1]["text"] == t and out[1]["removed_tokens"] == 0
+    assert out[2]["text"] == "" and out[2]["removed_tokens"] == 8

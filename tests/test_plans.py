@@ -398,3 +398,18 @@ def test_bucketed_groupby_no_exchange(spark, documents):
         assert "Exchange" not in plan_w
     finally:
         L.drop_table(spark, "t_bucketed_chunks")
+
+
+def test_substring_spans_plan_shape(spark, documents):
+    """ExactSubstr spans: the window-hash shuffle must carry partial
+    aggregation (hot boilerplate windows collapse map-side), every
+    Window must be partitioned by the doc id (never global), and the
+    tokenizer must be materialized once per scan, not re-run per
+    window element."""
+    from customkb_spark.operators.dedup import duplicated_substring_spans
+
+    plan = explain_str(duplicated_substring_spans(documents, k=8), "simple")
+    assert "partial_count" in plan and "partial_min" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line.split("windowspecdefinition")[1][:40]
