@@ -1,6 +1,8 @@
 """KnowledgeBase facade: database→embed→query lifecycle, incremental
 ingest, verify stats, answer stub."""
 
+from pyspark.sql import functions as F
+
 from customkb_spark.config import KBConfig
 from customkb_spark.kb import KnowledgeBase
 from customkb_spark.plans.answer import ExtractiveStubLLM, build_prompt, generate_answer
@@ -160,3 +162,37 @@ def test_verify_reports_index_freshness(spark, tmp_path, documents):
     # language change makes the persisted postings the wrong index
     kb.cfg.language = "de"
     assert kb.verify()["bm25_index"] == "stale"
+
+
+def test_column_profile_hll_tier(spark):
+    """Web-scale profile tier: approx_count_distinct sketches fold into
+    the single-pass aggregation (no Expand / no per-column distinct
+    shuffles) and land within the HLL rsd of the exact counts."""
+    from customkb_spark.plans.maintenance import column_profile
+
+    df = spark.range(5000).selectExpr(
+        "id", "id % 97 AS mod97", "CAST(id % 7 AS STRING) AS s7"
+    )
+    exact = {r["column"]: r for r in column_profile(df).collect()}
+    approx = {r["column"]: r for r in column_profile(df, approx=True, rsd=0.02).collect()}
+    assert set(exact) == set(approx) == {"id", "mod97", "s7"}
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert a["n_nulls"] == e["n_nulls"]
+        assert (a["min_value"], a["max_value"]) == (e["min_value"], e["max_value"])
+        # HLL++ at rsd=0.02: allow 5 sigma
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(3, 0.1 * e["n_distinct"])
+
+    # plan shape: the exact tier needs Expand for multi-distinct; the
+    # HLL tier must not (sketches are plain partial aggregates)
+    aggs_exact = [
+        F.count_distinct(F.col(c)).alias(c) for c in ("id", "mod97", "s7")
+    ]
+    aggs_hll = [
+        F.approx_count_distinct(F.col(c), 0.02).alias(c)
+        for c in ("id", "mod97", "s7")
+    ]
+    plan_exact = df.agg(*aggs_exact)._jdf.queryExecution().executedPlan().toString()
+    plan_hll = df.agg(*aggs_hll)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan_exact
+    assert "Expand" not in plan_hll
