@@ -1982,6 +1982,80 @@ ORDER BY b.doc_id
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """The FULL Gopher repetition battery (Rae et al. 2021 table A1):
+    dup line/para occurrence+char fractions, top 2/3/4-gram char
+    fractions, de-overlapped dup 5..10-gram char coverage. One gram
+    explode feeds both families; dup masks fan out only duplicated
+    positions."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.gopher_repetition(docs).orderBy("doc_id")
+
+
+SQL_GOPHER_REP = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+tk AS (
+  SELECT doc_id, txt, {SQL_TOKS.format(c='txt')} AS toks,
+         string_split(txt, chr(10)) AS ls,
+         string_split(txt, chr(10) || chr(10)) AS ps
+  FROM d),
+base AS (
+  SELECT doc_id, toks,
+    CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS total,
+    round((len(ls) - len(list_distinct(ls))) / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS dup_line_frac,
+    round((coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+         - coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0))
+        / CAST(greatest(length(txt), 1) AS DOUBLE), 6) AS dup_line_char_frac,
+    round((len(ps) - len(list_distinct(ps))) / CAST(greatest(len(ps), 1) AS DOUBLE), 6) AS dup_para_frac,
+    round((coalesce(list_sum(list_transform(ps, x -> length(x))), 0)
+         - coalesce(list_sum(list_transform(list_distinct(ps), x -> length(x))), 0))
+        / CAST(greatest(length(txt), 1) AS DOUBLE), 6) AS dup_para_char_frac
+  FROM tk),
+ex AS (
+  SELECT doc_id, n, i - 1 AS pos,
+         md5(array_to_string(toks[i:i+n-1], ' ')) AS ghash,
+         length(array_to_string(toks[i:i+n-1], ' ')) AS glen
+  FROM base, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n),
+       unnest(range(1, greatest(len(toks) - n + 1, 0) + 1)) g(i)),
+counted AS (
+  SELECT doc_id, n, pos, ghash, glen,
+         count(*) OVER (PARTITION BY doc_id, n, ghash) AS cnt
+  FROM ex),
+tops AS (
+  SELECT doc_id, n, cnt * glen AS cov
+  FROM (SELECT DISTINCT doc_id, n, ghash, glen, cnt FROM counted WHERE n IN (2, 3, 4))
+  QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                             ORDER BY cnt DESC, glen DESC, ghash DESC) = 1),
+cov_tok AS (
+  SELECT DISTINCT doc_id, n, pos + o AS tpos
+  FROM counted, unnest(range(0, n)) u(o)
+  WHERE cnt > 1 AND n >= 5),
+tl AS (
+  SELECT doc_id, i - 1 AS tpos, length(toks[i]) AS tlen
+  FROM base, unnest(range(1, len(toks) + 1)) t(i)),
+covj AS (
+  SELECT c.doc_id, c.n, tl.tlen,
+         CASE WHEN lag(c.tpos) OVER (PARTITION BY c.doc_id, c.n ORDER BY c.tpos) = c.tpos - 1
+              THEN 1 ELSE 0 END AS adj
+  FROM cov_tok c JOIN tl ON tl.doc_id = c.doc_id AND tl.tpos = c.tpos),
+covagg AS (SELECT doc_id, n, sum(tlen) + sum(adj) AS cov FROM covj GROUP BY 1, 2)
+SELECT b.doc_id, b.dup_line_frac, b.dup_line_char_frac, b.dup_para_frac, b.dup_para_char_frac,
+  round(coalesce(max(CASE WHEN t.n = 2 THEN t.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS top_2_gram_char_frac,
+  round(coalesce(max(CASE WHEN t.n = 3 THEN t.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS top_3_gram_char_frac,
+  round(coalesce(max(CASE WHEN t.n = 4 THEN t.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS top_4_gram_char_frac,
+  round(coalesce(max(CASE WHEN c.n = 5 THEN c.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS dup_5_gram_char_frac,
+  round(coalesce(max(CASE WHEN c.n = 6 THEN c.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS dup_6_gram_char_frac,
+  round(coalesce(max(CASE WHEN c.n = 7 THEN c.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS dup_7_gram_char_frac,
+  round(coalesce(max(CASE WHEN c.n = 8 THEN c.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS dup_8_gram_char_frac,
+  round(coalesce(max(CASE WHEN c.n = 9 THEN c.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS dup_9_gram_char_frac,
+  round(coalesce(max(CASE WHEN c.n = 10 THEN c.cov END), 0) / CAST(greatest(b.total, 1) AS DOUBLE), 6) AS dup_10_gram_char_frac
+FROM base b LEFT JOIN tops t USING (doc_id) LEFT JOIN covagg c USING (doc_id)
+GROUP BY b.doc_id, b.dup_line_frac, b.dup_line_char_frac, b.dup_para_frac,
+         b.dup_para_char_frac, b.total
+ORDER BY b.doc_id
+"""
+
+
 def q_corpus_profile(spark, sf_dir):
     """Corpus profiling report — the first thing run on any new crawl:
     per (source, lang) doc counts, token-length distribution (exact
@@ -3182,6 +3256,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_metadata": q_chunk_metadata,
     "curation_doc_report": q_curation_doc_report,
     "pii_redaction": q_pii_redaction,
+    "gopher_repetition": q_gopher_repetition,
     "cross_corpus_shingle_join": q_cross_corpus_shingle_join,
     "corpus_profile": q_corpus_profile,
     "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -3237,6 +3312,7 @@ _ORACLES: dict[str, str] = {
     "chunk_metadata": SQL_CHUNK_METADATA,
     "curation_doc_report": SQL_CURATION_REPORT,
     "pii_redaction": _sql_pii(),
+    "gopher_repetition": SQL_GOPHER_REP,
     "cross_corpus_shingle_join": SQL_CROSS_SHINGLE,
     "corpus_profile": _sql_corpus_profile(),
     "corpus_filter_pipeline": _sql_corpus_filter(),

@@ -86,6 +86,7 @@ EXTRA_QUERIES = [
     "decontaminate_overlap",
     "pii_redaction",
     "repetition_signals",
+    "gopher_repetition",
     "span_dedup_stats",
     "substring_dup_spans",
     "stratified_sample_mix",

@@ -218,6 +218,190 @@ def repetition_signals(
     )
 
 
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The FULL Gopher §A1.1 repetition battery (Rae et al. 2021,
+    table A1) — per document:
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of line (resp.
+      blank-line-separated paragraph) occurrences that repeat an
+      earlier identical line/paragraph;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters in
+      those repeated occurrences over ``length(text)``;
+    - ``top_{n}_gram_char_frac`` (n ∈ ``top_ns``) — characters covered
+      by occurrences of the single most frequent word n-gram
+      (count × n-gram char length, the paper's convention — overlapping
+      occurrences are not de-overlapped, so degenerate "a a a …" docs
+      can exceed 1);
+    - ``dup_{n}_gram_char_frac`` (n ∈ ``dup_ns``) — characters covered
+      by the UNION of all word n-grams that occur more than once in
+      the doc (de-overlapped, the paper's "all duplicate n-grams"
+      mask).
+
+    Char space for the n-gram metrics is the whitespace-canonicalized
+    token join (tokens + single separating spaces — the corpus
+    tokenizer's text form, same convention as content_hash /
+    exact_substring_dedup); a separating space counts as covered when
+    both flanking tokens are covered. Line/para metrics are over the
+    raw text. Published drop thresholds (0.30/0.20 lines, 0.20/0.18/
+    0.16 top 2/3/4-grams, 0.15..0.10 dup 5..10-grams) are the
+    caller's; this reports the signals.
+
+    Plan at 100 TB (everything is per-doc; no corpus-wide key ever
+    shuffles):
+    - line/para metrics and the gram build are pure map-side column
+      algebra (one ``transform`` per n over the staged token array);
+    - ONE posexploded gram table feeds both metric families; gram
+      counts come from a (doc, n, gram)-partitioned window (hot grams
+      stay inside their doc's partition — skew is bounded by doc
+      length, not corpus frequency);
+    - the duplicate-gram mask fans out ONLY duplicated positions
+      (× n ≤ 10), then joins token lengths on (doc, pos) — corpus-
+      token-sized but hash-co-located, with map-side distinct first;
+    - per-doc pivots are tiny (≤ len(top_ns)+len(dup_ns) rows/doc).
+    """
+    from pyspark.sql.window import Window
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    lines = F.split(F.col("_txt"), "\n")
+    paras = F.split(F.col("_txt"), "\n\n")
+    chars_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+
+    base = (
+        df.select(
+            F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_txt")
+        )
+        .withColumn("_toks", X.tokens("_txt"))
+        .withColumn("_total", F.length(F.array_join("_toks", " ")))
+    )
+    doc_metrics = base.select(
+        id_col,
+        "_toks",
+        "_total",
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            (chars_of(lines) - chars_of(F.array_distinct(lines)))
+            / F.greatest(F.length("_txt"), F.lit(1)),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.round(
+            (F.size(paras) - F.size(F.array_distinct(paras)))
+            / F.greatest(F.size(paras), F.lit(1)),
+            6,
+        ).alias("dup_para_frac"),
+        F.round(
+            (chars_of(paras) - chars_of(F.array_distinct(paras)))
+            / F.greatest(F.length("_txt"), F.lit(1)),
+            6,
+        ).alias("dup_para_char_frac"),
+    )
+
+    def gram_structs(n: int) -> Column:
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice("_toks", i + 1, n), " ")).alias(
+                        "ghash"
+                    ),
+                    F.length(F.array_join(F.slice("_toks", i + 1, n), " ")).alias(
+                        "glen"
+                    ),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<n:int,pos:int,ghash:string,glen:int>>"
+            )
+        )
+
+    ex = doc_metrics.select(
+        id_col, F.explode(F.flatten(F.array(*[gram_structs(n) for n in all_ns]))).alias("g")
+    ).select(id_col, "g.n", "g.pos", "g.ghash", "g.glen")
+    wg = Window.partitionBy(id_col, "n", "ghash")
+    counted = ex.withColumn("cnt", F.count(F.lit(1)).over(wg))
+
+    # --- top-n-gram char fraction: argmax by (cnt, glen, ghash) ---
+    top = (
+        counted.filter(F.col("n").isin(list(top_ns)))
+        .groupBy(id_col, "n", "ghash", "glen", "cnt")
+        .agg(F.count(F.lit(1)).alias("_dummy"))
+        .groupBy(id_col, "n")
+        .agg(F.max(F.struct("cnt", "glen", "ghash")).alias("_top"))
+        .select(
+            id_col,
+            "n",
+            (F.col("_top.cnt") * F.col("_top.glen")).cast("long").alias("_cov"),
+        )
+        .groupBy(id_col)
+        .pivot("n", list(top_ns))
+        .agg(F.first("_cov"))
+    )
+    top = top.select(
+        id_col, *[F.col(str(n)).alias(f"_top{n}") for n in top_ns]
+    )
+
+    # --- duplicate-n-gram coverage: union mask over covered tokens ---
+    tl = base.select(
+        id_col, F.posexplode(F.transform("_toks", F.length)).alias("tpos", "tlen")
+    )
+    cov_tok = (
+        counted.filter((F.col("cnt") > 1) & F.col("n").isin(list(dup_ns)))
+        .select(
+            id_col,
+            "n",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
+    wadj = Window.partitionBy(id_col, "n").orderBy("tpos")
+    cov = (
+        cov_tok.join(tl, [id_col, "tpos"])
+        .withColumn(
+            "_adj",
+            (F.lag("tpos").over(wadj) == F.col("tpos") - 1).cast("long"),
+        )
+        .groupBy(id_col, "n")
+        .agg(
+            (F.sum("tlen") + F.sum(F.coalesce("_adj", F.lit(0)))).alias("_cov")
+        )
+        .groupBy(id_col)
+        .pivot("n", list(dup_ns))
+        .agg(F.first("_cov"))
+    )
+    cov = cov.select(id_col, *[F.col(str(n)).alias(f"_dup{n}") for n in dup_ns])
+
+    out = doc_metrics.drop("_toks").join(top, id_col, "left").join(cov, id_col, "left")
+    frac = lambda c: F.round(  # noqa: E731
+        F.coalesce(F.col(c), F.lit(0)) / F.greatest("_total", F.lit(1)), 6
+    )
+    return out.select(
+        id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        *[frac(f"_top{n}").alias(f"top_{n}_gram_char_frac") for n in top_ns],
+        *[frac(f"_dup{n}").alias(f"dup_{n}_gram_char_frac") for n in dup_ns],
+    )
+
+
 # Gopher §A1's "essential English words" gate set (Rae et al. 2021,
 # published thresholds): a doc must contain ≥ 2 of these.
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

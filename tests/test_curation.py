@@ -590,3 +590,61 @@ def test_temperature_mix_nonstring_strata(spark):
     n = out.count()
     assert 500 < n < 1500  # near-budget, not zero
     assert out.filter(~F.col("is_code")).count() > 0  # both strata present
+
+
+# ---------------------------------------------- gopher full battery
+
+
+def test_gopher_repetition_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world\nhello world\nunique line here"),
+            (2, "para one text\n\npara one text\n\nother para"),
+            (3, "aa bb cc dd ee ff gg hh " * 3),
+            (4, "x y x y x y x y distinct tail words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.gopher_repetition(docs).collect()}
+    # doc 1: 1 of 3 lines repeats; 11 of 40 raw chars; top 2-gram
+    # 'hello world' x2 over canonical len 40
+    assert out[1].dup_line_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1].dup_line_char_frac == pytest.approx(11 / 40, abs=1e-6)
+    assert out[1].top_2_gram_char_frac == pytest.approx(22 / 40, abs=1e-6)
+    assert out[1].dup_5_gram_char_frac == 0.0
+    # doc 2: paragraph repeats (1 of 3)
+    assert out[2].dup_para_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2].dup_para_char_frac == pytest.approx(13 / 40, abs=1e-6)
+    # doc 3: period-8 self-repetition -> every 5..10-gram duplicated,
+    # whole canonical text covered
+    for n in (5, 6, 7, 8, 9, 10):
+        assert out[3][f"dup_{n}_gram_char_frac"] == 1.0
+    # doc 4: 'x y' x4, glen 3, canonical len 35; 5-gram dup mask covers
+    # tokens 0..7 = 8 chars + 7 inner spaces
+    assert out[4].top_2_gram_char_frac == pytest.approx(12 / 35, abs=1e-6)
+    assert out[4].dup_5_gram_char_frac == pytest.approx(15 / 35, abs=1e-6)
+    assert out[4].dup_7_gram_char_frac == 0.0
+
+
+def test_gopher_repetition_degenerate_docs(spark):
+    """Empty and below-n docs report all-zero signals, never NULLs."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "short"), (3, None)], ["doc_id", "text"]
+    )
+    rows = C.gopher_repetition(docs).collect()
+    assert len(rows) == 3
+    for r in rows:
+        for c in r.asDict():
+            if c != "doc_id":
+                assert r[c] == 0.0, (r["doc_id"], c, r[c])
+
+
+def test_gopher_repetition_top_gram_overlap_uncapped(spark):
+    """Paper convention: top-n-gram coverage is count x glen, not
+    de-overlapped — degenerate repetition can exceed 1."""
+    docs = spark.createDataFrame([(1, "a a a a a a")], ["doc_id", "text"])
+    r = C.gopher_repetition(docs).collect()[0]
+    # 'a a' occurs 5x, glen 3, canonical len 11 -> 15/11
+    assert r.top_2_gram_char_frac == pytest.approx(15 / 11, abs=1e-6)
+    # dup mask is de-overlapped: covers everything -> exactly 1
+    assert r.dup_5_gram_char_frac == 1.0

@@ -413,3 +413,16 @@ def test_substring_spans_plan_shape(spark, documents):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "doc_id" in line.split("windowspecdefinition")[1][:40]
+
+
+def test_gopher_repetition_plan_shape(spark, documents):
+    """Full Gopher battery: every window is (doc-, n-, gram-)scoped —
+    never global — and the dup-mask pivot aggregates carry partial
+    aggregation."""
+    from customkb_spark.operators.curation import gopher_repetition
+
+    plan = explain_str(gopher_repetition(documents), "simple")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line.split("windowspecdefinition")[1][:60]
+    assert "partial_" in plan
