@@ -600,18 +600,7 @@ def duplicated_substring_spans(
     - the interval merge is a per-document window (bounded by doc
       length), never a corpus-wide or single-partition sort.
     """
-    toked = docs.select(F.col(id_col), X.tokens(text_col).alias("_toks")).filter(
-        F.size("_toks") >= k
-    )
-    occ = toked.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - k),
-                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
-            )
-        ).alias("pos", "whash"),
-    )
+    occ = _window_occurrences(docs, id_col, text_col, k)
     agg = (
         occ.groupBy("whash")
         .agg(
@@ -630,6 +619,32 @@ def duplicated_substring_spans(
         )
         .select(id_col, "pos")
     )
+    return _merge_dup_spans(dup, id_col, k)
+
+
+def _window_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, whash) for every stride-1 k-token window — map-side
+    (tokenize + transform + posexplode, no shuffle)."""
+    toked = docs.select(F.col(id_col), X.tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= k
+    )
+    return toked.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
+            )
+        ).alias("pos", "whash"),
+    )
+
+
+def _merge_dup_spans(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into
+    maximal ``(span_start, span_end, n_windows)`` spans — per-document
+    windows only (bounded by doc length, never corpus-wide)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -680,6 +695,15 @@ def exact_substring_dedup(
     expression — no Python, no extra shuffle beyond the spans job.
     """
     spans = duplicated_substring_spans(docs, id_col, text_col, k)
+    return _cut_spans(docs, spans, id_col, text_col)
+
+
+def _cut_spans(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Remove token spans from documents: every input doc comes back
+    exactly once as ``(id, n_tokens, removed_tokens, text)`` with the
+    span tokens filtered out and the rest re-joined on single spaces."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

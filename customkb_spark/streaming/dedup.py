@@ -3,7 +3,8 @@
 Streaming forms a training-data pipeline needs beyond batch dedup
 (operators/dedup.py) — one gate per duplicate geometry: exact
 (``streaming_dedup_exact``), lexical near-dup
-(``streaming_minhash_dedup``), semantic (``streaming_semantic_dedup``):
+(``streaming_minhash_dedup``), semantic (``streaming_semantic_dedup``),
+exact substrings (``streaming_substring_dedup``):
 
 - ``streaming_dedup_exact``: drop documents whose content hash was
   already seen, state-bounded by a watermark
@@ -329,6 +330,143 @@ def streaming_minhash_dedup(
                 survivors.select(F.col("id").alias(id_col), F.col("text").alias(text_col))
             ).write.mode("append").partitionBy("kp").parquet(bucket_path)
             survivors.write.mode("append").parquet(doc_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_substring_dedup(
+    docs_stream: DataFrame,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> StreamingQuery:
+    """Streaming ExactSubstr admission (Lee et al. 2022): maintain a
+    corpus whose duplicated >=k-token spans — against EVERYTHING
+    processed before, across batches — are cut out, keeping the
+    arrival-order first copy. The fourth streaming duplicate geometry
+    (exact hashes / lexical MinHash / semantic embedding / exact
+    substrings).
+
+    Standing state under ``kept_dir``:
+      - ``docs``:   (id, n_tokens, removed_tokens, text) — finalized
+        cleaned documents (a doc's text never changes after its batch:
+        the canonical first copy survives, exactly like the batch
+        operator);
+      - ``hashes``: (kp, whash, src_id) — every k-token window hash of
+        every processed doc's ORIGINAL text (cut regions included: any
+        earlier occurrence marks a later one, the batch rule), written
+        PARTITIONED BY ``kp`` (md5-prefix, 256 values).
+
+    Per micro-batch (foreachBatch):
+    1. drop ids already finalized (epoch-replay guard);
+    2. window-hash the batch (map-side) and probe the standing hashes:
+       the batch's distinct hash set BROADCASTS, so the standing state
+       is scanned map-side and never shuffles — per-batch join output
+       is bounded by the batch's own window count. State rows whose
+       ``src_id`` is in the current batch are ignored, so a replay
+       after a crash between the two appends cannot poison itself with
+       its own half-written hashes;
+    3. mark duplicate occurrences: state hit -> every batch occurrence
+       is a duplicate; otherwise the batch-internal rule (count > 1,
+       corpus-order min survives). Gaps-and-islands merge + span cut
+       reuse the batch operator's helpers;
+    4. append HASHES FIRST, then cleaned docs (a crash between them
+       replays into self-excluded hash rows — absorbed; docs-then-
+       hashes would finalize docs whose windows never reach state, and
+       their future duplicates would be silently admitted).
+
+    Streaming == batch: when ids arrive in ascending order (the batch
+    operator's corpus order), the final docs table equals
+    ``exact_substring_dedup`` on the concatenated corpus — locked by
+    the equivalence test. At 100 TB the per-batch cost is one map-side
+    scan of the hash state + batch-sized work; the upgrade path is a
+    lakehouse hash table with bloom-filter point lookups in place of
+    the parquet scan.
+    """
+    from customkb_spark.operators.dedup import (
+        _cut_spans,
+        _merge_dup_spans,
+        _window_occurrences,
+    )
+
+    doc_path = os.path.join(kept_dir, "docs")
+    hash_path = os.path.join(kept_dir, "hashes")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint()
+        if os.path.isdir(doc_path):
+            batch = batch.join(
+                spark.read.parquet(doc_path).select(id_col), id_col, "left_anti"
+            ).localCheckpoint()
+        if not batch.limit(1).count():
+            return
+
+        occ = _window_occurrences(batch, id_col, text_col, k).localCheckpoint()
+        batch_hashes = occ.select("whash").distinct()
+
+        if os.path.isdir(hash_path):
+            kps = [r["kp"] for r in occ.select(
+                F.substring("whash", 1, 2).alias("kp")).distinct().collect()]
+            state = spark.read.parquet(hash_path).filter(F.col("kp").isin(kps))
+            seen = (
+                state.join(F.broadcast(batch_hashes), "whash", "left_semi")
+                .join(
+                    F.broadcast(batch.select(F.col(id_col).alias("src_id"))),
+                    "src_id",
+                    "left_anti",
+                )
+                .select("whash")
+                .distinct()
+            )
+        else:
+            seen = spark.createDataFrame([], "whash string")
+
+        agg = occ.groupBy("whash").agg(
+            F.count(F.lit(1)).alias("_n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        dup = (
+            occ.join(agg, "whash")
+            .join(
+                F.broadcast(seen.withColumn("_seen", F.lit(True))), "whash", "left"
+            )
+            .filter(
+                F.coalesce("_seen", F.lit(False))
+                | (
+                    (F.col("_n_occ") > 1)
+                    & ~(
+                        (F.col(id_col) == F.col(f"_first.{id_col}"))
+                        & (F.col("pos") == F.col("_first.pos"))
+                    )
+                )
+            )
+            .select(id_col, "pos")
+        )
+        spans = _merge_dup_spans(dup, id_col, k)
+        cleaned = _cut_spans(batch, spans, id_col, text_col).localCheckpoint()
+
+        # HASHES FIRST (see docstring): original-text windows, one row
+        # per (window-hash, contributing doc)
+        (
+            occ.select(
+                F.substring("whash", 1, 2).alias("kp"),
+                "whash",
+                F.col(id_col).alias("src_id"),
+            )
+            .distinct()
+            .write.mode("append")
+            .partitionBy("kp")
+            .parquet(hash_path)
+        )
+        cleaned.write.mode("append").parquet(doc_path)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

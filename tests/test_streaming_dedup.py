@@ -244,3 +244,72 @@ def test_streaming_minhash_dedup_admits_rejects_and_replays(spark, tmp_path):
     losers = {r.id for r in comps.filter("id != cluster_id").collect()}
     batch_kept = sorted(d for d, _ in [r for w in waves for r in w] if d not in losers)
     assert kept3 == batch_kept
+
+
+def _run_substr_wave(spark, tmp_path, rows, tag, kept_dir, k=4):
+    src = str(tmp_path / f"ss_src_{tag}")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = SD.streaming_substring_dedup(
+        stream, kept_dir, str(tmp_path / f"ss_ck_{tag}"), k=k
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_substring_dedup_equivalence_and_replay(spark, tmp_path):
+    """ExactSubstr streaming gate: cross-batch AND batch-internal
+    duplicated spans coexist; the final docs table equals the batch
+    operator on the concatenated corpus (ascending-id arrival = corpus
+    order), and a fresh-checkpoint replay changes nothing."""
+    from customkb_spark.operators.dedup import exact_substring_dedup
+
+    shared = "one two three four five six seven eight"
+    inner = "alpha beta gamma delta epsilon zeta"
+    waves = [
+        [(1, shared + " enda"), (2, "completely different tokens here today now")],
+        [
+            (10, "prefix words " + shared + " suffix"),   # cross-batch dup
+            (11, inner + " first"),                        # internal canonical
+            (12, "intro " + inner + " outro"),             # internal dup
+        ],
+    ]
+    kept_dir = str(tmp_path / "ss_kept")
+
+    _run_substr_wave(spark, tmp_path, waves[0], "w1", kept_dir)
+    _run_substr_wave(spark, tmp_path, waves[1], "w2", kept_dir)
+    docs1 = {r.doc_id: r for r in spark.read.parquet(f"{kept_dir}/docs").collect()}
+    assert set(docs1) == {1, 2, 10, 11, 12}
+    assert docs1[1].removed_tokens == 0
+    assert docs1[10].text == "prefix words suffix" and docs1[10].removed_tokens == 8
+    assert docs1[11].removed_tokens == 0
+    assert docs1[12].text == "intro outro" and docs1[12].removed_tokens == 6
+
+    # replay wave 2 with a fresh checkpoint: nothing changes
+    _run_substr_wave(spark, tmp_path, waves[1], "w2_replay", kept_dir)
+    docs2 = {r.doc_id: r for r in spark.read.parquet(f"{kept_dir}/docs").collect()}
+    assert len(docs2) == len(docs1)
+    assert {d: (r.text, r.removed_tokens) for d, r in docs2.items()} == {
+        d: (r.text, r.removed_tokens) for d, r in docs1.items()
+    }
+
+    # batch twin on the concatenated corpus
+    full = spark.createDataFrame(
+        [r for w in waves for r in w], "doc_id long, text string"
+    )
+    twin = {r.doc_id: r for r in exact_substring_dedup(full, k=4).collect()}
+    assert {d: (r.text, r.n_tokens, r.removed_tokens) for d, r in docs2.items()} == {
+        d: (r.text, r.n_tokens, r.removed_tokens) for d, r in twin.items()
+    }
+
+
+def test_streaming_substring_dedup_within_batch_only(spark, tmp_path):
+    """A single batch behaves exactly like the batch operator (state
+    empty): internal repeats merge and cut, singletons untouched."""
+    rows = [(1, "p q r s t u p q r s t u"), (2, "totally novel words here")]
+    kept_dir = str(tmp_path / "ss_kept_single")
+    _run_substr_wave(spark, tmp_path, rows, "solo", kept_dir, k=4)
+    docs = {r.doc_id: r for r in spark.read.parquet(f"{kept_dir}/docs").collect()}
+    assert docs[1].removed_tokens == 6 and docs[1].text == "p q r s t u"
+    assert docs[2].removed_tokens == 0
