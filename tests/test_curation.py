@@ -648,3 +648,66 @@ def test_gopher_repetition_top_gram_overlap_uncapped(spark):
     assert r.top_2_gram_char_frac == pytest.approx(15 / 11, abs=1e-6)
     # dup mask is de-overlapped: covers everything -> exactly 1
     assert r.dup_5_gram_char_frac == 1.0
+
+
+# ---------------------------------------------- bloom decontamination
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, documents):
+    """The one-sided guarantee: bloom hits per doc >= exact hits, and
+    every exactly-contaminated doc is bloom-contaminated (no false
+    negatives), on real corpus text."""
+    docs = documents.limit(120)
+    bench = documents.orderBy("doc_id").limit(8).select("text")
+    bloom = C.build_ngram_bloom(bench, n=6)
+    exact = {r.doc_id: r for r in C.decontaminate(docs, bench, n=6).collect()}
+    bl = {r.doc_id: r for r in C.decontaminate_bloom(docs, bloom, n=6).collect()}
+    assert set(exact) == set(bl)
+    for d in exact:
+        assert bl[d].contaminated_ngrams >= exact[d].contaminated_ngrams
+        if exact[d].contaminated:
+            assert bl[d].contaminated
+        assert bl[d].total_ngrams == exact[d].total_ngrams
+
+
+def test_bloom_decontaminate_fpr_bounded(spark):
+    """Disjoint vocabularies: the bloom over-flags at most a small
+    fraction of clean grams (deterministic — xxhash64 is seeded)."""
+    bench = spark.createDataFrame(
+        [(" ".join(f"bench{i+j}" for j in range(12)),) for i in range(0, 400, 4)],
+        ["text"],
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"corpus{i}x{j}" for j in range(40))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    bloom = C.build_ngram_bloom(bench, n=5, fpp=1e-3)
+    out = C.decontaminate_bloom(docs, bloom, n=5).collect()
+    total = sum(r.total_ngrams for r in out)
+    fps = sum(r.contaminated_ngrams for r in out)
+    assert total > 1000
+    assert fps / total < 0.01
+
+
+def test_bloom_roundtrip_and_empty_benchmark(spark):
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "nothing shared at all in this one today friend")],
+        ["doc_id", "text"],
+    )
+    bloom = C.build_ngram_bloom(bench, n=5)
+    rt = C.NgramBloom.from_df(bloom.to_df(spark))
+    assert (rt.m_bits, rt.k, rt.n_items) == (bloom.m_bits, bloom.k, bloom.n_items)
+    a = {r.doc_id: r.contaminated_ngrams for r in C.decontaminate_bloom(docs, bloom, n=5).collect()}
+    b = {r.doc_id: r.contaminated_ngrams for r in C.decontaminate_bloom(docs, rt, n=5).collect()}
+    assert a == b and a[1] > 0 and a[2] == 0
+
+    empty = C.build_ngram_bloom(
+        spark.createDataFrame([], "text string"), n=5
+    )
+    assert empty.n_items == 0
+    out = {r.doc_id: r.contaminated for r in C.decontaminate_bloom(docs, empty, n=5).collect()}
+    assert out == {1: False, 2: False}
