@@ -388,9 +388,20 @@ def cmd_curate(args) -> int:
     )
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
+        if getattr(args, "bloom", False):
+            # Bloom tier: fixed-size bitmap broadcast — the path for
+            # benchmark sets too large to broadcast as strings; hits
+            # are a no-false-negative superset of the exact overlap
+            bloom = CU.build_ngram_bloom(bench, n=args.ngram, bench_text_col=text_col)
+            decon = CU.decontaminate_bloom(
+                docs, bloom, n=args.ngram, text_col=text_col, id_col=id_col
+            )
+        else:
+            decon = CU.decontaminate(
+                docs, bench, n=args.ngram, text_col=text_col, id_col=id_col
+            )
         report = report.join(
-            CU.decontaminate(docs, bench, n=args.ngram, text_col=text_col, id_col=id_col)
-            .select(id_col, "contaminated"),
+            decon.select(id_col, "contaminated"),
             id_col,
             "left",
         ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
@@ -414,6 +425,11 @@ def cmd_curate(args) -> int:
                 "left",
             )
         )
+    if getattr(args, "gopher_full", False):
+        # the full Rae et al. 2021 table-A1 battery; repetition_signals
+        # already contributes dup_line_frac so only the new columns join
+        full = CU.gopher_repetition(docs, text_col, id_col).drop("dup_line_frac")
+        report = report.join(full, id_col, "left")
     if args.dsir_target:
         # domain-targeted DSIR weights: the named source column value is
         # the in-domain slice, everything else the raw corpus
@@ -497,6 +513,49 @@ def cmd_semdedup(args) -> int:
                 "nlist": len(cents),
                 "threshold": args.threshold,
                 "keep": args.keep,
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def cmd_substr_dedup(args) -> int:
+    """ExactSubstr dedup (Lee et al. 2022) over a documents parquet:
+    cut every duplicated >=k-token span, keeping the corpus-order first
+    copy. Writes the cleaned corpus (id, n_tokens, removed_tokens,
+    text) and prints a JSON summary."""
+    from pyspark.sql import functions as F
+
+    from customkb_spark.operators.dedup import exact_substring_dedup
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs_parquet)
+    cleaned = exact_substring_dedup(docs, args.id_col, args.text_col, k=args.k)
+    if args.out:
+        cleaned.write.mode("overwrite").parquet(args.out)
+        cleaned = spark.read.parquet(args.out)  # summary reuses the write
+    row = cleaned.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("removed_tokens").alias("removed"),
+        F.sum((F.col("removed_tokens") > 0).cast("long")).alias("docs_cut"),
+        F.sum(
+            ((F.col("removed_tokens") == F.col("n_tokens")) & (F.col("n_tokens") > 0)).cast("long")
+        ).alias("docs_emptied"),
+    ).collect()[0]
+    tokens = row["tokens"] or 0
+    removed = row["removed"] or 0
+    print(
+        json.dumps(
+            {
+                "docs": row["docs"],
+                "tokens": tokens,
+                "removed_tokens": removed,
+                "removed_frac": round(removed / tokens, 6) if tokens else 0.0,
+                "docs_cut": row["docs_cut"] or 0,
+                "docs_emptied": row["docs_emptied"] or 0,
+                "k": args.k,
             },
             indent=2,
         )
@@ -699,6 +758,18 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="add unigram + Stupid-Backoff bigram LM surprisal columns",
     )
+    c.add_argument(
+        "--bloom",
+        action="store_true",
+        help="decontaminate via the Bloom tier (fixed-size bitmap "
+        "broadcast; no false negatives) instead of exact n-gram strings",
+    )
+    c.add_argument(
+        "--gopher-full",
+        action="store_true",
+        help="add the full Gopher repetition battery (dup line/para "
+        "char fracs, top 2-4-gram and dup 5-10-gram char coverage)",
+    )
     c.set_defaults(fn=cmd_curate)
 
     sd = sub.add_parser("semdedup", help="semantic dedup over an embeddings parquet")
@@ -716,6 +787,16 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--id-col", default="vec_id")
     sd.add_argument("--vec-col", default="embedding")
     sd.set_defaults(fn=cmd_semdedup)
+
+    ss = sub.add_parser(
+        "substr-dedup", help="cut duplicated >=k-token spans (ExactSubstr)"
+    )
+    ss.add_argument("docs_parquet")
+    ss.add_argument("--out", default=None, help="write cleaned corpus parquet here")
+    ss.add_argument("--k", type=int, default=50, help="minimum duplicated run, in tokens")
+    ss.add_argument("--id-col", default="doc_id")
+    ss.add_argument("--text-col", default="text")
+    ss.set_defaults(fn=cmd_substr_dedup)
 
     pk = sub.add_parser("pack", help="pack documents into training sequences")
     pk.add_argument("docs_parquet")

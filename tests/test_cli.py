@@ -521,3 +521,45 @@ def test_cli_curate_surprisal(spark, tmp_path, capsys):
     assert summary["avg_bigram_surprisal"] > 0
     rep = spark.read.parquet(out)
     assert {"mean_surprisal", "bigram_surprisal"} <= set(rep.columns)
+
+
+def test_cli_substr_dedup(spark, tmp_path, capsys):
+    import json as _json
+
+    out = str(tmp_path / "ss_clean")
+    rc = cli.main([
+        "substr-dedup", "/root/testdata/sf0.001/documents.parquet",
+        "--k", "8", "--out", out,
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out)
+    cleaned = spark.read.parquet(out)
+    assert summary["docs"] == cleaned.count() == 500
+    assert summary["removed_tokens"] > 0
+    assert 0 < summary["removed_frac"] < 1
+    assert summary["docs_cut"] >= summary["docs_emptied"]
+    # counters consistent with the written table
+    row = cleaned.selectExpr(
+        "sum(removed_tokens) AS r", "sum(n_tokens) AS t"
+    ).collect()[0]
+    assert summary["removed_tokens"] == row["r"] and summary["tokens"] == row["t"]
+
+
+def test_cli_curate_bloom_and_gopher_full(spark, tmp_path, capsys):
+    import json as _json
+
+    out = str(tmp_path / "bg_report")
+    rc = cli.main([
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--benchmark", "/root/testdata/sf0.001/documents.parquet",
+        "--ngram", "5", "--bloom", "--gopher-full",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out)
+    # bloom on benchmark==corpus: superset of exact → still everything
+    # with >= 5 tokens contaminated
+    assert summary["contaminated_docs"] > 400
+    cols = set(spark.read.parquet(out).columns)
+    assert {"dup_para_char_frac", "top_2_gram_char_frac",
+            "dup_10_gram_char_frac", "contaminated"} <= cols
