@@ -114,6 +114,41 @@ def decontaminate(
     )
 
 
+def corpus_token_profile(
+    docs: DataFrame,
+    by: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-slice token-length profile: doc count, total tokens, and
+    length percentiles — the first pass over any new crawl slice.
+
+    ``approx=False`` uses exact interpolated ``percentile`` (buffers
+    every value per group — right for oracle comparison and small
+    slices). ``approx=True`` is the 100 TB tier:
+    ``approx_percentile`` (Greenwald-Khanna sketch, bounded memory per
+    group, partial-aggregable so hot sources never buffer their full
+    length list on one reducer) at 1/``accuracy`` relative rank error.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    extra = f", {accuracy}" if approx else ""
+    base = docs.select(
+        *by, F.size(X.tokens(text_col)).alias("_n_toks")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_n_toks").cast("long").alias("total_tokens"),
+    ] + [
+        F.round(
+            F.expr(f"{fn}(_n_toks, {p}{extra})").cast("double"), 6
+        ).alias(f"p{int(p * 100)}_tokens")
+        for p in percentiles
+    ]
+    return base.groupBy(*by).agg(*aggs)
+
+
 class NgramBloom:
     """A Bloom filter over benchmark n-grams — the 100 TB tier of
     decontamination. The exact path broadcasts the distinct benchmark

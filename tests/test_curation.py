@@ -711,3 +711,39 @@ def test_bloom_roundtrip_and_empty_benchmark(spark):
     assert empty.n_items == 0
     out = {r.doc_id: r.contaminated for r in C.decontaminate_bloom(docs, empty, n=5).collect()}
     assert out == {1: False, 2: False}
+
+
+def test_corpus_token_profile_approx_tier(spark, documents):
+    """approx_percentile tier: identical grouping/counts on real data;
+    percentile agreement pinned on a large synthetic group (tiny groups
+    legitimately differ — the sketch returns an element, exact
+    interpolates); the plan stays partial-aggregated (sketches combine
+    map-side, no per-group full value buffering on one reducer)."""
+    exact = {
+        (r.source, r.lang): r for r in C.corpus_token_profile(documents).collect()
+    }
+    approx = {
+        (r.source, r.lang): r
+        for r in C.corpus_token_profile(documents, approx=True).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 1
+    for key in exact:
+        e, a = exact[key], approx[key]
+        assert a.n_docs == e.n_docs and a.total_tokens == e.total_tokens
+
+    big = spark.range(20000).selectExpr(
+        "'s' AS source", "'en' AS lang",
+        # text with (id % 200 + 1) tokens
+        "array_join(transform(sequence(1, CAST(id % 200 AS INT) + 1), x -> 'w'), ' ') AS text",
+    )
+    e = C.corpus_token_profile(big).collect()[0]
+    a = C.corpus_token_profile(big, approx=True).collect()[0]
+    # uniform 1..200: p50≈100.5, p95≈190; GK rank error 1/10000 → ±1 value
+    assert abs(a.p50_tokens - e.p50_tokens) <= 1.0
+    assert abs(a.p95_tokens - e.p95_tokens) <= 1.0
+
+    plan = (
+        C.corpus_token_profile(documents, approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_approx_percentile" in plan

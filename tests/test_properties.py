@@ -307,3 +307,63 @@ def test_semantic_pairs_subset_of_exact(vecs, nlist, threshold):
     assert sem <= exact
     if nlist == 1:
         assert sem == exact
+
+
+# token streams with a small alphabet so duplicated >=k runs actually
+# occur; words only (the substring ops are token-space)
+WORDS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=0, max_size=60
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(WORDS, min_size=1, max_size=6))
+def test_substring_spans_invariants(docs_words):
+    """ExactSubstr spans: within a doc, spans are disjoint, sorted,
+    >= k tokens long, inside the doc, and n_windows matches the island
+    arithmetic (span length - k + 1)."""
+    from customkb_spark.operators.dedup import duplicated_substring_spans
+
+    k = 4
+    spark = _spark()
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)], ["doc_id", "text"]
+    )
+    n_toks = {i: len(ws) for i, ws in enumerate(docs_words)}
+    spans = duplicated_substring_spans(docs, k=k).orderBy("doc_id", "span_start")
+    per_doc: dict[int, list] = {}
+    for r in spans.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in per_doc.items():
+        prev_end = -1
+        for r in rs:
+            assert 0 <= r["span_start"] < r["span_end"] <= n_toks[d]
+            assert r["span_end"] - r["span_start"] >= k
+            assert r["n_windows"] == r["span_end"] - r["span_start"] - k + 1
+            # maximal islands: disjoint AND non-adjacent in window space
+            assert r["span_start"] > prev_end
+            prev_end = r["span_end"]
+
+
+@settings(**SETTINGS)
+@given(st.lists(WORDS, min_size=1, max_size=6))
+def test_exact_substring_dedup_counters(docs_words):
+    """Apply: every doc comes back exactly once; removed ==
+    n_tokens - kept; kept tokens are a subsequence of the original."""
+    from customkb_spark.operators.dedup import exact_substring_dedup
+
+    k = 4
+    spark = _spark()
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(docs, k=k).collect()}
+    assert set(out) == set(range(len(docs_words)))
+    for i, ws in enumerate(docs_words):
+        r = out[i]
+        kept = r["text"].split() if r["text"] else []
+        assert r["n_tokens"] == len(ws)
+        assert r["removed_tokens"] == len(ws) - len(kept)
+        # kept tokens are a subsequence of the original
+        it = iter(ws)
+        assert all(any(w == x for x in it) for w in kept)
