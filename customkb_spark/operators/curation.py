@@ -155,11 +155,19 @@ class NgramBloom:
     n-gram STRINGS (fine for eval suites, ~10^5 grams); a leaked-
     pretraining-set sweep can carry 10^8+ grams where the string
     broadcast is gigabytes. The bloom broadcasts a fixed bit array
-    instead (~14.4 bits/gram at fpp=1e-3: 10^8 grams ≈ 180 MB) with the
-    one-sided guarantee that matters for decontamination: NO false
-    negatives — every truly contaminated n-gram is flagged; a small
-    fpp of clean grams is over-flagged (the conservative direction:
-    you drop slightly more than you must, never leak eval data).
+    instead (~28.8 bits/gram at the fpp=1e-6 default: 10^8 grams ≈
+    360 MB) with the one-sided guarantee that matters for
+    decontamination: NO false negatives — every truly contaminated
+    n-gram is flagged; a small fpp of clean grams is over-flagged (the
+    conservative direction: you drop slightly more than you must,
+    never leak eval data).
+
+    fpp compounds at DOC level: a clean doc with g n-grams is flagged
+    with probability ≈ g·fpp, so a ~100-gram doc at fpp=1e-3 carries
+    ~10% false-flag odds (measured: tools/bloom_table.py). The 1e-6
+    default keeps doc-level error ~1e-4 at typical doc lengths; raise
+    fpp only if the report thresholds on contaminated_ngrams counts
+    rather than the boolean.
 
     Hashing is Kirsch-Mitzenmacher double hashing over two JVM-side
     ``xxhash64`` seeds (bit positions = (h1 + i·h2) mod m, uint64
@@ -211,7 +219,7 @@ def build_ngram_bloom(
     benchmark: DataFrame,
     n: int = 8,
     bench_text_col: str = "text",
-    fpp: float = 1e-3,
+    fpp: float = 1e-6,
 ) -> NgramBloom:
     """Build the benchmark-side Bloom filter, distributed:
 
