@@ -581,7 +581,12 @@ def duplicated_substring_spans(
     Plan at 100 TB:
     - window hashing is map-side (O(n_tokens x k) chars hashed per
       doc; a rolling Karp-Rabin over per-token hashes is the upgrade
-      path if k grows — same output contract);
+      path if k grows — same output contract). md5 is the measured
+      choice for the 128-bit key: a struct of two seeded xxhash64
+      calls shuffles 16 bytes instead of 32 but re-builds the gram
+      string once per call (lambda expressions defeat common-
+      subexpression elimination) — measured 15% SLOWER end-to-end at
+      sf10 than one md5 evaluation;
     - the occurrence table shuffles ONCE on the 128-bit window hash
       with full partial aggregation (count + min-struct both combine
       map-side), so a hyper-common boilerplate window collapses to one
