@@ -274,9 +274,20 @@ def cmd_optimize(args) -> int:
 def cmd_bm25(args) -> int:
     """Reference ``customkb bm25``: materialize the BM25 index tables
     (postings, term_stats) to the KB dir; later query sessions load
-    them instead of re-tokenizing the corpus."""
+    them instead of re-tokenizing the corpus. With any of --keyword/
+    --include/--exclude, builds a FOCUSED index over the filtered
+    slice instead (reference scripts/rebuild_bm25_filtered.py)."""
     kb = _kb(args)
-    print(json.dumps(kb.build_bm25(force=args.force), indent=2))
+    if args.keyword or args.include or args.exclude:
+        out = kb.build_bm25_filtered(
+            keywords=args.keyword or None,
+            include=args.include or None,
+            exclude=args.exclude or None,
+            name=args.name,
+        )
+    else:
+        out = kb.build_bm25(force=args.force)
+    print(json.dumps(out, indent=2))
     return 0
 
 
@@ -705,6 +716,13 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bm25", help="materialize the BM25 index tables")
     common(b)
     b.add_argument("--force", action="store_true", help="rebuild even if fresh")
+    b.add_argument("--keyword", action="append", default=[],
+                   help="focused index: keep chunks whose text or source contains this (repeatable, OR)")
+    b.add_argument("--include", action="append", default=[],
+                   help="focused index: keep chunks whose source contains this (repeatable, OR)")
+    b.add_argument("--exclude", action="append", default=[],
+                   help="focused index: drop chunks whose source contains this (repeatable, AND)")
+    b.add_argument("--name", default="bm25_focused", help="focused-index table prefix")
     b.set_defaults(fn=cmd_bm25)
 
     sv = sub.add_parser(

@@ -277,6 +277,84 @@ class KnowledgeBase:
             "n_terms": self._read("term_stats").count(), "rebuilt": True,
         }
 
+    def build_bm25_filtered(
+        self,
+        keywords: list[str] | None = None,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+        name: str = "bm25_focused",
+    ) -> dict:
+        """Focused BM25 index over a filtered slice of the corpus —
+        the reference's scripts/rebuild_bm25_filtered.py (keywords
+        substring-match text OR sourcedoc, OR-combined; ``include``
+        patterns OR-combine over sourcedoc; ``exclude`` patterns
+        AND-exclude), re-expressed as one predicate on the chunks scan
+        (pushed into parquet) + the standard postings/term_stats build.
+
+        Tables land under ``<name>_postings`` / ``<name>_term_stats`` /
+        ``<name>_meta`` next to the primary index; feed them to
+        ``HybridIndex.build(postings=..., term_stats=..., corpus=...)``
+        for a slice-scoped retrieval session. Corpus stats (N, avgdl)
+        are recomputed over the SLICE, matching the reference (idf and
+        length normalization are relative to the focused corpus, not
+        the full KB).
+        """
+        from customkb_spark.operators import bm25 as B25
+
+        chunks = self._read("chunks")
+        cond = None
+        if keywords:
+            kw = None
+            for w in keywords:
+                c = F.col("originaltext").contains(w) | F.col("sourcedoc").contains(w)
+                kw = c if kw is None else (kw | c)
+            cond = kw
+        if include:
+            inc = None
+            for p in include:
+                c = F.col("sourcedoc").contains(p)
+                inc = c if inc is None else (inc | c)
+            cond = inc if cond is None else (cond & inc)
+        if exclude:
+            for p in exclude:
+                c = ~F.col("sourcedoc").contains(p)
+                cond = c if cond is None else (cond & c)
+        sliced = chunks.filter(cond) if cond is not None else chunks
+
+        n, avgdl = B25.corpus_stats(sliced, "originaltext", language=self.cfg.language)
+        postings = B25.build_postings(
+            sliced, "id", "originaltext", language=self.cfg.language
+        )
+        postings.write.mode("overwrite").parquet(self._p(f"{name}_postings"))
+        postings = self._read(f"{name}_postings")
+        stats = B25.build_term_stats(postings, n)
+        stats.write.mode("overwrite").parquet(self._p(f"{name}_term_stats"))
+        from customkb_spark.embedding.store import _write_single_file
+
+        _write_single_file(
+            self.spark,
+            [(int(n), float(avgdl), self.cfg.language)],
+            "n_chunks long, avgdl double, language string",
+            self._p(f"{name}_meta"),
+        )
+        self._invalidate()
+        return {
+            "n_chunks": int(n),
+            "avgdl": float(avgdl),
+            "n_terms": stats.count(),
+            "name": name,
+        }
+
+    def load_bm25_filtered(self, name: str = "bm25_focused") -> tuple:
+        """(postings, term_stats, (n, avgdl)) of a focused index built
+        by ``build_bm25_filtered`` — ready for ``HybridIndex.build``."""
+        meta = self._read(f"{name}_meta").collect()[0]
+        return (
+            self._read(f"{name}_postings"),
+            self._read(f"{name}_term_stats"),
+            (int(meta.n_chunks), float(meta.avgdl)),
+        )
+
     def _persisted_bm25(self, chunks) -> tuple:
         """(postings, term_stats, (n, avgdl)) from the persisted index
         when it is fresh, else (None, None, None)."""

@@ -563,3 +563,23 @@ def test_cli_curate_bloom_and_gopher_full(spark, tmp_path, capsys):
     cols = set(spark.read.parquet(out).columns)
     assert {"dup_para_char_frac", "top_2_gram_char_frac",
             "dup_10_gram_char_frac", "contaminated"} <= cols
+
+
+def test_cli_bm25_focused(spark, tmp_path, capsys):
+    import json as _json
+
+    d = tmp_path / "fdocs"
+    d.mkdir()
+    (d / "spark_a.txt").write_text("spark shuffle partition tuning " * 6)
+    (d / "spark_b.txt").write_text("spark broadcast join hints " * 6)
+    (d / "garden_c.txt").write_text("tomato seedling watering guide " * 6)
+    kb_dir = str(tmp_path / "kbcli")
+    assert cli.main(["database", kb_dir, "--files", str(d)]) == 0
+    capsys.readouterr()
+    rc = cli.main(["bm25", kb_dir, "--keyword", "spark", "--name", "focus"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["name"] == "focus" and out["n_chunks"] > 0
+    import os
+
+    assert os.path.isdir(os.path.join(kb_dir, "focus_postings"))

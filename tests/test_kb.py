@@ -196,3 +196,65 @@ def test_column_profile_hll_tier(spark):
     plan_hll = df.agg(*aggs_hll)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan_exact
     assert "Expand" not in plan_hll
+
+
+def test_build_bm25_filtered_focused_index(spark, tmp_path):
+    """rebuild_bm25_filtered parity (reference scripts/
+    rebuild_bm25_filtered.py): keywords OR-match text or sourcedoc,
+    include/exclude AND onto the slice; corpus stats are recomputed
+    over the SLICE and the focused tables drive a working
+    HybridIndex."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partitions tuning guide", "docs/spark/a.txt"),
+            (2, "spark join strategies broadcast hints", "docs/spark/b.txt"),
+            (3, "gardening tips for tomato seedlings", "docs/garden/c.txt"),
+            (4, "spark streaming watermark semantics", "docs/archive/d.txt"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "kbf"), KBConfig(query_top_k=5))
+    kb.database(docs)
+    kb.embed()
+    full = kb.build_bm25()
+
+    out = kb.build_bm25_filtered(
+        keywords=["spark"], exclude=["archive"], name="focus"
+    )
+    assert out["n_chunks"] == 2  # docs 1,2: spark-matching, not archived
+    assert 0 < out["n_terms"] < full["n_terms"]
+
+    postings, stats, (n, avgdl) = kb.load_bm25_filtered("focus")
+    assert n == 2 and avgdl > 0
+    ids = {r["id"] for r in postings.select("id").distinct().collect()}
+    chunks = spark.read.parquet(str(tmp_path / "kbf" / "chunks"))
+    slice_ids = {
+        r["id"]
+        for r in chunks.filter("sourcedoc LIKE '%spark%'").select("id").collect()
+    }
+    assert ids <= slice_ids and len(ids) == 2
+
+    # the focused tables drive retrieval end-to-end
+    from customkb_spark.plans.hybrid import HybridIndex, hybrid_search
+
+    vectors = spark.read.parquet(str(tmp_path / "kbf" / "vectors"))
+    idx = HybridIndex.build(
+        chunks, vectors, postings=postings, term_stats=stats, corpus=(n, avgdl)
+    )
+    hits = hybrid_search(idx, "spark shuffle")
+    assert hits.count() > 0
+
+
+def test_build_bm25_filtered_include_patterns(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha text content", "a/one.txt"),
+            (2, "beta text content", "b/two.txt"),
+            (3, "gamma text content", "a/three.txt"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "kbi"), KBConfig())
+    kb.database(docs)
+    out = kb.build_bm25_filtered(include=["a/"], name="inc")
+    assert out["n_chunks"] == 2
