@@ -214,6 +214,92 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Runtime/environment health report — the reference's
+    scripts/diagnose_crashes.py re-scoped to what matters for a Spark
+    session: engine versions, resource conf (cores, memory, shuffle
+    partitions, AQE, Arrow), GPU scheduling conf, local-dir disk
+    headroom, and host memory. Dependency-free (no psutil): /proc +
+    shutil only, each section degrading to null off-Linux."""
+    import shutil
+
+    spark = _spark()
+    conf = spark.conf
+    sc = spark.sparkContext
+
+    def _get(key, default=None):
+        try:
+            return conf.get(key)
+        except Exception:
+            return default
+
+    local_dir = _get("spark.local.dir", "/tmp")
+    disk = shutil.disk_usage(local_dir.split(",")[0])
+    meminfo = {}
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                if k in ("MemTotal", "MemAvailable", "SwapTotal", "SwapFree"):
+                    meminfo[k] = int(v.strip().split()[0]) * 1024
+    except OSError:
+        pass
+
+    import pyarrow
+    import pyspark
+
+    report = {
+        "versions": {
+            "pyspark": pyspark.__version__,
+            "pyarrow": pyarrow.__version__,
+            "python": sys.version.split()[0],
+            "java": sc._jvm.System.getProperty("java.version"),
+        },
+        "session": {
+            "master": sc.master,
+            "default_parallelism": sc.defaultParallelism,
+            "shuffle_partitions": _get("spark.sql.shuffle.partitions"),
+            "aqe": _get("spark.sql.adaptive.enabled"),
+            "arrow": _get("spark.sql.execution.arrow.pyspark.enabled"),
+            "driver_memory": _get("spark.driver.memory"),
+            "max_partition_bytes": _get("spark.sql.files.maxPartitionBytes"),
+        },
+        "gpu": {
+            "task_gpu_amount": _get("spark.task.resource.gpu.amount"),
+            "executor_gpu_amount": _get("spark.executor.resource.gpu.amount"),
+            "discovery_script": _get(
+                "spark.executor.resource.gpu.discoveryScript"
+            ),
+        },
+        "disk": {
+            "local_dir": local_dir,
+            "free_gb": round(disk.free / 1e9, 1),
+            "total_gb": round(disk.total / 1e9, 1),
+        },
+        "memory": {
+            "host_total_gb": round(meminfo.get("MemTotal", 0) / 1e9, 1) or None,
+            "host_available_gb": round(meminfo.get("MemAvailable", 0) / 1e9, 1)
+            or None,
+            "swap_used_gb": round(
+                (meminfo.get("SwapTotal", 0) - meminfo.get("SwapFree", 0)) / 1e9, 1
+            )
+            if "SwapTotal" in meminfo
+            else None,
+        },
+        "warnings": [],
+    }
+    if disk.free < 10e9:
+        report["warnings"].append(
+            f"<10 GB free under {local_dir}: shuffle spill will fail first"
+        )
+    if meminfo.get("MemAvailable", 1 << 62) < 2e9:
+        report["warnings"].append("<2 GB host memory available")
+    if _get("spark.sql.adaptive.enabled") != "true":
+        report["warnings"].append("AQE disabled: skew joins won't re-plan")
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_optimize(args) -> int:
     from customkb_spark.plans.maintenance import (
         MEMORY_TIERS,
@@ -696,6 +782,9 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("verify", help="table/pending-work stats")
     common(v)
     v.set_defaults(fn=cmd_verify)
+
+    dr = sub.add_parser("doctor", help="runtime/environment health report")
+    dr.set_defaults(fn=cmd_doctor)
 
     o = sub.add_parser("optimize", help="compact + cluster the chunks table")
     common(o)

@@ -583,3 +583,14 @@ def test_cli_bm25_focused(spark, tmp_path, capsys):
     import os
 
     assert os.path.isdir(os.path.join(kb_dir, "focus_postings"))
+
+
+def test_cli_doctor(spark, capsys):
+    import json as _json
+
+    assert cli.main(["doctor"]) == 0
+    report = _json.loads(capsys.readouterr().out)
+    assert report["versions"]["pyspark"]
+    assert report["session"]["master"].startswith("local")
+    assert report["disk"]["free_gb"] > 0
+    assert isinstance(report["warnings"], list)
