@@ -2187,6 +2187,37 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def q_substring_dedup_apply(spark, sf_dir):
+    """ExactSubstr APPLY: cut the duplicated spans out of every doc,
+    corpus-order first copy survives — returns the shipped corpus
+    (doc_id, n_tokens, removed_tokens, text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_substring_dedup(docs, k=SUBSTR_K).orderBy("doc_id")
+
+
+SQL_SUBSTR_APPLY = f"""
+WITH spans AS ({SQL_SUBSTR_SPANS.replace("ORDER BY doc_id, span_start", "")}),
+tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+  FROM tk, unnest(range(1, len(toks) + 1)) g(i)),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = pos.doc_id
+      AND pos.p >= s.span_start AND pos.p < s.span_end))
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - count(k.p) AS BIGINT) AS removed_tokens,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text
+FROM tk t LEFT JOIN kept k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id, len(t.toks)
+ORDER BY t.doc_id
+"""
+
+
 def q_weighted_sample_per_source(spark, sf_dir):
     """Quality-weighted selection (A-ES weighted sampling without
     replacement): top 3 docs per source, weight = n_chars — longer
@@ -3296,6 +3327,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_range_join": q_context_range_join,
     "dedup_exact": q_dedup_exact,
     "substring_dup_spans": q_substring_dup_spans,
+    "substring_dedup_apply": q_substring_dedup_apply,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "doc_fingerprints": q_doc_fingerprints_all,
     "dedup_clusters_apply": q_dedup_clusters_apply,
@@ -3348,6 +3380,7 @@ _ORACLES: dict[str, str] = {
     "context_range_join": SQL_CONTEXT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "substring_dup_spans": SQL_SUBSTR_SPANS,
+    "substring_dedup_apply": SQL_SUBSTR_APPLY,
     "minhash_lsh_dedup": _sql_minhash(),
     "doc_fingerprints": _sql_fingerprints_all(),
     "dedup_clusters_apply": SQL_CLUSTERS_APPLY,

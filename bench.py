@@ -89,6 +89,7 @@ EXTRA_QUERIES = [
     "gopher_repetition",
     "span_dedup_stats",
     "substring_dup_spans",
+    "substring_dedup_apply",
     "stratified_sample_mix",
     "vocab_topk",
     "boilerplate_spans",
