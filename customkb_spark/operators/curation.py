@@ -203,6 +203,9 @@ class NgramBloom:
         )
 
 
+_BLOOM_SEED2 = 0x5BF03635  # second xxhash64 seed (Kirsch-Mitzenmacher)
+
+
 def _bloom_positions(h1, h2, k: int, m_bits: int):
     """Vectorized double-hash bit positions; uint64 wraparound mod m."""
     import numpy as np
@@ -255,7 +258,7 @@ def build_ngram_bloom(
 
     hashed = grams.select(
         F.xxhash64("ngram").alias("h1"),
-        F.xxhash64("ngram", F.lit(0x5BF03635)).alias("h2"),
+        F.xxhash64("ngram", F.lit(_BLOOM_SEED2)).alias("h2"),
     ).coalesce(16)
 
     def set_bits(batches):
@@ -322,7 +325,7 @@ def decontaminate_bloom(
         id_col,
         "ngram",
         F.xxhash64("ngram").alias("h1"),
-        F.xxhash64("ngram", F.lit(0x5BF03635)).alias("h2"),
+        F.xxhash64("ngram", F.lit(_BLOOM_SEED2)).alias("h2"),
     )
     hits = (
         grams.filter(bloom_hit("h1", "h2"))

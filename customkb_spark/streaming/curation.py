@@ -32,6 +32,7 @@ def curate_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     benchmark_ngrams: list[str] | None = None,
+    bloom=None,
     ngram_n: int = 8,
     min_quality: float = 0.0,
     language: str | None = None,
@@ -51,7 +52,10 @@ def curate_stream(
       bounded by construction, GPT-3 appx C scale is ~10^5 n-grams;
       it ships to executors as one broadcast literal array), flags
       ``contaminated`` per row via array_intersect — no stream-stream
-      join, no state;
+      join, no state; with ``bloom`` (a ``curation.NgramBloom`` built
+      once per benchmark release) the flag comes from the fixed-size
+      bitmap broadcast instead — the 10^8-gram tier, equally stateless
+      (no false negatives, fpp-bounded over-flagging);
     - with ``dsir_model`` (a trained ``curation.dsir_train`` dict),
       adds ``log_weight`` via the stateless ``dsir_apply`` scorer;
     - with ``quality_model`` (a fitted
@@ -77,6 +81,11 @@ def curate_stream(
         out = out.withColumn(
             "contaminated", F.size(F.array_intersect(grams, bench)) > 0
         )
+    elif bloom is not None:
+        out = out.withColumn(
+            "contaminated",
+            _bloom_any_hit(out.sparkSession, bloom, "_toks", ngram_n),
+        )
     if dsir_model is not None:
         out = CU.dsir_apply(out, dsir_model, text_col=text_col).withColumnRenamed(
             "n_tokens", "dsir_n_tokens"
@@ -100,3 +109,50 @@ def curate_stream(
     if min_quality > 0.0:
         out = out.filter(F.col("quality") >= min_quality)
     return out.drop("_toks")
+
+
+def _bloom_any_hit(spark, bloom, toks_col: str, n: int):
+    """Boolean column: does ANY word n-gram of the staged token array
+    hit the benchmark bloom filter? Gram strings and both xxhash64
+    seeds stay JVM-side (transform over the gram array); one Arrow-
+    batched pandas UDF does the numpy bit tests and a per-row any() —
+    stateless, so it composes onto append streams."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from customkb_spark.operators.curation import (
+        _BLOOM_SEED2,
+        _bloom_positions,
+        ngrams_from_tokens,
+    )
+
+    bc = spark.sparkContext.broadcast(
+        (bloom.bitmap.tobytes(), bloom.m_bits, bloom.k)
+    )
+    grams = ngrams_from_tokens(toks_col, n)
+    h1s = F.transform(grams, lambda g: F.xxhash64(g))
+    h2s = F.transform(grams, lambda g: F.xxhash64(g, F.lit(_BLOOM_SEED2)))
+
+    # no annotations: stringified hints break pandas_udf inference
+    @pandas_udf("boolean")
+    def any_hit(a1, a2):
+        bm_bytes, m, k = bc.value
+        bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+        lens = np.fromiter((len(x) for x in a1), dtype=np.int64, count=len(a1))
+        if lens.sum() == 0:
+            return pd.Series([False] * len(a1))
+        flat1 = pd.Series(np.concatenate([np.asarray(x, dtype=np.int64) for x in a1 if len(x)]))
+        flat2 = pd.Series(np.concatenate([np.asarray(x, dtype=np.int64) for x in a2 if len(x)]))
+        hit = np.ones(len(flat1), dtype=bool)
+        for pos in _bloom_positions(flat1, flat2, k, m):
+            bit = (bm[(pos >> np.uint64(3)).astype(np.int64)]
+                   >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            hit &= bit.astype(bool)
+        out, off = [], 0
+        for ln in lens:
+            out.append(bool(hit[off:off + ln].any()) if ln else False)
+            off += ln
+        return pd.Series(out)
+
+    return any_hit(h1s, h2s)

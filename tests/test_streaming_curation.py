@@ -134,3 +134,27 @@ def test_streaming_citations_match_batch_extraction(spark, tmp_path):
         for r in extract_citations(_batch(spark)).collect()
     }
     assert got == want and len(got) == len(ROWS)
+
+
+def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
+    """The bloom tier composes onto the stream (stateless bitmap
+    broadcast) and flags exactly like decontaminate_bloom's report on
+    the same corpus: doc 5 contains the benchmark sentence, doc 1 does
+    not."""
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog near the river bank",)],
+        ["text"],
+    )
+    bloom = CU.build_ngram_bloom(bench, n=9)
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in _run_stream(spark, tmp_path, bloom=bloom, ngram_n=9)
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    exp = {
+        r["doc_id"]: r["contaminated"]
+        for r in CU.decontaminate_bloom(_batch(spark), bloom, n=9).collect()
+    }
+    assert got == exp and len(got) == len(ROWS)
+    assert got[5] is True and got[1] is False
