@@ -2139,6 +2139,111 @@ FROM r GROUP BY 1 ORDER BY doc_id
 """
 
 
+def _prep_lines(docs):
+    """The synthetic corpus is single-line word soup; both engines
+    deterministically inject line breaks (literal ``' row '`` →
+    newline — plain replace, identical non-overlapping left-to-right
+    semantics in Spark and DuckDB) so the line-grain operators have
+    real line structure to chew on."""
+    return docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" row "), F.lit("\n")).alias("text"),
+    )
+
+
+def q_c4_page_filters(spark, sf_dir):
+    """The full C4 page/line battery (Raffel et al. 2020 §2.2):
+    terminal-punctuation + min-words + 'javascript' line rules, then
+    the page drops (<3 sentences, bad word, policy boilerplate,
+    'lorem ipsum', '{'). Zero shuffles — parquet-scan speed. Lines are
+    injected (see _prep_lines); even-length lines get a terminal '.'
+    so the punctuation rule splits the corpus both ways."""
+    docs = _prep_lines(_t(spark, sf_dir, "documents"))
+    t = F.array_join(
+        F.transform(
+            F.split(F.col("text"), "\n"),
+            lambda l: F.when(
+                F.length(l) % 2 == 0, F.concat(l, F.lit("."))
+            ).otherwise(l),
+        ),
+        "\n",
+    )
+    prepped = docs.select("doc_id", t.alias("text"))
+    return CU.c4_page_filters(prepped, bad_words=("slow",)).orderBy("doc_id")
+
+
+SQL_C4_FILTERS = """
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(string_split(replace(text, ' row ', chr(10)), chr(10)),
+             l -> CASE WHEN length(l) % 2 = 0 THEN l || '.' ELSE l END),
+           chr(10)) AS t
+  FROM documents),
+k AS (SELECT doc_id, t,
+        string_split(t, chr(10)) AS ls,
+        list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+          l -> len(list_filter(string_split_regex(l, '\\s+'), w -> length(w) > 0)) >= 5
+               AND regexp_matches(l, '[.!?"]$')
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM d),
+r AS (SELECT doc_id,
+        -- array_to_string([]) is NULL in DuckDB, '' in Spark
+        coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        CAST(len(ls) AS BIGINT) AS lines_total,
+        CAST(len(kept) AS BIGINT) AS lines_kept,
+        CAST(length(regexp_replace(coalesce(array_to_string(kept, chr(10)), ''), '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        regexp_matches(lower(t), '\\b(?:slow)\\b') AS has_bad_word,
+        (contains(lower(t), 'terms of use') OR contains(lower(t), 'privacy policy')
+          OR contains(lower(t), 'cookie policy') OR contains(lower(t), 'uses cookies')) AS has_policy,
+        contains(lower(t), 'lorem ipsum') AS has_lorem,
+        contains(t, '{') AS has_brace
+      FROM k)
+SELECT doc_id, clean_text, lines_total, lines_kept, n_sentences,
+       has_bad_word, has_policy, has_lorem, has_brace,
+       (n_sentences >= 3 AND NOT has_bad_word AND NOT has_policy
+        AND NOT has_lorem AND NOT has_brace) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
+def q_line_dedup_apply(spark, sf_dir):
+    """CCNet line-level corpus dedup WITH reassembly (Wenzek et al.
+    2020 §3.1): normalized-line hash, corpus-order first copy
+    survives, documents rebuilt from their surviving lines. One
+    explode + one partial-agg owner groupBy + an AQE-skew-splittable
+    hash join (owner side unique per key — deliberately not a
+    ranking window)."""
+    docs = _prep_lines(_t(spark, sf_dir, "documents"))
+    return CU.line_dedup(docs).orderBy("doc_id")
+
+
+SQL_LINE_DEDUP = """
+WITH d AS (SELECT doc_id, replace(text, ' row ', chr(10)) AS t FROM documents),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+l AS (SELECT doc_id, i AS pos, lines[i + 1] AS ln
+      FROM ls, unnest(generate_series(0, len(lines) - 1)) u(i)),
+n AS (SELECT doc_id, pos, ln,
+        trim(regexp_replace(regexp_replace(lower(ln), '[^a-z\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nl
+      FROM l),
+h AS (SELECT doc_id, pos, ln,
+        CASE WHEN length(nl) > 0 THEN md5(nl) END AS h FROM n),
+r AS (SELECT *, CASE WHEN h IS NULL THEN 1
+                     ELSE row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) END AS occ
+      FROM h),
+kept AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text,
+                CAST(count(*) AS BIGINT) AS lines_kept
+         FROM r WHERE occ = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS lines_total FROM ls)
+SELECT t.doc_id, coalesce(clean_text, '') AS clean_text, lines_total,
+       CAST(coalesce(lines_kept, 0) AS BIGINT) AS lines_kept,
+       CAST(lines_total - coalesce(lines_kept, 0) AS BIGINT) AS lines_removed,
+       round((lines_total - coalesce(lines_kept, 0)) / greatest(lines_total, 1), 6) AS dup_line_frac
+FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+ORDER BY t.doc_id
+"""
+
+
 SUBSTR_K = 8  # production uses ~50 (Lee et al. 2022); 8 surfaces the
 # synthetic corpus's planted template repeats at sf0.01
 
@@ -3328,6 +3433,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "substring_dup_spans": q_substring_dup_spans,
     "substring_dedup_apply": q_substring_dedup_apply,
+    "c4_page_filters": q_c4_page_filters,
+    "line_dedup_apply": q_line_dedup_apply,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "doc_fingerprints": q_doc_fingerprints_all,
     "dedup_clusters_apply": q_dedup_clusters_apply,
@@ -3381,6 +3488,8 @@ _ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "substring_dup_spans": SQL_SUBSTR_SPANS,
     "substring_dedup_apply": SQL_SUBSTR_APPLY,
+    "c4_page_filters": SQL_C4_FILTERS,
+    "line_dedup_apply": SQL_LINE_DEDUP,
     "minhash_lsh_dedup": _sql_minhash(),
     "doc_fingerprints": _sql_fingerprints_all(),
     "dedup_clusters_apply": SQL_CLUSTERS_APPLY,

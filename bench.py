@@ -90,6 +90,8 @@ EXTRA_QUERIES = [
     "span_dedup_stats",
     "substring_dup_spans",
     "substring_dedup_apply",
+    "c4_page_filters",
+    "line_dedup_apply",
     "stratified_sample_mix",
     "vocab_topk",
     "boilerplate_spans",

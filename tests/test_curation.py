@@ -747,3 +747,118 @@ def test_corpus_token_profile_approx_tier(spark, documents):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_approx_percentile" in plan
+
+
+# -------------------------------------------- C4 / CCNet page cleaning
+
+
+def test_c4_page_filters_line_and_page_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "This is a good long sentence here.\nshort.\n"
+                "Another fine long sentence right there!\n"
+                "uses javascript for rendering today, yes.\n"
+                "no terminal punctuation on this long line",
+            ),
+            (
+                2,
+                "lorem ipsum dolor sit amet something fine. And a second "
+                "proper sentence right here? Plus a third one too!",
+            ),
+            (
+                3,
+                "All three sentences sit on one line here. Second proper "
+                "sentence is here now! Third one arrives right now?",
+            ),
+            (
+                4,
+                "Check our Privacy Policy for details today. Second proper "
+                "sentence is here now! Third one arrives okay?",
+            ),
+            (
+                5,
+                "A code page with braces { inside it here. Second proper "
+                "sentence is here now! Third one arrives okay?",
+            ),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in C.c4_page_filters(docs, bad_words=("dolor",)).collect()
+    }
+    r1 = out[1]
+    assert r1.lines_total == 5 and r1.lines_kept == 2
+    assert "javascript" not in r1.clean_text  # line marker removed
+    assert "short." not in r1.clean_text  # < 5 words
+    assert "no terminal" not in r1.clean_text  # punctuation rule
+    assert r1.n_sentences == 2 and not r1.keep  # < 3 sentences -> page drop
+    assert out[2].has_lorem and out[2].has_bad_word and not out[2].keep
+    assert out[3].keep and out[3].n_sentences == 3
+    assert out[4].has_policy and not out[4].keep  # case-insensitive marker
+    assert out[5].has_brace and not out[5].keep
+
+
+def test_c4_bad_word_is_whole_word(spark):
+    # 'ass' must not fire inside 'associated' (the C4 list is matched
+    # on word boundaries)
+    docs = spark.createDataFrame(
+        [
+            (1, "The associated work is described in this sentence today."),
+            (2, "This page mentions ass once in a full sentence right here."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r for r in C.c4_page_filters(docs, bad_words=("ass",)).collect()
+    }
+    assert not out[1].has_bad_word
+    assert out[2].has_bad_word
+
+
+def test_c4_page_filters_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "x.")], ["doc_id", "text"])
+    plan = (
+        C.c4_page_filters(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map-side only: parquet-scan speed
+    assert "Python" not in plan
+
+
+def test_line_dedup_cross_doc_and_normalization(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma\nunique one\nCommon Footer 2024!"),
+            (2, "common footer\nalpha beta gamma\nunique two"),
+            (3, "!!!\nalpha beta gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.line_dedup(docs).collect()}
+    # doc 1 owns every line (lowest corpus order)
+    assert out[1].lines_removed == 0
+    assert out[1].clean_text == "alpha beta gamma\nunique one\nCommon Footer 2024!"
+    # 'common footer' normalizes equal to 'Common Footer 2024!' (case,
+    # digits, punctuation stripped) -> removed; 'alpha beta gamma' too
+    assert out[2].clean_text == "unique two" and out[2].lines_removed == 2
+    # punctuation-only line normalizes to empty: never a dedup candidate
+    assert out[3].clean_text == "!!!" and out[3].lines_removed == 1
+
+
+def test_line_dedup_internal_dup_and_fully_deduped_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same line twice here\nsame line twice here"),
+            (2, "same line twice here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.line_dedup(docs).collect()}
+    # in-document repeat: first position wins
+    assert out[1].clean_text == "same line twice here"
+    assert out[1].lines_removed == 1
+    # a doc whose every line is a duplicate survives as an empty shell
+    assert out[2].clean_text == "" and out[2].lines_kept == 0
+    assert out[2].dup_line_frac == 1.0

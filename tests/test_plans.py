@@ -426,3 +426,17 @@ def test_gopher_repetition_plan_shape(spark, documents):
         if "windowspecdefinition" in line:
             assert "doc_id" in line.split("windowspecdefinition")[1][:60]
     assert "partial_" in plan
+
+
+def test_line_dedup_partial_agg_owners_no_python(spark, documents):
+    from customkb_spark.operators import curation as CUq
+
+    plan = explain_str(CUq.line_dedup(documents), "simple")
+    # owner resolution is a partial-aggregated groupBy on the line hash
+    # (hot boilerplate lines collapse map-side), decided by a JOIN (AQE
+    # skew-splittable: owner side unique per key), never a ranking
+    # window over the hash; everything stays JVM-side
+    assert "partial_min" in plan
+    assert "Python" not in plan
+    # reassembly is sort_array(collect_list) per doc, not a window
+    assert "Window" not in plan
