@@ -2207,6 +2207,56 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_refinedweb_corrections(spark, sf_dir):
+    """RefinedWeb line-wise corrections (Penedo et al. 2023 §G.2):
+    mainly-uppercase / numeric-only / social-counter / single-word
+    lines removed, page dropped when >5% of its characters went with
+    them. Lines injected via _prep_lines; every third-length line is
+    uppercased so the capitals rule fires both ways. Zero shuffles."""
+    docs = _prep_lines(_t(spark, sf_dir, "documents"))
+    t = F.array_join(
+        F.transform(
+            F.split(F.col("text"), "\n"),
+            lambda l: F.when(F.length(l) % 3 == 0, F.upper(l)).otherwise(l),
+        ),
+        "\n",
+    )
+    prepped = docs.select("doc_id", t.alias("text"))
+    return CU.refinedweb_line_corrections(prepped).orderBy("doc_id")
+
+
+SQL_REFINEDWEB = """
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(string_split(replace(text, ' row ', chr(10)), chr(10)),
+             l -> CASE WHEN length(l) % 3 = 0 THEN upper(l) ELSE l END),
+           chr(10)) AS t
+  FROM documents),
+s AS (SELECT doc_id, list_transform(string_split(t, chr(10)), l -> trim(l)) AS ls FROM d),
+k AS (SELECT doc_id, ls,
+        list_filter(ls, l -> NOT (
+          (length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+           AND length(regexp_replace(l, '[^A-Z]', '', 'g'))
+               / length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0.6)
+          OR regexp_matches(l, '^[0-9\\s.,:%-]*[0-9][0-9\\s.,:%-]*$')
+          OR regexp_matches(l, '(?i)^\\d+\\s+(likes?|comments?|shares?|views?|followers?|retweets?|upvotes?|points?)$')
+          OR len(list_filter(string_split_regex(l, '\\s+'), w -> length(w) > 0)) = 1)) AS kept
+      FROM s),
+agg AS (SELECT doc_id,
+        coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        CAST(len(ls) AS BIGINT) AS lines_total,
+        CAST(len(kept) AS BIGINT) AS lines_kept,
+        list_sum(list_transform(ls, l -> length(l))) AS tc,
+        coalesce(list_sum(list_transform(kept, l -> length(l))), 0) AS kc
+      FROM k)
+SELECT doc_id, clean_text, lines_total, lines_kept,
+       CASE WHEN tc > 0 THEN round((tc - kc) / CAST(tc AS DOUBLE), 6) ELSE 0.0 END AS removed_char_frac,
+       ((CASE WHEN tc > 0 THEN round((tc - kc) / CAST(tc AS DOUBLE), 6) ELSE 0.0 END) <= 0.05) AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 def q_line_dedup_apply(spark, sf_dir):
     """CCNet line-level corpus dedup WITH reassembly (Wenzek et al.
     2020 §3.1): normalized-line hash, corpus-order first copy
@@ -3434,6 +3484,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dup_spans": q_substring_dup_spans,
     "substring_dedup_apply": q_substring_dedup_apply,
     "c4_page_filters": q_c4_page_filters,
+    "refinedweb_corrections": q_refinedweb_corrections,
     "line_dedup_apply": q_line_dedup_apply,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "doc_fingerprints": q_doc_fingerprints_all,
@@ -3489,6 +3540,7 @@ _ORACLES: dict[str, str] = {
     "substring_dup_spans": SQL_SUBSTR_SPANS,
     "substring_dedup_apply": SQL_SUBSTR_APPLY,
     "c4_page_filters": SQL_C4_FILTERS,
+    "refinedweb_corrections": SQL_REFINEDWEB,
     "line_dedup_apply": SQL_LINE_DEDUP,
     "minhash_lsh_dedup": _sql_minhash(),
     "doc_fingerprints": _sql_fingerprints_all(),

@@ -91,6 +91,7 @@ EXTRA_QUERIES = [
     "substring_dup_spans",
     "substring_dedup_apply",
     "c4_page_filters",
+    "refinedweb_corrections",
     "line_dedup_apply",
     "stratified_sample_mix",
     "vocab_topk",

@@ -862,3 +862,61 @@ def test_line_dedup_internal_dup_and_fully_deduped_doc(spark):
     # a doc whose every line is a duplicate survives as an empty shell
     assert out[2].clean_text == "" and out[2].lines_kept == 0
     assert out[2].dup_line_frac == 1.0
+
+
+def test_refinedweb_line_corrections_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "A normal sentence that survives the pass fine.\n"
+                "MENU HOME ABOUT CONTACT\n"  # mainly uppercase
+                "42\n"  # numeric only
+                "3 likes\n"  # social counter
+                "Home\n"  # single word
+                "Another normal sentence stays in place here.",
+            ),
+            (2, "All of this text is perfectly fine and nothing is removed."),
+            (3, "Tiny body here stays.\nNAVIGATION"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r for r in C.refinedweb_line_corrections(docs).collect()
+    }
+    r1 = out[1]
+    assert r1.lines_total == 6 and r1.lines_kept == 2
+    assert "MENU" not in r1.clean_text and "42" not in r1.clean_text
+    assert "likes" not in r1.clean_text and "Home" not in r1.clean_text
+    assert not r1.keep  # way over the 5% removed-chars budget
+    assert out[2].keep and out[2].removed_char_frac == 0.0
+    # doc 3: the dropped NAVIGATION line is >5% of its chars
+    assert out[3].lines_kept == 1 and not out[3].keep
+
+
+def test_refinedweb_mixed_case_and_empty_lines_survive(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "Mixed Case Lines Are Fine Here Today.\n\n"
+                "lowercase line with several words here",
+            )
+        ],
+        ["doc_id", "text"],
+    )
+    r = C.refinedweb_line_corrections(docs).collect()[0]
+    # Title Case is ~1/5 uppercase letters: under the 0.6 bar; the
+    # empty line has no letters and zero words: exempt from every rule
+    assert r.lines_kept == 3 and r.keep
+
+
+def test_refinedweb_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "x y.")], ["doc_id", "text"])
+    plan = (
+        C.refinedweb_line_corrections(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
