@@ -3114,19 +3114,25 @@ def q_dedup_clusters_apply(spark, sf_dir):
       the k-means cell; kept = survives semantic pruning."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
-    clusters = D.connected_components(pairs)
     cid = F.coalesce(F.col("cluster_id"), F.col("vec_id"))
-    minid = (
-        emb.select("vec_id")
-        .join(clusters, emb["vec_id"] == clusters["id"], "left")
-        .select(
-            F.lit("minid").alias("mode"),
-            "vec_id",
-            cid.alias("cluster_id"),
-            F.lit(None).cast("double").alias("centroid_sim"),
-            (cid == F.col("vec_id")).alias("kept"),
+
+    def _mode_rows(tag, clusters):
+        return (
+            emb.select("vec_id")
+            .join(clusters, emb["vec_id"] == clusters["id"], "left")
+            .select(
+                F.lit(tag).alias("mode"),
+                "vec_id",
+                cid.alias("cluster_id"),
+                F.lit(None).cast("double").alias("centroid_sim"),
+                (cid == F.col("vec_id")).alias("kept"),
+            )
         )
-    )
+
+    minid = _mode_rows("minid", D.connected_components(pairs))
+    # same contract from the O(log^2 n)-round web-scale tier: the
+    # oracle's recursive CTE must agree with BOTH algorithms
+    star = _mode_rows("star", D.connected_components_star(pairs))
     cents = _semantic_centroids(spark, emb)
     sem = D.semdedup_apply(
         emb, cents, "vec_id", "embedding", threshold=0.35, keep="low_centroid_sim"
@@ -3137,7 +3143,7 @@ def q_dedup_clusters_apply(spark, sf_dir):
         "centroid_sim",
         "kept",
     )
-    return minid.unionByName(sem).orderBy("mode", "vec_id")
+    return minid.unionByName(star).unionByName(sem).orderBy("mode", "vec_id")
 
 
 # semantic mode mirrors dedup.semdedup_apply exactly: assignment (argmin
@@ -3187,6 +3193,13 @@ sem_singles AS (
   SELECT vec_id, cluster_id, centroid_sim, TRUE AS kept
   FROM labeled WHERE group_id IS NULL)
 SELECT 'minid' AS mode, e.vec_id,
+       coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+       CAST(NULL AS DOUBLE) AS centroid_sim,
+       coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept
+FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.id
+UNION ALL
+-- the star-contraction tier must land on the identical min labels
+SELECT 'star' AS mode, e.vec_id,
        coalesce(c.cluster_id, e.vec_id) AS cluster_id,
        CAST(NULL AS DOUBLE) AS centroid_sim,
        coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept

@@ -337,8 +337,9 @@ def connected_components(
     Algorithm: min-label propagation — each round every node takes the
     min of its own label and its neighbors' labels; a label flows one
     hop per round, so rounds ≈ the component diameter (near-dup
-    clusters are shallow; for adversarial path-shaped graphs switch to
-    large-star/small-star, which squares distances per round). Each
+    clusters are shallow; for adversarial path-shaped graphs use
+    ``connected_components_star``, which contracts in O(log² n)
+    rounds). Each
     round is one join + one partial-aggregated groupBy over the EDGE
     list (never the corpus), localCheckpoint-ed so the plan stays flat.
 
@@ -386,6 +387,89 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the web-scale tier of ``connected_components``.
+
+    Same contract: ``(id, cluster_id)`` with ``cluster_id`` = the
+    component's minimum member id. Use this over min-label propagation
+    when components may be DEEP (long chains of near-dup links —
+    propagation needs diameter rounds; star contraction needs
+    O(log² n) and in practice a handful):
+
+    - ``large-star``: every node points its larger neighbors at the
+      minimum of its closed neighborhood;
+    - ``small-star``: every node and its smaller neighbors contract
+      onto their minimum.
+
+    Each half-round is ONE partial-aggregated ``groupBy(node).min`` +
+    ONE join of the edge list against that per-node minimum — the same
+    skew story as ``line_dedup``: a hub with 10^9 edges collapses
+    map-side in the aggregate, and the join replicates its single min
+    row under AQE skew splitting. A window would pin the hub to one
+    task. Edges stay (larger → smaller) directed, deduplicated, and
+    localCheckpoint-ed so the iterative plan stays flat.
+
+    Works for any orderable id type (ints, strings). Self-pairs are
+    ignored. Convergence = the directed edge set reaches a fixpoint
+    (exceptAll probe, exact for any type); the result is then a star
+    forest: every node points directly at its component minimum.
+    """
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # every mentioned node gets a label (a node seen only in self-pairs
+    # is its own singleton component, matching connected_components)
+    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    # orient larger -> smaller (small-star's input invariant)
+    edges = (
+        sym.filter(F.col("src") > F.col("dst")).distinct().localCheckpoint()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        s = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = s.groupBy("src").agg(F.min("dst").alias("_mn"))
+        mins = mins.select("src", F.least("_mn", F.col("src")).alias("_m"))
+        return (
+            s.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("src").agg(F.min("dst").alias("_m"))
+        moved = (
+            e.join(mins, "src")
+            .filter(F.col("dst") != F.col("_m"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        )
+        selfed = mins.select("src", F.col("_m").alias("dst"))
+        return moved.union(selfed).filter(F.col("src") != F.col("dst")).distinct()
+
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    return nodes.join(
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("_root")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("_root", F.col("id")).alias("cluster_id"))
 
 
 def semantic_duplicates(

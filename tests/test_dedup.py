@@ -321,3 +321,44 @@ def test_substring_spans_fully_duplicated_doc_empties(spark):
     out = {r["doc_id"]: r for r in D.exact_substring_dedup(docs, k=4).collect()}
     assert out[1]["text"] == t and out[1]["removed_tokens"] == 0
     assert out[2]["text"] == "" and out[2]["removed_tokens"] == 8
+
+
+# ------------------------------------ large-star / small-star CC tier
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    import random
+
+    random.seed(7)
+    pairs = [
+        (random.randrange(120), random.randrange(120)) for _ in range(90)
+    ]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    prop = {r.id: r.cluster_id for r in D.connected_components(df).collect()}
+    star = {
+        r.id: r.cluster_id for r in D.connected_components_star(df).collect()
+    }
+    assert prop == star
+
+
+def test_star_cc_contracts_a_deep_path(spark):
+    # diameter 199: min-label propagation needs 199 rounds (over its
+    # default max_iter); star contraction converges in O(log^2 n)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["id_a", "id_b"]
+    )
+    out = {
+        r.id: r.cluster_id
+        for r in D.connected_components_star(path, max_iter=15).collect()
+    }
+    assert len(out) == 200 and set(out.values()) == {0}
+
+
+def test_star_cc_string_ids_and_self_pair_singleton(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "x")], ["id_a", "id_b"]
+    )
+    out = {
+        r.id: r.cluster_id for r in D.connected_components_star(df).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x"}
