@@ -32,6 +32,7 @@ from customkb_spark.ingest.chunker import chunk_fixed
 from customkb_spark.ingest.pipeline import documents_to_chunks, incremental_filter
 from customkb_spark.embedding import lsh as LSH
 from customkb_spark.operators import bm25 as B
+from customkb_spark.operators import bpe as BP
 from customkb_spark.operators import categorize as CAT
 from customkb_spark.operators import curation as CU
 from customkb_spark.operators import dedup as D
@@ -3214,6 +3215,38 @@ ORDER BY mode, vec_id
 """
 
 
+def q_bpe_subword_tokens(spark, sf_dir):
+    """Distributed BPE (Sennrich et al. 2016): Spark does the
+    corpus-sized word count (one partial-agg shuffle), the driver
+    learns merges over the bounded vocabulary (k-means-sample
+    discipline), and encoding is a pure-JVM join against the learned
+    segmentation table. The segmentation persists to ORACLE_ART_DIR so
+    the oracle replays the encode (explode → join → ordered
+    reassembly) even though merge learning is iterative."""
+    docs = _t(spark, sf_dir, "documents")
+    _, seg = BP.bpe_train(docs, num_merges=80)
+    if _persist_oracle_artifacts():
+        seg.coalesce(1).write.mode("overwrite").parquet(
+            f"{ORACLE_ART_DIR}/bpe/seg"
+        )
+    return BP.bpe_apply(docs, seg).orderBy("doc_id")
+
+
+SQL_BPE_APPLY = f"""
+WITH seg AS (SELECT word, subwords
+             FROM read_parquet('{ORACLE_ART_DIR}/bpe/seg/*.parquet')),
+tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+w AS (SELECT doc_id, i AS pos, toks[i + 1] AS word
+      FROM tk, unnest(generate_series(0, len(toks) - 1)) u(i)),
+j AS (SELECT doc_id, pos, s.subwords FROM w JOIN seg s USING (word))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(subwords)) AS BIGINT) AS n_subwords,
+       string_agg(array_to_string(subwords, ' '), ' ' ORDER BY pos) AS subword_text
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_multimodal_decode_full(spark, sf_dir):
     """Multimodal pipeline: JVM metadata pass ⋈ Arrow-batched decode
     stage (deterministic-fake dims) on media_id — both stages of the
@@ -3499,6 +3532,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_page_filters": q_c4_page_filters,
     "refinedweb_corrections": q_refinedweb_corrections,
     "line_dedup_apply": q_line_dedup_apply,
+    "bpe_subword_tokens": q_bpe_subword_tokens,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "doc_fingerprints": q_doc_fingerprints_all,
     "dedup_clusters_apply": q_dedup_clusters_apply,
@@ -3555,6 +3589,7 @@ _ORACLES: dict[str, str] = {
     "c4_page_filters": SQL_C4_FILTERS,
     "refinedweb_corrections": SQL_REFINEDWEB,
     "line_dedup_apply": SQL_LINE_DEDUP,
+    "bpe_subword_tokens": SQL_BPE_APPLY,
     "minhash_lsh_dedup": _sql_minhash(),
     "doc_fingerprints": _sql_fingerprints_all(),
     "dedup_clusters_apply": SQL_CLUSTERS_APPLY,

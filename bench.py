@@ -93,6 +93,7 @@ EXTRA_QUERIES = [
     "c4_page_filters",
     "refinedweb_corrections",
     "line_dedup_apply",
+    "bpe_subword_tokens",
     "stratified_sample_mix",
     "vocab_topk",
     "boilerplate_spans",
