@@ -527,6 +527,26 @@ def cmd_curate(args) -> int:
         # already contributes dup_line_frac so only the new columns join
         full = CU.gopher_repetition(docs, text_col, id_col).drop("dup_line_frac")
         report = report.join(full, id_col, "left")
+    if getattr(args, "web_clean", False):
+        # the web-extraction cleaning batteries: C4 page rules
+        # (Raffel et al. 2020), RefinedWeb line corrections (Penedo et
+        # al. 2023), and CCNet line-level corpus dedup (Wenzek et al.
+        # 2020) — keep flags + removal fractions, text untouched (the
+        # apply variants live in the operators)
+        c4 = CU.c4_page_filters(docs, text_col, id_col).select(
+            id_col,
+            F.col("keep").alias("c4_keep"),
+            F.col("n_sentences").alias("c4_sentences"),
+        )
+        rw = CU.refinedweb_line_corrections(docs, text_col, id_col).select(
+            id_col,
+            F.col("keep").alias("rw_keep"),
+            F.col("removed_char_frac").alias("rw_removed_char_frac"),
+        )
+        ld = CU.line_dedup(docs, text_col, id_col).select(
+            id_col, F.col("dup_line_frac").alias("line_dup_frac")
+        )
+        report = report.join(c4, id_col).join(rw, id_col).join(ld, id_col)
     if args.dsir_target:
         # domain-targeted DSIR weights: the named source column value is
         # the in-domain slice, everything else the raw corpus
@@ -876,6 +896,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="add the full Gopher repetition battery (dup line/para "
         "char fracs, top 2-4-gram and dup 5-10-gram char coverage)",
+    )
+    c.add_argument(
+        "--web-clean",
+        action="store_true",
+        help="add the web-extraction cleaning signals: C4 page-rule "
+        "keep flag, RefinedWeb line-correction keep flag + removed-char "
+        "fraction, CCNet duplicate-line fraction",
     )
     c.set_defaults(fn=cmd_curate)
 

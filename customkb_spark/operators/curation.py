@@ -891,6 +891,61 @@ def span_dedup_stats(
 
 # -------------------------------------- C4 / CCNet page cleaning
 
+C4_POLICY_MARKERS = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+
+def c4_kept_lines(
+    text_col: Column | str,
+    min_words_per_line: int = 5,
+    drop_line_markers: tuple[str, ...] = ("javascript",),
+) -> Column:
+    """Array of the (trimmed) lines C4's line rules retain — the
+    shared expression behind ``c4_page_filters`` and the streaming
+    gate. See ``c4_page_filters`` for the rule list."""
+
+    def _keep_line(l: Column) -> Column:
+        words = F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
+        ok = (words >= min_words_per_line) & l.rlike(r'[.!?"]$')
+        for m in drop_line_markers:
+            ok = ok & ~F.lower(l).contains(F.lit(m))
+        return ok
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        # NOT bare F.trim: transform would bind its optional second
+        # parameter (trimStr) to the element index
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        _keep_line,
+    )
+
+
+def bad_word_flag(text_col: Column | str, bad_words: tuple[str, ...]) -> Column:
+    """Whole-word, case-insensitive bad-word page flag (C4's list
+    matching semantics). ``lit(False)`` when the list is empty."""
+    if not bad_words:
+        return F.lit(False)
+    import re as _re
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    pat = r"\b(?:" + "|".join(_re.escape(w.lower()) for w in bad_words) + r")\b"
+    return F.lower(col).rlike(pat)
+
+
+def marker_flag(text_col: Column | str, markers: tuple[str, ...]) -> Column:
+    """Case-insensitive substring page flag (policy boilerplate /
+    'lorem ipsum' style markers)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    low = F.lower(col)
+    flag = F.lit(False)
+    for m in markers:
+        flag = flag | low.contains(F.lit(m))
+    return flag
+
 
 def c4_page_filters(
     df: DataFrame,
@@ -899,12 +954,7 @@ def c4_page_filters(
     min_words_per_line: int = 5,
     min_sentences: int = 3,
     bad_words: tuple[str, ...] = (),
-    policy_markers: tuple[str, ...] = (
-        "terms of use",
-        "privacy policy",
-        "cookie policy",
-        "uses cookies",
-    ),
+    policy_markers: tuple[str, ...] = C4_POLICY_MARKERS,
     drop_line_markers: tuple[str, ...] = ("javascript",),
 ) -> DataFrame:
     """The full C4 page/line cleaning battery (Raffel et al. 2020,
@@ -942,36 +992,17 @@ def c4_page_filters(
     kept-lines array is materialized once per row (staged projection)
     so the lambda expressions are not re-evaluated per consumer.
     """
-    def _keep_line(l: Column) -> Column:
-        words = F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
-        ok = (words >= min_words_per_line) & l.rlike(r'[.!?"]$')
-        for m in drop_line_markers:
-            ok = ok & ~F.lower(l).contains(F.lit(m))
-        return ok
-
     staged = df.select(
         F.col(id_col),
         F.col(text_col).alias("_orig"),
-        F.filter(
-            # NOT bare F.trim: transform would bind its optional second
-            # parameter (trimStr) to the element index
-            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
-            _keep_line,
-        ).alias("_kept"),
+        c4_kept_lines(text_col, min_words_per_line, drop_line_markers).alias(
+            "_kept"
+        ),
         F.size(F.split(F.col(text_col), "\n")).cast("long").alias("lines_total"),
     )
     clean = F.array_join(F.col("_kept"), "\n")
-    low = F.lower(F.col("_orig"))
-    if bad_words:
-        import re as _re
-
-        pat = r"\b(?:" + "|".join(_re.escape(w.lower()) for w in bad_words) + r")\b"
-        has_bad = low.rlike(pat)
-    else:
-        has_bad = F.lit(False)
-    has_policy = F.lit(False)
-    for m in policy_markers:
-        has_policy = has_policy | low.contains(F.lit(m))
+    has_bad = bad_word_flag("_orig", bad_words)
+    has_policy = marker_flag("_orig", policy_markers)
     out = staged.select(
         F.col(id_col),
         clean.alias("clean_text"),
@@ -980,7 +1011,7 @@ def c4_page_filters(
         F.length(F.regexp_replace(clean, r"[^.!?]", "")).cast("long").alias("n_sentences"),
         has_bad.alias("has_bad_word"),
         has_policy.alias("has_policy"),
-        low.contains(F.lit("lorem ipsum")).alias("has_lorem"),
+        marker_flag("_orig", ("lorem ipsum",)).alias("has_lorem"),
         F.col("_orig").contains(F.lit("{")).alias("has_brace"),
     )
     return out.withColumn(
@@ -990,6 +1021,36 @@ def c4_page_filters(
         & ~F.col("has_policy")
         & ~F.col("has_lorem")
         & ~F.col("has_brace"),
+    )
+
+
+def refinedweb_kept_lines(
+    text_col: Column | str, upper_frac: float = 0.6
+) -> Column:
+    """Array of the (trimmed) lines RefinedWeb's corrections retain —
+    the shared expression behind ``refinedweb_line_corrections`` and
+    the streaming gate. See there for the rule list."""
+    counter_pat = (
+        r"(?i)^\d+\s+(likes?|comments?|shares?|views?|followers?|"
+        r"retweets?|upvotes?|points?)$"
+    )
+    numeric_pat = r"^[0-9\s.,:%-]*[0-9][0-9\s.,:%-]*$"
+
+    def _drop_line(l: Column) -> Column:
+        letters = F.length(F.regexp_replace(l, r"[^A-Za-z]", ""))
+        uppers = F.length(F.regexp_replace(l, r"[^A-Z]", ""))
+        words = F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
+        return (
+            ((letters > 0) & (uppers / letters > upper_frac))
+            | l.rlike(numeric_pat)
+            | l.rlike(counter_pat)
+            | (words == 1)
+        )
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: ~_drop_line(l),
     )
 
 
@@ -1023,29 +1084,9 @@ def refinedweb_line_corrections(
     array — ZERO shuffles, zero Python (same scan-speed shape as
     ``c4_page_filters``).
     """
-    counter_pat = (
-        r"(?i)^\d+\s+(likes?|comments?|shares?|views?|followers?|"
-        r"retweets?|upvotes?|points?)$"
-    )
-    numeric_pat = r"^[0-9\s.,:%-]*[0-9][0-9\s.,:%-]*$"
-
-    def _drop_line(l: Column) -> Column:
-        letters = F.length(F.regexp_replace(l, r"[^A-Za-z]", ""))
-        uppers = F.length(F.regexp_replace(l, r"[^A-Z]", ""))
-        words = F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
-        return (
-            ((letters > 0) & (uppers / letters > upper_frac))
-            | l.rlike(numeric_pat)
-            | l.rlike(counter_pat)
-            | (words == 1)
-        )
-
     staged = df.select(
         F.col(id_col),
-        F.filter(
-            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
-            lambda l: ~_drop_line(l),
-        ).alias("_kept"),
+        refinedweb_kept_lines(text_col, upper_frac).alias("_kept"),
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)).alias(
             "_lines"
         ),

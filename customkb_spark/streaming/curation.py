@@ -40,6 +40,7 @@ def curate_stream(
     dsir_model: dict[str, float] | None = None,
     quality_model=None,
     citations: bool = False,
+    web_clean: bool = False,
 ) -> DataFrame:
     """The stateless curation gate over a (streaming or batch) frame:
 
@@ -62,7 +63,12 @@ def curate_stream(
       ``classifier.train_quality_classifier`` PipelineModel), adds
       ``quality_prob`` — the learned filter is a broadcast coefficient
       vector, also stateless;
-    - optionally filters to ``language`` / ``min_quality``.
+    - optionally filters to ``language`` / ``min_quality``;
+    - with ``web_clean``, adds the web-extraction batteries' page
+      verdicts (``c4_keep``, ``rw_keep``, ``rw_removed_char_frac``) —
+      the same shared expressions as ``curation.c4_page_filters`` /
+      ``refinedweb_line_corrections`` (keep flags only; the
+      text-rewriting applies stay batch operators).
     """
     toked = docs_stream.withColumn("_toks", X.tokens(text_col))
     out = toked.withColumn(
@@ -96,6 +102,44 @@ def curate_stream(
         # the ml transform only ADDS columns, so it applies in place
         # (the staged token array survives for the final drop)
         out = score_quality(out, quality_model)
+    if web_clean:
+        # the web-extraction line batteries are row-local column
+        # algebra (the same shared expressions as the batch operators)
+        # so they ride the stateless gate; staged kept-line arrays are
+        # materialized once and dropped at the end
+        out = (
+            out.withColumn("_c4_kept", CU.c4_kept_lines(text_col))
+            .withColumn("_rw_kept", CU.refinedweb_kept_lines(text_col))
+            .withColumn(
+                "_rw_lines",
+                F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+            )
+        )
+        c4_sentences = F.length(
+            F.regexp_replace(F.array_join("_c4_kept", "\n"), r"[^.!?]", "")
+        )
+        out = out.withColumn(
+            "c4_keep",
+            (c4_sentences >= 3)
+            & ~CU.marker_flag(text_col, CU.C4_POLICY_MARKERS)
+            & ~CU.marker_flag(text_col, ("lorem ipsum",))
+            & ~F.col(text_col).contains(F.lit("{")),
+        )
+        total_chars = F.aggregate(
+            "_rw_lines", F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        )
+        kept_chars = F.aggregate(
+            "_rw_kept", F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        )
+        rw_removed = F.when(
+            total_chars > 0,
+            F.round((total_chars - kept_chars) / total_chars, 6),
+        ).otherwise(F.lit(0.0))
+        out = (
+            out.withColumn("rw_removed_char_frac", rw_removed)
+            .withColumn("rw_keep", F.col("rw_removed_char_frac") <= 0.05)
+            .drop("_c4_kept", "_rw_kept", "_rw_lines")
+        )
     if citations:
         # the citations regex tier is pure per-row column algebra —
         # stateless, so bibliographic metadata rides the same gate

@@ -594,3 +594,19 @@ def test_cli_doctor(spark, capsys):
     assert report["session"]["master"].startswith("local")
     assert report["disk"]["free_gb"] > 0
     assert isinstance(report["warnings"], list)
+
+
+def test_cli_curate_web_clean(spark, tmp_path, capsys):
+    out = str(tmp_path / "wc_report")
+    rc = cli.main([
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--web-clean",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    cols = set(spark.read.parquet(out).columns)
+    assert {
+        "c4_keep", "c4_sentences", "rw_keep",
+        "rw_removed_char_frac", "line_dup_frac",
+    } <= cols

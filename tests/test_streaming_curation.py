@@ -158,3 +158,41 @@ def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
     }
     assert got == exp and len(got) == len(ROWS)
     assert got[5] is True and got[1] is False
+
+
+def test_streaming_web_clean_matches_batch_operators(spark, tmp_path):
+    rows = [
+        (1, "A good long sentence that survives fine.\nMENU HOME ABOUT US NOW\n3 likes"),
+        (2, "One proper sentence here today. A second one follows right here! And a third arrives now?"),
+        (3, "lorem ipsum filler page with braces { in it."),
+    ]
+    src = str(tmp_path / "wc_src")
+    base = spark.createDataFrame(rows, "doc_id: long, text: string")
+    base.write.parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = (
+        curate_stream(stream, web_clean=True)
+        .writeStream.format("memory")
+        .queryName("wc_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.c4_keep, r.rw_keep, round(r.rw_removed_char_frac, 6))
+        for r in spark.sql(
+            "SELECT doc_id, c4_keep, rw_keep, rw_removed_char_frac FROM wc_out"
+        ).collect()
+    }
+    c4 = {r.doc_id: r.keep for r in CU.c4_page_filters(base).collect()}
+    rw = {
+        r.doc_id: (r.keep, round(r.removed_char_frac, 6))
+        for r in CU.refinedweb_line_corrections(base).collect()
+    }
+    assert got == {
+        d: (c4[d], rw[d][0], rw[d][1]) for d in c4
+    }
+    # sanity on content: doc 2 passes both, doc 3 fails C4
+    assert got[2][0] and got[2][1]
+    assert not got[3][0]
