@@ -1112,6 +1112,19 @@ def refinedweb_line_corrections(
     )
 
 
+def ccnet_line_norm(col: Column | str) -> Column:
+    """CCNet line normalization (Wenzek et al. 2020): lowercase,
+    digits and punctuation stripped, whitespace collapsed — the
+    dedup-key transform shared by ``line_dedup`` and the streaming
+    admission gate."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z\s]", ""), r"\s+", " "
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1149,13 +1162,7 @@ def line_dedup(
 
     No self-joins over corpus rows, no Python, no collect.
     """
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("_line")), r"[^a-z\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
+    norm = ccnet_line_norm(F.col("_line"))
     base = df.select(F.col(id_col), F.split(F.col(text_col), "\n").alias("_lines"))
     ex = (
         base.select(F.col(id_col), F.posexplode("_lines").alias("_pos", "_line"))

@@ -474,3 +474,173 @@ def streaming_substring_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_line_dedup(
+    docs_stream: DataFrame,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming CCNet line-level dedup (Wenzek et al. 2020 §3.1):
+    maintain a corpus in which every normalized line appears exactly
+    once — the arrival-order first copy survives, later copies are cut
+    from their documents. The FIFTH streaming duplicate geometry
+    (exact doc hashes / lexical MinHash / semantic embedding / exact
+    substrings / normalized lines).
+
+    Standing state under ``kept_dir``:
+      - ``docs``:  the finalized cleaned documents, batch
+        ``line_dedup``'s exact output schema (a doc's text never
+        changes after its batch);
+      - ``lines``: (kp, lhash, src_id) — every normalized-line hash of
+        every processed doc's ORIGINAL lines (a line removed as a dup
+        still hashes identically to its owner, so distinct hashes seen
+        is sufficient state), PARTITIONED BY ``kp`` (md5 prefix).
+
+    Per micro-batch (foreachBatch), the substring gate's discipline:
+    1. drop ids already finalized (epoch-replay guard);
+    2. explode + normalize + hash map-side; probe the standing lines
+       with the batch's distinct hash set BROADCAST (state scans
+       map-side, kp-partition-pruned, never shuffles), ignoring state
+       rows whose ``src_id`` is in the current batch (a replay after a
+       crash between the two appends cannot poison itself);
+    3. a line survives iff its normalized form is empty (never a
+       candidate) or it is unseen in state AND the batch-internal
+       minimum (id, pos) occurrence;
+    4. append LINES FIRST, then cleaned docs (same crash-ordering
+       argument as the substring gate).
+
+    Streaming == batch: with ids ascending in arrival order the docs
+    table equals ``curation.line_dedup`` on the concatenated corpus —
+    locked by the equivalence test.
+    """
+    from customkb_spark.operators.curation import ccnet_line_norm
+
+    doc_path = os.path.join(kept_dir, "docs")
+    line_path = os.path.join(kept_dir, "lines")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint()
+        if os.path.isdir(doc_path):
+            batch = batch.join(
+                spark.read.parquet(doc_path).select(id_col), id_col, "left_anti"
+            ).localCheckpoint()
+        if not batch.limit(1).count():
+            return
+
+        ex = (
+            batch.select(
+                F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                    "_pos", "_line"
+                ),
+            )
+            .withColumn("_norm", ccnet_line_norm(F.col("_line")))
+            .withColumn(
+                "_h", F.when(F.length("_norm") > 0, F.md5(F.col("_norm")))
+            )
+            .drop("_norm")
+            .localCheckpoint()
+        )
+        hashed = ex.filter(F.col("_h").isNotNull())
+        batch_hashes = hashed.select(F.col("_h").alias("lhash")).distinct()
+
+        if os.path.isdir(line_path):
+            kps = [
+                r["kp"]
+                for r in hashed.select(
+                    F.substring("_h", 1, 2).alias("kp")
+                ).distinct().collect()
+            ]
+            state = spark.read.parquet(line_path).filter(F.col("kp").isin(kps))
+            seen = (
+                state.join(F.broadcast(batch_hashes), "lhash", "left_semi")
+                .join(
+                    F.broadcast(batch.select(F.col(id_col).alias("src_id"))),
+                    "src_id",
+                    "left_anti",
+                )
+                .select("lhash")
+                .distinct()
+            )
+        else:
+            seen = spark.createDataFrame([], "lhash string")
+
+        occ = F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))
+        firsts = hashed.groupBy("_h").agg(F.min(occ).alias("_first"))
+        kept = (
+            ex.join(
+                F.broadcast(
+                    seen.select(F.col("lhash").alias("_h")).withColumn(
+                        "_seen", F.lit(True)
+                    )
+                ),
+                "_h",
+                "left",
+            )
+            .join(firsts, "_h", "left")
+            .filter(
+                F.col("_h").isNull()
+                | (~F.coalesce("_seen", F.lit(False)) & (occ == F.col("_first")))
+            )
+        )
+        reasm = kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("lines_kept"),
+        )
+        totals = batch.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), "\n")).cast("long").alias(
+                "lines_total"
+            ),
+        )
+        cleaned = (
+            totals.join(reasm, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                "lines_total",
+                F.coalesce("lines_kept", F.lit(0)).cast("long").alias(
+                    "lines_kept"
+                ),
+                (F.col("lines_total") - F.coalesce("lines_kept", F.lit(0)))
+                .cast("long")
+                .alias("lines_removed"),
+                F.round(
+                    (F.col("lines_total") - F.coalesce("lines_kept", F.lit(0)))
+                    / F.greatest(F.col("lines_total"), F.lit(1)),
+                    6,
+                ).alias("dup_line_frac"),
+            )
+            .localCheckpoint()
+        )
+
+        # LINES FIRST (see docstring)
+        (
+            hashed.select(
+                F.substring("_h", 1, 2).alias("kp"),
+                F.col("_h").alias("lhash"),
+                F.col(id_col).alias("src_id"),
+            )
+            .distinct()
+            .write.mode("append")
+            .partitionBy("kp")
+            .parquet(line_path)
+        )
+        cleaned.write.mode("append").parquet(doc_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

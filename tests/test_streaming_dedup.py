@@ -313,3 +313,72 @@ def test_streaming_substring_dedup_within_batch_only(spark, tmp_path):
     docs = {r.doc_id: r for r in spark.read.parquet(f"{kept_dir}/docs").collect()}
     assert docs[1].removed_tokens == 6 and docs[1].text == "p q r s t u"
     assert docs[2].removed_tokens == 0
+
+
+# ------------------------------ streaming CCNet line-dedup gate
+
+
+def _run_line_wave(spark, tmp_path, rows, tag, kept_dir):
+    src = str(tmp_path / f"ld_src_{tag}")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = SD.streaming_line_dedup(stream, kept_dir, str(tmp_path / f"ld_ck_{tag}"))
+    q.awaitTermination(120)
+
+
+def test_streaming_line_dedup_equivalence_and_replay(spark, tmp_path):
+    """CCNet line gate: cross-batch AND batch-internal duplicate lines
+    coexist (plus normalization collisions); final docs == batch
+    line_dedup on the concatenated corpus; fresh-checkpoint replay
+    changes nothing."""
+    from customkb_spark.operators.curation import line_dedup
+
+    waves = [
+        [
+            (1, "alpha beta gamma\nunique one here\nCommon Footer 2024!"),
+            (2, "totally different body\n!!!"),
+        ],
+        [
+            (10, "common footer\nalpha beta gamma\nunique two here"),  # cross-batch dups
+            (11, "repeated inside\nrepeated inside\nfresh line stays"),  # internal dup
+        ],
+    ]
+    kept_dir = str(tmp_path / "ld_kept")
+    _run_line_wave(spark, tmp_path, waves[0], "w1", kept_dir)
+    _run_line_wave(spark, tmp_path, waves[1], "w2", kept_dir)
+    docs1 = {r.doc_id: r for r in spark.read.parquet(f"{kept_dir}/docs").collect()}
+    assert set(docs1) == {1, 2, 10, 11}
+    assert docs1[1].lines_removed == 0
+    # 'common footer' normalizes equal to wave-1's 'Common Footer 2024!'
+    assert docs1[10].clean_text == "unique two here"
+    assert docs1[10].lines_removed == 2
+    assert docs1[11].clean_text == "repeated inside\nfresh line stays"
+
+    _run_line_wave(spark, tmp_path, waves[1], "w2_replay", kept_dir)
+    docs2 = {r.doc_id: r for r in spark.read.parquet(f"{kept_dir}/docs").collect()}
+    assert {d: r.clean_text for d, r in docs2.items()} == {
+        d: r.clean_text for d, r in docs1.items()
+    }
+
+    full = spark.createDataFrame(
+        [r for w in waves for r in w], "doc_id long, text string"
+    )
+    twin = {r.doc_id: r for r in line_dedup(full).collect()}
+    assert {
+        d: (r.clean_text, r.lines_total, r.lines_kept, r.dup_line_frac)
+        for d, r in docs2.items()
+    } == {
+        d: (r.clean_text, r.lines_total, r.lines_kept, r.dup_line_frac)
+        for d, r in twin.items()
+    }
+
+
+def test_streaming_line_dedup_fully_deduped_doc_is_empty_shell(spark, tmp_path):
+    kept_dir = str(tmp_path / "ld_kept2")
+    _run_line_wave(spark, tmp_path, [(1, "the only line here")], "a", kept_dir)
+    _run_line_wave(spark, tmp_path, [(2, "the only line here")], "b", kept_dir)
+    docs = {r.doc_id: r for r in spark.read.parquet(f"{kept_dir}/docs").collect()}
+    assert docs[2].clean_text == "" and docs[2].lines_kept == 0
+    assert docs[2].dup_line_frac == 1.0
