@@ -3247,6 +3247,35 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility / compression per source slice (subwords
+    per word, chars per subword) — computed off the encode stream, one
+    slice-keyed partial agg. Same persisted segmentation artifact as
+    bpe_subword_tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    _, seg = BP.bpe_train(docs, num_merges=80)
+    if _persist_oracle_artifacts():
+        seg.coalesce(1).write.mode("overwrite").parquet(
+            f"{ORACLE_ART_DIR}/bpe/seg"
+        )
+    return BP.bpe_fertility(docs, seg, by=("source",)).orderBy("source")
+
+
+SQL_BPE_FERTILITY = f"""
+WITH enc AS ({SQL_BPE_APPLY.replace('ORDER BY doc_id', '')}),
+s AS (SELECT e.*, d.source,
+        length(replace(replace(e.subword_text, '</w>', ''), ' ', '')) AS chars
+      FROM enc e JOIN documents d USING (doc_id))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+       round(sum(n_subwords) / CAST(greatest(sum(n_words), 1) AS DOUBLE), 6) AS fertility,
+       round(sum(chars) / CAST(greatest(sum(n_subwords), 1) AS DOUBLE), 6) AS chars_per_subword
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 def q_multimodal_decode_full(spark, sf_dir):
     """Multimodal pipeline: JVM metadata pass ⋈ Arrow-batched decode
     stage (deterministic-fake dims) on media_id — both stages of the
@@ -3533,6 +3562,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "refinedweb_corrections": q_refinedweb_corrections,
     "line_dedup_apply": q_line_dedup_apply,
     "bpe_subword_tokens": q_bpe_subword_tokens,
+    "bpe_fertility": q_bpe_fertility,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "doc_fingerprints": q_doc_fingerprints_all,
     "dedup_clusters_apply": q_dedup_clusters_apply,
@@ -3590,6 +3620,7 @@ _ORACLES: dict[str, str] = {
     "refinedweb_corrections": SQL_REFINEDWEB,
     "line_dedup_apply": SQL_LINE_DEDUP,
     "bpe_subword_tokens": SQL_BPE_APPLY,
+    "bpe_fertility": SQL_BPE_FERTILITY,
     "minhash_lsh_dedup": _sql_minhash(),
     "doc_fingerprints": _sql_fingerprints_all(),
     "dedup_clusters_apply": SQL_CLUSTERS_APPLY,

@@ -151,6 +151,64 @@ def bpe_train(
     return merges_df, seg_df
 
 
+def bpe_fertility(
+    df: DataFrame,
+    seg: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: tuple[str, ...] = ("source",),
+    end_of_word: str = END_OF_WORD,
+) -> DataFrame:
+    """Tokenizer fertility / compression report per corpus slice — the
+    quality metric tokenizer work actually tracks (subwords per word;
+    characters per subword). High fertility on a language or domain
+    slice means the learned vocabulary serves it poorly (the
+    multilingual-tokenizer failure mode).
+
+    Returns ``*by, n_docs, total_words, total_subwords, fertility,
+    chars_per_subword``. Built on ``bpe_apply``'s output: word
+    characters are recovered from the subword stream itself
+    (subwords concatenate back to their words), so the corpus is not
+    re-tokenized. One join to fetch the slice columns + one
+    partial-agg shuffle on the (tiny) slice key space.
+    """
+    enc = bpe_apply(df, seg, text_col, id_col, end_of_word)
+    chars = F.length(
+        F.replace(
+            F.replace(F.col("subword_text"), F.lit(end_of_word), F.lit("")),
+            F.lit(" "),
+            F.lit(""),
+        )
+    )
+    sliced = enc.join(df.select(id_col, *by), id_col).select(
+        *by,
+        F.col("n_words"),
+        F.col("n_subwords"),
+        chars.cast("long").alias("_chars"),
+    )
+    return (
+        sliced.groupBy(*by)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_subwords").cast("long").alias("total_subwords"),
+            F.sum("_chars").alias("_tc"),
+        )
+        .select(
+            *by,
+            "n_docs",
+            "total_words",
+            "total_subwords",
+            F.round(F.col("total_subwords") / F.greatest("total_words", F.lit(1)), 6).alias(
+                "fertility"
+            ),
+            F.round(F.col("_tc") / F.greatest("total_subwords", F.lit(1)), 6).alias(
+                "chars_per_subword"
+            ),
+        )
+    )
+
+
 def bpe_apply(
     df: DataFrame,
     seg: DataFrame,

@@ -95,3 +95,23 @@ def test_bpe_apply_oov_char_fallback_is_jvm_only(spark):
         B.bpe_apply(oov, seg)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan  # encode path is entirely JVM-side
+
+
+def test_bpe_fertility_per_slice(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa aaa aaa aaa", "easy"),   # one frequent word: low fertility
+            (2, "aaa aaa", "easy"),
+            (3, "qx wv zj", "hard"),          # rare words stay characters
+        ],
+        ["doc_id", "text", "source"],
+    )
+    _, seg = B.bpe_train(docs, num_merges=4)
+    out = {r.source: r for r in B.bpe_fertility(docs, seg).collect()}
+    assert out["easy"].total_words == 6
+    # frequent 'aaa' merged to a single token: fertility 1.0
+    assert out["easy"].fertility == 1.0
+    # rare 2-char words: 2 chars + </w> = 3 subwords per word
+    assert out["hard"].fertility > out["easy"].fertility
+    # chars_per_subword recovers word chars exactly (no separators)
+    assert out["easy"].chars_per_subword == 3.0
