@@ -229,6 +229,53 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def tune_lsh_bands(
+    threshold: float,
+    num_hashes: int,
+    fn_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Pick the LSH banding ``(bands, rows_per_band)`` for a target
+    Jaccard ``threshold`` — the S-curve optimization from Mining of
+    Massive Datasets ch. 3 (Leskovec/Rajaraman/Ullman; the same
+    planner datasketch ships as ``_optimal_param``).
+
+    For b bands of r rows, a pair with Jaccard s collides with
+    probability ``1 − (1 − s^r)^b``. The planner scores every
+    divisor split of ``num_hashes`` by the integrated false-positive
+    area below the threshold plus ``fn_weight`` × the false-negative
+    area above it, and returns the minimizer. ``fn_weight > 1`` biases
+    toward recall (dedup usually wants that: a missed duplicate ships
+    twice; a false candidate only costs a Jaccard verify).
+
+    Driver-side arithmetic over ≤ num_hashes splits — use it to choose
+    the ``bands`` argument of ``minhash_lsh_duplicates`` instead of
+    hand-picking.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    steps = 1000
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        score = fp + fn_weight * fn
+        if best is None or score < best[0]:
+            best = (score, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",

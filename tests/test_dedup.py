@@ -362,3 +362,29 @@ def test_star_cc_string_ids_and_self_pair_singleton(spark):
         r.id: r.cluster_id for r in D.connected_components_star(df).collect()
     }
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x"}
+
+
+def test_tune_lsh_bands_tracks_threshold():
+    # low threshold -> many bands (few rows): catch low-similarity pairs;
+    # high threshold -> fewer bands (more rows): suppress false positives
+    b_low, r_low = D.tune_lsh_bands(0.2, 64)
+    b_high, r_high = D.tune_lsh_bands(0.9, 64)
+    assert b_low * r_low == 64 and b_high * r_high == 64
+    assert b_low > b_high and r_low < r_high
+    # at the chosen split the S-curve crosses ~50% near the threshold
+    for t, (b, r) in ((0.2, (b_low, r_low)), (0.9, (b_high, r_high))):
+        p = 1.0 - (1.0 - t**r) ** b
+        assert 0.2 < p < 0.98
+    # recall bias pushes toward more bands (earlier S-curve rise)
+    b_recall, _ = D.tune_lsh_bands(0.5, 64, fn_weight=10.0)
+    b_neutral, _ = D.tune_lsh_bands(0.5, 64)
+    assert b_recall >= b_neutral
+
+
+def test_tune_lsh_bands_validates_inputs():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        D.tune_lsh_bands(0.0, 16)
+    with _pt.raises(ValueError):
+        D.tune_lsh_bands(0.5, 1)
