@@ -3215,6 +3215,28 @@ ORDER BY mode, vec_id
 """
 
 
+_BPE_SEG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bpe_seg(spark, sf_dir):
+    """Train (or reuse) the BPE segmentation for this (session, sf):
+    both bpe_* queries share one training run + one artifact write —
+    retraining byte-identical output per query would double the
+    correctness-gate cost for nothing."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    seg = _BPE_SEG_CACHE.get(key)
+    if seg is None:
+        docs = _t(spark, sf_dir, "documents")
+        _, seg = BP.bpe_train(docs, num_merges=80)
+        seg = seg.localCheckpoint()
+        if _persist_oracle_artifacts():
+            seg.coalesce(1).write.mode("overwrite").parquet(
+                f"{ORACLE_ART_DIR}/bpe/seg"
+            )
+        _BPE_SEG_CACHE[key] = seg
+    return seg
+
+
 def q_bpe_subword_tokens(spark, sf_dir):
     """Distributed BPE (Sennrich et al. 2016): Spark does the
     corpus-sized word count (one partial-agg shuffle), the driver
@@ -3224,12 +3246,7 @@ def q_bpe_subword_tokens(spark, sf_dir):
     the oracle replays the encode (explode → join → ordered
     reassembly) even though merge learning is iterative."""
     docs = _t(spark, sf_dir, "documents")
-    _, seg = BP.bpe_train(docs, num_merges=80)
-    if _persist_oracle_artifacts():
-        seg.coalesce(1).write.mode("overwrite").parquet(
-            f"{ORACLE_ART_DIR}/bpe/seg"
-        )
-    return BP.bpe_apply(docs, seg).orderBy("doc_id")
+    return BP.bpe_apply(docs, _bpe_seg(spark, sf_dir)).orderBy("doc_id")
 
 
 SQL_BPE_APPLY = f"""
@@ -3238,7 +3255,16 @@ WITH seg AS (SELECT word, subwords
 tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
 w AS (SELECT doc_id, i AS pos, toks[i + 1] AS word
       FROM tk, unnest(generate_series(0, len(toks) - 1)) u(i)),
-j AS (SELECT doc_id, pos, s.subwords FROM w JOIN seg s USING (word))
+j AS (SELECT doc_id, pos,
+        -- LEFT join + char fallback mirrors bpe_apply's OOV path (the
+        -- max_vocab cap means larger corpora WILL have tail words)
+        coalesce(
+          s.subwords,
+          list_append(
+            list_transform(generate_series(1, length(word)),
+                           i -> substr(word, CAST(i AS INT), 1)),
+            '</w>')) AS subwords
+      FROM w LEFT JOIN seg s USING (word))
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(len(subwords)) AS BIGINT) AS n_subwords,
@@ -3253,12 +3279,9 @@ def q_bpe_fertility(spark, sf_dir):
     slice-keyed partial agg. Same persisted segmentation artifact as
     bpe_subword_tokens."""
     docs = _t(spark, sf_dir, "documents")
-    _, seg = BP.bpe_train(docs, num_merges=80)
-    if _persist_oracle_artifacts():
-        seg.coalesce(1).write.mode("overwrite").parquet(
-            f"{ORACLE_ART_DIR}/bpe/seg"
-        )
-    return BP.bpe_fertility(docs, seg, by=("source",)).orderBy("source")
+    return BP.bpe_fertility(docs, _bpe_seg(spark, sf_dir), by=("source",)).orderBy(
+        "source"
+    )
 
 
 SQL_BPE_FERTILITY = f"""

@@ -93,7 +93,9 @@ EXTRA_QUERIES = [
     "c4_page_filters",
     "refinedweb_corrections",
     "line_dedup_apply",
-    "bpe_subword_tokens",
+    # bpe_subword_tokens deliberately NOT here: its q_ trains the model
+    # inside the query (needed for the oracle artifact); the bench
+    # measures the honest bpe_train/bpe_encode split in the ann leg
     "stratified_sample_mix",
     "vocab_topk",
     "boilerplate_spans",
@@ -276,6 +278,24 @@ def _ann_build_search(spark, sf_dir: str) -> dict[str, float]:
         QC.score_quality(docs, qmodel).count()
         best = min(best, time.time() - t0)
     out["quality_classifier_score"] = round(best, 3)
+
+    # BPE: same build/encode split — bpe_train is model building (word
+    # count + driver merge loop), the steady-state query is the
+    # pure-JVM encode join
+    from customkb_spark.operators import bpe as BPM
+
+    t0 = time.time()
+    _, seg = BPM.bpe_train(docs, num_merges=80)
+    seg = seg.cache()
+    seg.count()
+    out["bpe_train"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        BPM.bpe_apply(docs, seg).count()
+        best = min(best, time.time() - t0)
+    out["bpe_encode"] = round(best, 3)
+    seg.unpersist()
 
     for name, t in out.items():
         print(f"# {name}: {t}s", file=sys.stderr)

@@ -947,6 +947,27 @@ def marker_flag(text_col: Column | str, markers: tuple[str, ...]) -> Column:
     return flag
 
 
+def c4_page_verdict(
+    text_col: Column | str,
+    kept: Column,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = (),
+    policy_markers: tuple[str, ...] = C4_POLICY_MARKERS,
+) -> Column:
+    """The C4 page-keep decision as one expression over the original
+    text and a ``c4_kept_lines`` array — shared by ``c4_page_filters``
+    and the streaming gate so the two can never drift."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_sent = F.length(F.regexp_replace(F.array_join(kept, "\n"), r"[^.!?]", ""))
+    return (
+        (n_sent >= min_sentences)
+        & ~bad_word_flag(col, bad_words)
+        & ~marker_flag(col, policy_markers)
+        & ~marker_flag(col, ("lorem ipsum",))
+        & ~col.contains(F.lit("{"))
+    )
+
+
 def c4_page_filters(
     df: DataFrame,
     text_col: str = "text",
@@ -1024,6 +1045,20 @@ def c4_page_filters(
     )
 
 
+REFINEDWEB_MAX_REMOVED_FRAC = 0.05  # the paper's 5% page budget
+
+
+def refinedweb_removed_frac(lines: Column, kept: Column) -> Column:
+    """Fraction of line characters the corrections removed (rounded 6
+    dp; separators excluded) — shared by the batch operator and the
+    streaming gate."""
+    total = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    kc = F.aggregate(kept, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    return F.when(total > 0, F.round((total - kc) / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
 def refinedweb_kept_lines(
     text_col: Column | str, upper_frac: float = 0.6
 ) -> Column:
@@ -1059,7 +1094,7 @@ def refinedweb_line_corrections(
     text_col: str = "text",
     id_col: str = "doc_id",
     upper_frac: float = 0.6,
-    max_removed_frac: float = 0.05,
+    max_removed_frac: float = REFINEDWEB_MAX_REMOVED_FRAC,
 ) -> DataFrame:
     """RefinedWeb line-wise corrections (Penedo et al. 2023, "The
     RefinedWeb Dataset for Falcon LLM", §G.2): drop lines that are
@@ -1093,15 +1128,7 @@ def refinedweb_line_corrections(
     )
     # char accounting over line CONTENTS (separators excluded) so the
     # ratio is insensitive to how many newlines the extractor emitted
-    total_chars = F.aggregate(
-        "_lines", F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
-    )
-    kept_chars = F.aggregate(
-        "_kept", F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
-    )
-    removed_frac = F.when(
-        total_chars > 0, F.round((total_chars - kept_chars) / total_chars, 6)
-    ).otherwise(F.lit(0.0))
+    removed_frac = refinedweb_removed_frac(F.col("_lines"), F.col("_kept"))
     return staged.select(
         F.col(id_col),
         F.array_join("_kept", "\n").alias("clean_text"),

@@ -512,10 +512,13 @@ def connected_components_star(
         edges = new_edges
         if changed == 0:
             break
+    # min per node, not a raw projection: if max_iter exhausted before
+    # the fixpoint, intermediate digraphs can hold several out-edges per
+    # node — the contract is ONE row per id (best-effort under-merge,
+    # like non-converged propagation)
+    roots = edges.groupBy("src").agg(F.min("dst").alias("_root"))
     return nodes.join(
-        edges.select(F.col("src").alias("id"), F.col("dst").alias("_root")),
-        "id",
-        "left",
+        roots.withColumnRenamed("src", "id"), "id", "left"
     ).select("id", F.coalesce("_root", F.col("id")).alias("cluster_id"))
 
 

@@ -115,29 +115,19 @@ def curate_stream(
                 F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
             )
         )
-        c4_sentences = F.length(
-            F.regexp_replace(F.array_join("_c4_kept", "\n"), r"[^.!?]", "")
-        )
         out = out.withColumn(
-            "c4_keep",
-            (c4_sentences >= 3)
-            & ~CU.marker_flag(text_col, CU.C4_POLICY_MARKERS)
-            & ~CU.marker_flag(text_col, ("lorem ipsum",))
-            & ~F.col(text_col).contains(F.lit("{")),
+            "c4_keep", CU.c4_page_verdict(text_col, F.col("_c4_kept"))
         )
-        total_chars = F.aggregate(
-            "_rw_lines", F.lit(0).cast("long"), lambda a, l: a + F.length(l)
-        )
-        kept_chars = F.aggregate(
-            "_rw_kept", F.lit(0).cast("long"), lambda a, l: a + F.length(l)
-        )
-        rw_removed = F.when(
-            total_chars > 0,
-            F.round((total_chars - kept_chars) / total_chars, 6),
-        ).otherwise(F.lit(0.0))
         out = (
-            out.withColumn("rw_removed_char_frac", rw_removed)
-            .withColumn("rw_keep", F.col("rw_removed_char_frac") <= 0.05)
+            out.withColumn(
+                "rw_removed_char_frac",
+                CU.refinedweb_removed_frac(F.col("_rw_lines"), F.col("_rw_kept")),
+            )
+            .withColumn(
+                "rw_keep",
+                F.col("rw_removed_char_frac")
+                <= CU.REFINEDWEB_MAX_REMOVED_FRAC,
+            )
             .drop("_c4_kept", "_rw_kept", "_rw_lines")
         )
     if citations:

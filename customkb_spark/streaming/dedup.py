@@ -365,22 +365,27 @@ def streaming_substring_dedup(
         PARTITIONED BY ``kp`` (md5-prefix, 256 values).
 
     Per micro-batch (foreachBatch):
-    1. drop ids already finalized (epoch-replay guard);
+    1. decisions run over the FULL epoch (skip only if every id is
+       already finalized): pruning the input by finalized ids would
+       let a replay after a PARTIAL docs commit treat this epoch's own
+       hash rows as prior state and cut the not-yet-finalized owner's
+       copy too — the duplicated run would then exist in no document.
+       Replays recompute identical decisions from the same source
+       files; only the docs WRITE is pruned;
     2. window-hash the batch (map-side) and probe the standing hashes:
        the batch's distinct hash set BROADCASTS, so the standing state
        is scanned map-side and never shuffles — per-batch join output
        is bounded by the batch's own window count. State rows whose
-       ``src_id`` is in the current batch are ignored, so a replay
-       after a crash between the two appends cannot poison itself with
-       its own half-written hashes;
+       ``src_id`` is in the current epoch are ignored (self-exclusion:
+       half-written hash rows cannot poison the replay);
     3. mark duplicate occurrences: state hit -> every batch occurrence
        is a duplicate; otherwise the batch-internal rule (count > 1,
        corpus-order min survives). Gaps-and-islands merge + span cut
        reuse the batch operator's helpers;
-    4. append HASHES FIRST, then cleaned docs (a crash between them
-       replays into self-excluded hash rows — absorbed; docs-then-
-       hashes would finalize docs whose windows never reach state, and
-       their future duplicates would be silently admitted).
+    4. append HASHES FIRST, then cleaned docs. If any doc of the epoch
+       is finalized, the hash append completed in the original run
+       (docs start only after it returns), so it is not repeated; the
+       docs append writes only the not-yet-finalized ids.
 
     Streaming == batch: when ids arrive in ascending order (the batch
     operator's corpus order), the final docs table equals
@@ -401,13 +406,24 @@ def streaming_substring_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # decisions ALWAYS run over the FULL micro-batch: pruning the
+        # input by finalized ids would let a replay after a partial
+        # docs commit (doc Y finalized, its same-epoch owner X not)
+        # see this epoch's own hash rows as prior state and cut the
+        # owner's copy too — the duplicated run would vanish from the
+        # corpus entirely. Replays recompute the identical decisions
+        # (same source files) and only the docs WRITE is pruned.
         batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint()
-        if os.path.isdir(doc_path):
-            batch = batch.join(
-                spark.read.parquet(doc_path).select(id_col), id_col, "left_anti"
-            ).localCheckpoint()
         if not batch.limit(1).count():
             return
+        done_any = False
+        if os.path.isdir(doc_path):
+            finalized = spark.read.parquet(doc_path).select(id_col)
+            done_any = bool(
+                batch.join(finalized, id_col, "left_semi").limit(1).count()
+            )
+            if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+                return  # epoch fully finalized
 
         occ = _window_occurrences(batch, id_col, text_col, k).localCheckpoint()
         batch_hashes = occ.select("whash").distinct()
@@ -454,19 +470,28 @@ def streaming_substring_dedup(
         cleaned = _cut_spans(batch, spans, id_col, text_col).localCheckpoint()
 
         # HASHES FIRST (see docstring): original-text windows, one row
-        # per (window-hash, contributing doc)
-        (
-            occ.select(
-                F.substring("whash", 1, 2).alias("kp"),
-                "whash",
-                F.col(id_col).alias("src_id"),
+        # per (window-hash, contributing doc). If ANY doc of this epoch
+        # is already finalized, the hash append fully committed in the
+        # original run (docs only start after it returns) — re-appending
+        # would duplicate state rows for nothing.
+        if not done_any:
+            (
+                occ.select(
+                    F.substring("whash", 1, 2).alias("kp"),
+                    "whash",
+                    F.col(id_col).alias("src_id"),
+                )
+                .distinct()
+                .write.mode("append")
+                .partitionBy("kp")
+                .parquet(hash_path)
             )
-            .distinct()
-            .write.mode("append")
-            .partitionBy("kp")
-            .parquet(hash_path)
-        )
-        cleaned.write.mode("append").parquet(doc_path)
+        to_write = cleaned
+        if done_any:
+            to_write = cleaned.join(
+                spark.read.parquet(doc_path).select(id_col), id_col, "left_anti"
+            )
+        to_write.write.mode("append").parquet(doc_path)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -500,17 +525,19 @@ def streaming_line_dedup(
         is sufficient state), PARTITIONED BY ``kp`` (md5 prefix).
 
     Per micro-batch (foreachBatch), the substring gate's discipline:
-    1. drop ids already finalized (epoch-replay guard);
+    1. decisions run over the FULL epoch (skip only when every id is
+       finalized) and only the docs WRITE is pruned — see
+       ``streaming_substring_dedup`` step 1 for the partial-commit
+       replay argument;
     2. explode + normalize + hash map-side; probe the standing lines
        with the batch's distinct hash set BROADCAST (state scans
        map-side, kp-partition-pruned, never shuffles), ignoring state
-       rows whose ``src_id`` is in the current batch (a replay after a
-       crash between the two appends cannot poison itself);
+       rows whose ``src_id`` is in the current epoch (self-exclusion);
     3. a line survives iff its normalized form is empty (never a
        candidate) or it is unseen in state AND the batch-internal
        minimum (id, pos) occurrence;
-    4. append LINES FIRST, then cleaned docs (same crash-ordering
-       argument as the substring gate).
+    4. append LINES FIRST, then the not-yet-finalized cleaned docs
+       (same crash-ordering argument as the substring gate).
 
     Streaming == batch: with ids ascending in arrival order the docs
     table equals ``curation.line_dedup`` on the concatenated corpus —
@@ -523,13 +550,21 @@ def streaming_line_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # full-epoch decisions + output-side prune — the same partial-
+        # docs-commit replay argument as streaming_substring_dedup
+        # step 1 (pruning the input would vanish a shared line from
+        # the corpus when its same-epoch owner wasn't finalized yet)
         batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint()
-        if os.path.isdir(doc_path):
-            batch = batch.join(
-                spark.read.parquet(doc_path).select(id_col), id_col, "left_anti"
-            ).localCheckpoint()
         if not batch.limit(1).count():
             return
+        done_any = False
+        if os.path.isdir(doc_path):
+            finalized = spark.read.parquet(doc_path).select(id_col)
+            done_any = bool(
+                batch.join(finalized, id_col, "left_semi").limit(1).count()
+            )
+            if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+                return  # epoch fully finalized
 
         ex = (
             batch.select(
@@ -624,19 +659,27 @@ def streaming_line_dedup(
             .localCheckpoint()
         )
 
-        # LINES FIRST (see docstring)
-        (
-            hashed.select(
-                F.substring("_h", 1, 2).alias("kp"),
-                F.col("_h").alias("lhash"),
-                F.col(id_col).alias("src_id"),
+        # LINES FIRST (see docstring); skip when the epoch's line
+        # append already committed (any finalized doc proves it), and
+        # prune the docs write to the not-yet-finalized ids
+        if not done_any:
+            (
+                hashed.select(
+                    F.substring("_h", 1, 2).alias("kp"),
+                    F.col("_h").alias("lhash"),
+                    F.col(id_col).alias("src_id"),
+                )
+                .distinct()
+                .write.mode("append")
+                .partitionBy("kp")
+                .parquet(line_path)
             )
-            .distinct()
-            .write.mode("append")
-            .partitionBy("kp")
-            .parquet(line_path)
-        )
-        cleaned.write.mode("append").parquet(doc_path)
+        to_write = cleaned
+        if done_any:
+            to_write = cleaned.join(
+                spark.read.parquet(doc_path).select(id_col), id_col, "left_anti"
+            )
+        to_write.write.mode("append").parquet(doc_path)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

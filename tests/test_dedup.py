@@ -388,3 +388,16 @@ def test_tune_lsh_bands_validates_inputs():
         D.tune_lsh_bands(0.0, 16)
     with _pt.raises(ValueError):
         D.tune_lsh_bands(0.5, 1)
+
+
+def test_star_cc_exhausted_iterations_still_one_row_per_id(spark):
+    # max_iter too small to converge on a deep path: the result may be
+    # under-merged (propagation's documented non-converged mode) but
+    # must still honor the one-row-per-id contract
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    out = D.connected_components_star(path, max_iter=1).collect()
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids)) == 64
+    assert all(r.cluster_id <= r.id for r in out)

@@ -382,3 +382,65 @@ def test_streaming_line_dedup_fully_deduped_doc_is_empty_shell(spark, tmp_path):
     docs = {r.doc_id: r for r in spark.read.parquet(f"{kept_dir}/docs").collect()}
     assert docs[2].clean_text == "" and docs[2].lines_kept == 0
     assert docs[2].dup_line_frac == 1.0
+
+
+def test_streaming_line_dedup_partial_docs_commit_replay(spark, tmp_path):
+    """Crash simulation: the docs append committed the DUP doc but not
+    its same-epoch OWNER. The replay must re-derive full-epoch
+    decisions (owner keeps the shared line) instead of treating the
+    epoch's own state rows as prior corpus — the failure mode where a
+    duplicated line vanishes from every document."""
+    kept_dir = str(tmp_path / "ld_partial")
+    rows = [
+        (10, "shared here line\nunique ten stays"),
+        (11, "shared here line\nunique eleven stays"),
+    ]
+    _run_line_wave(spark, tmp_path, rows, "full", kept_dir)
+    docs = spark.read.parquet(f"{kept_dir}/docs")
+    assert {r.doc_id: r.clean_text for r in docs.collect()}[10].startswith(
+        "shared here line"
+    )
+    # simulate the partial commit: only doc 11 (the dup) finalized
+    import shutil
+
+    only11 = docs.filter("doc_id = 11").collect()
+    shutil.rmtree(f"{kept_dir}/docs")
+    spark.createDataFrame(only11, docs.schema).write.parquet(f"{kept_dir}/docs")
+
+    _run_line_wave(spark, tmp_path, rows, "replay", kept_dir)
+    got = {
+        r.doc_id: r.clean_text
+        for r in spark.read.parquet(f"{kept_dir}/docs").collect()
+    }
+    assert got[10] == "shared here line\nunique ten stays"  # owner keeps it
+    assert got[11] == "unique eleven stays"  # dup stays deduped
+
+
+def test_streaming_substring_dedup_partial_docs_commit_replay(spark, tmp_path):
+    """Same crash simulation for the ExactSubstr gate: the owner of a
+    duplicated >=k-token run must survive a replay in which only the
+    dup was finalized."""
+    kept_dir = str(tmp_path / "ss_partial")
+    shared = "one two three four five"
+    rows = [
+        (10, shared + " tail ten"),
+        (11, shared + " tail eleven"),
+    ]
+    _run_substr_wave(spark, tmp_path, rows, "full", kept_dir, k=4)
+    docs = spark.read.parquet(f"{kept_dir}/docs")
+    first = {r.doc_id: r.text for r in docs.collect()}
+    assert first[10] == shared + " tail ten"  # owner untouched
+    import shutil
+
+    only11 = docs.filter("doc_id = 11").collect()
+    shutil.rmtree(f"{kept_dir}/docs")
+    spark.createDataFrame(only11, docs.schema).write.parquet(f"{kept_dir}/docs")
+
+    _run_substr_wave(spark, tmp_path, rows, "replay", kept_dir, k=4)
+    got = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{kept_dir}/docs").collect()
+    }
+    # the replay reconstructs exactly the original outcome: owner's
+    # run survives, the dup's cut text is unchanged
+    assert got == first
