@@ -3237,6 +3237,32 @@ def _bpe_seg(spark, sf_dir):
     return seg
 
 
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget dataset mixing: per-source hash-order prefix up to
+    a token budget (how pretraining mixes are actually specified). The
+    per-stratum prefix sum is two-phase (256 hash buckets + offset
+    broadcast) — no per-source single-reducer sort; the oracle's plain
+    window is the semantic twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.token_budget_sample(
+        docs, {"src0": 4000, "src1": 2500, "src2": 1200}
+    ).orderBy("source", "cum_tokens")
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH tk AS (SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+t AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        md5(source || ':' || CAST(doc_id AS VARCHAR) || ':' || 'tbudget-v1') AS hk
+      FROM tk),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id) AS cum FROM t),
+b AS (SELECT *, CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+                            WHEN 'src2' THEN 1200 END AS budget FROM c)
+SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM b WHERE budget IS NOT NULL AND cum <= budget
+ORDER BY source, cum
+"""
+
+
 def q_bpe_subword_tokens(spark, sf_dir):
     """Distributed BPE (Sennrich et al. 2016): Spark does the
     corpus-sized word count (one partial-agg shuffle), the driver
@@ -3586,6 +3612,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_apply": q_line_dedup_apply,
     "bpe_subword_tokens": q_bpe_subword_tokens,
     "bpe_fertility": q_bpe_fertility,
+    "token_budget_mix": q_token_budget_mix,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "doc_fingerprints": q_doc_fingerprints_all,
     "dedup_clusters_apply": q_dedup_clusters_apply,
@@ -3644,6 +3671,7 @@ _ORACLES: dict[str, str] = {
     "line_dedup_apply": SQL_LINE_DEDUP,
     "bpe_subword_tokens": SQL_BPE_APPLY,
     "bpe_fertility": SQL_BPE_FERTILITY,
+    "token_budget_mix": SQL_TOKEN_BUDGET,
     "minhash_lsh_dedup": _sql_minhash(),
     "doc_fingerprints": _sql_fingerprints_all(),
     "dedup_clusters_apply": SQL_CLUSTERS_APPLY,

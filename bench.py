@@ -146,6 +146,7 @@ SF1_QUERIES = [
     "pii_redaction",
     "repetition_signals",
     "span_dedup_stats",
+    "line_dedup_apply",
     "pack_sequences",
     "dsir_importance",
 ]

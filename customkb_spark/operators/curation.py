@@ -1836,6 +1836,83 @@ def temperature_mix(
 # ------------------------------------------- importance resampling
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "tbudget-v1",
+) -> DataFrame:
+    """Deterministic per-source selection to a TOKEN budget — the
+    mixing recipe when the contract is "N billion tokens of source S",
+    not a document count or rate (how real pretraining mixes are
+    specified). Documents are taken in md5-hash order (the package's
+    engine-portable, retry-stable sampling discipline) while the
+    stratum's running token total stays within its budget; the first
+    overflowing document is excluded (strict prefix — deterministic,
+    oracle-checkable).
+
+    ``budgets`` maps stratum value → max tokens; strata absent from the
+    map are dropped. Returns ``id_col, strata_col, n_tokens,
+    cum_tokens`` for the selected rows.
+
+    Plan — NO per-stratum single-reducer sort (the 100 TB cliff a
+    plain ``Window.partitionBy(stratum).orderBy(hash)`` would plan):
+    the hash key's first byte buckets each stratum into 256 stable,
+    value-derived slices; per-(stratum, bucket) totals form a TINY
+    table whose per-stratum window yields exclusive bucket offsets,
+    broadcast back; a within-bucket cumulative window (parallelism =
+    strata × 256) plus the offset reproduces the exact per-stratum
+    prefix sum in hash order — ``packing``'s two-phase prefix-sum
+    discipline, applied per stratum.
+    """
+    from pyspark.sql import Window
+
+    hk = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(strata_col),
+            F.col(id_col).cast("string"),
+            F.lit(seed),
+        )
+    )
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.size(X.tokens(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn("_hk", hk)
+        .withColumn("_b", F.substring("_hk", 1, 2))
+        .localCheckpoint(eager=False)  # two consumers below
+    )
+    btot = base.groupBy(strata_col, "_b").agg(F.sum("n_tokens").alias("_bt"))
+    woff = (
+        Window.partitionBy(strata_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(woff), F.lit(0))
+    ).select(strata_col, "_b", "_off")
+    wcum = (
+        Window.partitionBy(strata_col, "_b")
+        .orderBy("_hk", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(strata_col)]
+    cum = F.sum("n_tokens").over(wcum) + F.col("_off")
+    return (
+        base.join(F.broadcast(offs), [strata_col, "_b"])
+        .withColumn("cum_tokens", cum.cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, strata_col, "n_tokens", "cum_tokens")
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     target_pred: Column,

@@ -920,3 +920,68 @@ def test_refinedweb_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_token_budget_sample_prefix_and_budgets(spark):
+    from pyspark.sql import Window
+
+    import random
+
+    random.seed(3)
+    rows = [
+        (
+            i,
+            " ".join("w%d" % random.randrange(50) for _ in range(random.randrange(5, 30))),
+            "s%d" % (i % 3),
+        )
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    budgets = {"s0": 300, "s1": 150}
+    out = C.token_budget_sample(docs, budgets).collect()
+    per: dict[str, int] = {}
+    for r in out:
+        per[r.source] = per.get(r.source, 0) + r.n_tokens
+    # budget respected per stratum; unbudgeted stratum dropped entirely
+    assert all(per[s] <= b for s, b in budgets.items())
+    assert not any(r.source == "s2" for r in out)
+    # the two-phase bucket cumsum must equal the plain per-stratum
+    # window EXACTLY (same hash order, same prefix cut)
+    from customkb_spark.functions import text as X
+
+    hk = F.md5(
+        F.concat_ws(":", "source", F.col("doc_id").cast("string"), F.lit("tbudget-v1"))
+    )
+    ref = (
+        docs.select(
+            "doc_id", "source", F.size(X.tokens("text")).cast("long").alias("n")
+        )
+        .withColumn("hk", hk)
+        .withColumn(
+            "cum", F.sum("n").over(Window.partitionBy("source").orderBy("hk", "doc_id"))
+        )
+    )
+    refkept = {
+        (r.doc_id, r.cum)
+        for r in ref.collect()
+        if r.source in budgets and r.cum <= budgets[r.source]
+    }
+    assert {(r.doc_id, r.cum_tokens) for r in out} == refkept
+    # deterministic across invocations
+    again = {(r.doc_id, r.cum_tokens) for r in C.token_budget_sample(docs, budgets).collect()}
+    assert again == refkept
+
+
+def test_token_budget_sample_no_single_reducer_sort(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s0"), (2, "d e", "s0")], ["doc_id", "text", "source"]
+    )
+    plan = (
+        C.token_budget_sample(docs, {"s0": 10})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # windows are partitioned by (stratum, bucket) or run over the tiny
+    # per-bucket table; no global single-partition exchange
+    assert "SinglePartition" not in plan

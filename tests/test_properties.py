@@ -367,3 +367,69 @@ def test_exact_substring_dedup_counters(docs_words):
         # kept tokens are a subsequence of the original
         it = iter(ws)
         assert all(any(w == x for x in it) for w in kept)
+
+
+LINEY = st.lists(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " .!?{",
+        max_size=40,
+    ),
+    min_size=0,
+    max_size=6,
+).map(lambda ls: "\n".join(ls))
+
+
+@settings(**SETTINGS)
+@given(st.lists(LINEY, min_size=1, max_size=6))
+def test_c4_and_refinedweb_counter_invariants(texts):
+    """Page-cleaning invariants on arbitrary line-shaped text: kept
+    lines are a subset of the (trimmed) originals, counters are
+    consistent, fractions bounded."""
+    from customkb_spark.operators.curation import (
+        c4_page_filters,
+        refinedweb_line_corrections,
+    )
+
+    spark = _spark()
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    # NB: ''.split('\n') == [''] — a kept empty line and zero kept
+    # lines both render clean_text == '', so split only when kept > 0
+    for r in c4_page_filters(docs).collect():
+        orig = {ln.strip() for ln in texts[r.doc_id].split("\n")}
+        kept = r.clean_text.split("\n") if r.lines_kept else []
+        assert r.lines_kept == len(kept) <= r.lines_total
+        assert all(k in orig for k in kept)
+        assert r.n_sentences >= 0
+    for r in refinedweb_line_corrections(docs).collect():
+        kept = r.clean_text.split("\n") if r.lines_kept else []
+        assert r.lines_kept == len(kept) <= r.lines_total
+        assert 0.0 <= r.removed_char_frac <= 1.0
+        assert r.keep == (r.removed_char_frac <= 0.05)
+
+
+@settings(**SETTINGS)
+@given(st.lists(LINEY, min_size=1, max_size=6))
+def test_line_dedup_global_uniqueness(texts):
+    """After line_dedup, every nonempty normalized line appears EXACTLY
+    once across the whole corpus, and the survivors equal the distinct
+    normalized nonempty lines of the input."""
+    import re
+
+    from customkb_spark.operators.curation import line_dedup
+
+    def norm(l):
+        return re.sub(r"\s+", " ", re.sub(r"[^a-z\s]", "", l.lower())).strip()
+
+    spark = _spark()
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    seen: list[str] = []
+    for r in out.values():
+        assert r.lines_kept + r.lines_removed == r.lines_total
+        for ln in r.clean_text.split("\n") if r.clean_text else []:
+            n = norm(ln)
+            if n:
+                seen.append(n)
+    expected = {norm(l) for t in texts for l in t.split("\n") if norm(l)}
+    assert sorted(seen) == sorted(set(seen))  # exactly once each
+    assert set(seen) == expected  # nothing lost, nothing invented
