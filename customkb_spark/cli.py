@@ -680,6 +680,119 @@ def cmd_substr_dedup(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """BPE tokenizer verbs (operators/bpe.py): ``train`` learns merges
+    and writes the merges + segmentation tables; ``encode`` applies a
+    trained segmentation to a corpus (pure-JVM join); ``fertility``
+    prints the per-slice subwords/word report."""
+    import json as _json
+
+    from customkb_spark.operators import bpe as BP
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs_parquet)
+    seg_path = os.path.join(args.model, "seg")
+    if args.action == "train":
+        merges, seg = BP.bpe_train(
+            docs, args.text_col, num_merges=args.merges, max_vocab=args.max_vocab
+        )
+        merges.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.model, "merges")
+        )
+        seg.coalesce(1).write.mode("overwrite").parquet(seg_path)
+        print(
+            _json.dumps(
+                {"merges": merges.count(), "vocab_words": seg.count()}
+            )
+        )
+        return 0
+    if not os.path.isdir(seg_path):
+        print(f"bpe: no segmentation at {seg_path} (run train first)", file=sys.stderr)
+        return 2
+    seg = spark.read.parquet(seg_path)
+    if args.action == "encode":
+        enc = BP.bpe_apply(docs, seg, args.text_col, args.id_col)
+        if args.out:
+            enc.write.mode("overwrite").parquet(args.out)
+        from pyspark.sql import functions as F
+
+        row = enc.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_subwords").alias("subwords"),
+        ).collect()[0]
+        print(
+            _json.dumps(
+                {"docs": row["docs"], "words": row["words"], "subwords": row["subwords"]}
+            )
+        )
+        return 0
+    rows = BP.bpe_fertility(
+        docs, seg, args.text_col, args.id_col, by=(args.by,)
+    ).collect()
+    print(
+        _json.dumps(
+            {
+                r[args.by]: {
+                    "fertility": r["fertility"],
+                    "chars_per_subword": r["chars_per_subword"],
+                }
+                for r in rows
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+def cmd_mix(args) -> int:
+    """Token-budget mixing (curation.token_budget_sample): parse
+    ``--budgets src0=4000,src1=2500``, select per-source hash-order
+    prefixes, print per-source selected docs/tokens."""
+    import json as _json
+
+    from customkb_spark.operators import curation as CU
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs_parquet)
+    budgets: dict[str, int] = {}
+    for part in args.budgets.split(","):
+        name, eq, val = part.partition("=")
+        try:
+            if not eq or not name.strip():
+                raise ValueError
+            budgets[name.strip()] = int(val)
+        except ValueError:
+            print(
+                f"mix: bad --budgets segment {part!r} (expected name=tokens)",
+                file=sys.stderr,
+            )
+            return 2
+    out = CU.token_budget_sample(
+        docs, budgets, args.strata_col, args.text_col, args.id_col
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+    from pyspark.sql import functions as F
+
+    rows = (
+        out.groupBy(args.strata_col)
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+        .collect()
+    )
+    print(
+        _json.dumps(
+            {
+                r[args.strata_col]: {"docs": r["docs"], "tokens": r["tokens"]}
+                for r in rows
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack a (curated) documents parquet into fixed-length training
     sequences (operators/packing.py): assign train/val/test splits by
@@ -942,6 +1055,39 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--text-col", default="text")
     pk.add_argument("--shard-col", default="source")
     pk.set_defaults(fn=cmd_pack)
+
+    bp = sub.add_parser(
+        "bpe", help="train a BPE tokenizer / encode a corpus with one"
+    )
+    bp.add_argument("action", choices=["train", "encode", "fertility"])
+    bp.add_argument("docs_parquet")
+    bp.add_argument(
+        "--model",
+        required=True,
+        help="model directory (train writes merges/ + seg/; encode/fertility read seg/)",
+    )
+    bp.add_argument("--out", default=None, help="encode: write the encoded parquet here")
+    bp.add_argument("--merges", type=int, default=200)
+    bp.add_argument("--max-vocab", type=int, default=100_000)
+    bp.add_argument("--by", default="source", help="fertility: slice column")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.add_argument("--text-col", default="text")
+    bp.set_defaults(fn=cmd_bpe)
+
+    mx = sub.add_parser(
+        "mix", help="select documents per source up to a token budget"
+    )
+    mx.add_argument("docs_parquet")
+    mx.add_argument(
+        "--budgets",
+        required=True,
+        help="per-stratum token budgets, e.g. src0=4000,src1=2500",
+    )
+    mx.add_argument("--out", default=None, help="write the selected rows here")
+    mx.add_argument("--strata-col", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--text-col", default="text")
+    mx.set_defaults(fn=cmd_mix)
     return p
 
 

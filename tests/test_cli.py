@@ -610,3 +610,41 @@ def test_cli_curate_web_clean(spark, tmp_path, capsys):
         "c4_keep", "c4_sentences", "rw_keep",
         "rw_removed_char_frac", "line_dup_frac",
     } <= cols
+
+
+def test_cli_bpe_train_encode_fertility(spark, tmp_path, capsys):
+    import json as _json
+
+    model = str(tmp_path / "bpe_model")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    assert cli.main(["bpe", "train", docs, "--model", model, "--merges", "30"]) == 0
+    trained = _json.loads(capsys.readouterr().out)
+    assert trained["merges"] == 30 and trained["vocab_words"] > 0
+
+    out = str(tmp_path / "encoded")
+    assert cli.main(["bpe", "encode", docs, "--model", model, "--out", out]) == 0
+    enc = _json.loads(capsys.readouterr().out)
+    assert enc["subwords"] >= enc["words"] > 0
+    assert spark.read.parquet(out).count() == enc["docs"]
+
+    assert cli.main(["bpe", "fertility", docs, "--model", model]) == 0
+    fert = _json.loads(capsys.readouterr().out)
+    assert all(v["fertility"] >= 1.0 for v in fert.values())
+
+    # encode without a trained model: clean error, not a traceback
+    assert cli.main(["bpe", "encode", docs, "--model", str(tmp_path / "nope")]) == 2
+
+
+def test_cli_mix_budgets(spark, tmp_path, capsys):
+    import json as _json
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "mixed")
+    rc = cli.main(["mix", docs, "--budgets", "src0=500,src1=300", "--out", out])
+    assert rc == 0
+    got = _json.loads(capsys.readouterr().out)
+    assert set(got) <= {"src0", "src1"}
+    for s, lim in (("src0", 500), ("src1", 300)):
+        if s in got:
+            assert got[s]["tokens"] <= lim
+    assert cli.main(["mix", docs, "--budgets", "bad"]) == 2
