@@ -190,3 +190,96 @@ def _bloom_any_hit(spark, bloom, toks_col: str, n: int):
         return pd.Series(out)
 
     return any_hit(h1s, h2s)
+
+
+def streaming_token_budget(
+    docs_stream: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming token-budget admission gate — the arrival-order twin
+    of ``curation.token_budget_sample``. Documents are admitted per
+    stratum while the stratum's RUNNING token total (over everything
+    seen, admitted or not — the same cumulative-prefix rule as the
+    batch operator) stays within its budget; strata absent from
+    ``budgets`` are dropped.
+
+    Custom stateful operator via ``applyInPandasWithState``: state per
+    stratum is ONE long (tokens seen so far) — O(strata) state total,
+    no timeout (a budget never expires). Token counting happens
+    JVM-side before the grouping, so Python only sums longs; within a
+    micro-batch, rows are visited in the BATCH OPERATOR'S hash order
+    (the same seeded md5 key) — deterministic under replay AND exactly
+    ``token_budget_sample`` when micro-batches arrive in hash order
+    (the equivalence test); across batches, arrival order wins (a
+    stream cannot reorder the future). Under any order the budget
+    invariant holds.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    counted = docs_stream.withColumn(
+        "_n_tokens", F.size(X.tokens(text_col)).cast("long")
+    ).withColumn(
+        "_hk",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col(strata_col),
+                F.col(id_col).cast("string"),
+                F.lit("tbudget-v1"),
+            )
+        ),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs_stream.schema[id_col].dataType),
+            T.StructField(strata_col, docs_stream.schema[strata_col].dataType),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("cum_tokens", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("cum", T.LongType())])
+
+    def handle(key, pdfs, state):
+        stratum = key[0]
+        budget = budgets.get(stratum)
+        if budget is None:
+            return  # unbudgeted stratum: dropped, no state kept
+        rows = pd.concat([p[["_hk", id_col, "_n_tokens"]] for p in pdfs])
+        if rows.empty:
+            return
+        rows = rows.sort_values(["_hk", id_col])[[id_col, "_n_tokens"]]
+        cum = state.get[0] if state.exists else 0
+        out_ids, out_n, out_cum = [], [], []
+        for _id, n in rows.itertuples(index=False):
+            cum += int(n)
+            if cum <= budget:
+                out_ids.append(_id)
+                out_n.append(int(n))
+                out_cum.append(cum)
+        state.update((cum,))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    strata_col: [stratum] * len(out_ids),
+                    "n_tokens": out_n,
+                    "cum_tokens": out_cum,
+                }
+            )
+
+    return (
+        counted.select(strata_col, id_col, "_n_tokens", "_hk")
+        .groupBy(strata_col)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
