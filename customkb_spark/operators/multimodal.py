@@ -233,3 +233,118 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_idx",
         F.substring(F.col("content"), offset.cast("int") + 1, 16).alias("frame"),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def media_phash(media: DataFrame, side: int = 32) -> DataFrame:
+    """Perceptual hash per media item — the pHash algorithm for real
+    (resample → 2-D DCT-II → top-left 8×8 coefficients sans DC →
+    median threshold → 63-bit fingerprint); ONLY the pixel source is
+    the deterministic byte-resample stand-in, the same codec boundary
+    as ``decode_media`` (a real decoder changes one line). Arrow-
+    batched ``mapInPandas``; the DCT is one numpy matmul per item.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_side = side
+        k = np.arange(n_side)[:, None]
+        n = np.arange(n_side)[None, :]
+        dct = np.sqrt(2.0 / n_side) * np.cos(
+            np.pi * (2 * n + 1) * k / (2 * n_side)
+        )
+        dct[0] /= np.sqrt(2.0)
+        for pdf in it:
+            hashes = []
+            for payload in pdf["content"]:
+                arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(
+                    np.float64
+                )
+                # FAKE pixel source: point-sample the byte stream into a
+                # side x side grid (replace with the decoded, resized
+                # grayscale image when a codec is available)
+                idx = (np.arange(n_side * n_side) * len(arr)) // (n_side * n_side)
+                img = arr[np.minimum(idx, len(arr) - 1)].reshape(n_side, n_side)
+                coef = dct @ img @ dct.T
+                block = coef[:8, :8].flatten()[1:]  # drop the DC term
+                med = np.median(block)
+                bits = 0
+                for i, v in enumerate(block):
+                    if v > med:
+                        bits |= 1 << i
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_duplicates(
+    media: DataFrame,
+    max_hamming: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual hash — image dedup for
+    the training-data pipeline. Returns ``id_a, id_b, hamming`` for
+    pairs with Hamming distance ≤ ``max_hamming``.
+
+    Scale shape (the MinHash discipline, bit-level): the 63-bit hash is
+    cut into ``max_hamming + 1`` bit bands — by pigeonhole, any pair
+    within ``max_hamming`` shares at least one UNTOUCHED band, so
+    banding is recall-lossless. One groupBy on (band, band_key) buckets
+    candidates (``max_bucket_size`` caps mega-buckets, e.g. solid-color
+    thumbnails), then the exact Hamming verify is a JVM xor +
+    ``bit_count`` — the payload bytes are touched exactly once (the
+    hash stage) and never shuffle.
+    """
+    from customkb_spark.operators.dedup import minhash_candidate_pairs
+
+    n_bands = max_hamming + 1
+    hashed = media_phash(media).localCheckpoint(eager=False)
+    width = 63 // n_bands
+    band_exprs = []
+    start = 0
+    for i in range(n_bands):
+        w = width if i < n_bands - 1 else 63 - start
+        key = F.shiftright(F.col("phash"), start).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        band_exprs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                key.cast("string").alias("band_key"),
+            )
+        )
+        start += w
+    buckets = hashed.select(
+        F.col("media_id").alias("id"), F.explode(F.array(*band_exprs)).alias("b")
+    ).select("id", "b.band", "b.band_key")
+    pairs = minhash_candidate_pairs(buckets, max_bucket_size)
+    ha = hashed.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("_ha")
+    )
+    hb = hashed.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("_hb")
+    )
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

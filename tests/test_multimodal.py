@@ -68,3 +68,108 @@ def test_sample_frames_fanout(spark, documents):
         per_vid.setdefault(r["media_id"], []).append(r["frame_idx"])
     for mid, idxs in per_vid.items():
         assert sorted(idxs) == list(range(len(idxs)))  # dense 0..n-1
+
+
+# ------------------------------------------ perceptual-hash dedup
+
+
+def _media_rows(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_media_phash_matches_pure_python_reference(spark):
+    import numpy as np
+
+    from customkb_spark.operators.multimodal import media_phash
+
+    payload = bytes(range(256)) * 8
+    got = media_phash(_media_rows(spark, [(1, "image", payload)])).collect()[0]
+
+    # independent reference computation
+    side = 32
+    k = np.arange(side)[:, None]
+    n = np.arange(side)[None, :]
+    D = np.sqrt(2.0 / side) * np.cos(np.pi * (2 * n + 1) * k / (2 * side))
+    D[0] /= np.sqrt(2.0)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    idx = (np.arange(side * side) * len(arr)) // (side * side)
+    img = arr[np.minimum(idx, len(arr) - 1)].reshape(side, side)
+    block = (D @ img @ D.T)[:8, :8].flatten()[1:]
+    med = np.median(block)
+    ref = 0
+    for i, v in enumerate(block):
+        if v > med:
+            ref |= 1 << i
+    assert got.phash == ref
+    assert 0 <= got.phash < (1 << 63)  # 63 bits, sign-safe
+
+
+def test_phash_near_duplicates_finds_near_and_skips_far(spark):
+    import random
+
+    from customkb_spark.operators.multimodal import phash_near_duplicates
+
+    random.seed(9)
+    base = bytes(random.randrange(256) for _ in range(4096))
+    tweaked = bytearray(base)
+    tweaked[100] ^= 0xFF  # one byte of 4096: perceptually identical
+    other = bytes(random.randrange(256) for _ in range(4096))
+    media = _media_rows(
+        spark,
+        [
+            (1, "image", base),
+            (2, "image", bytes(tweaked)),
+            (3, "image", base),  # exact copy of 1
+            (4, "image", other),
+        ],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_duplicates(media, max_hamming=8).collect()
+    }
+    assert pairs[(1, 3)] == 0  # identical payloads: hamming 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8  # near-identical found
+    assert not any(4 in p for p in pairs)  # unrelated content not paired
+
+
+def test_phash_banding_is_pigeonhole_lossless(spark):
+    """Any pair within max_hamming shares >= one untouched bit band:
+    flip exactly max_hamming bits spread adversarially and the pair
+    must still be emitted."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from customkb_spark.operators import multimodal as MM
+
+    random.seed(4)
+    payload = bytes(random.randrange(256) for _ in range(2048))
+    media = _media_rows(spark, [(1, "image", payload), (2, "image", payload)])
+    h = MM.media_phash(media).collect()[0].phash
+    # craft a second hash at exactly hamming=4 by flipping one bit in
+    # four different bands (the adversarial spread), then verify the
+    # band keys still collide somewhere
+    max_h = 4
+    n_bands = max_h + 1
+    width = 63 // n_bands
+    flipped = h
+    for b in range(max_h):  # touch 4 of the 5 bands
+        flipped ^= 1 << (b * width)
+    shared = 0
+    start = 0
+    for i in range(n_bands):
+        w = width if i < n_bands - 1 else 63 - start
+        mask = (1 << w) - 1
+        if (h >> start) & mask == (flipped >> start) & mask:
+            shared += 1
+        start += w
+    assert shared >= 1  # pigeonhole: the untouched band collides
