@@ -3237,6 +3237,40 @@ def _bpe_seg(spark, sf_dir):
     return seg
 
 
+def q_corpus_zipf_fit(spark, sf_dir):
+    """Zipf-law diagnostic: exact DECIMAL-sum least squares of
+    ln(tf) ~ ln(rank) over the top-1000 vocabulary head (two-phase
+    rank, no single-reducer sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.corpus_zipf_fit(docs, top_k=1000)
+
+
+SQL_ZIPF = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+t AS (SELECT doc_id, token FROM tk, unnest(toks) u(token)),
+v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+      FROM t GROUP BY token),
+r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM v),
+h AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+             CAST(round(ln(CAST(tf AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      FROM r WHERE rank <= 1000),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM h)
+SELECT n AS n_tokens_fit,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM s
+"""
+
+
 def q_token_budget_mix(spark, sf_dir):
     """Token-budget dataset mixing: per-source hash-order prefix up to
     a token budget (how pretraining mixes are actually specified). The
@@ -3613,6 +3647,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_subword_tokens": q_bpe_subword_tokens,
     "bpe_fertility": q_bpe_fertility,
     "token_budget_mix": q_token_budget_mix,
+    "corpus_zipf_fit": q_corpus_zipf_fit,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "doc_fingerprints": q_doc_fingerprints_all,
     "dedup_clusters_apply": q_dedup_clusters_apply,
@@ -3672,6 +3707,7 @@ _ORACLES: dict[str, str] = {
     "bpe_subword_tokens": SQL_BPE_APPLY,
     "bpe_fertility": SQL_BPE_FERTILITY,
     "token_budget_mix": SQL_TOKEN_BUDGET,
+    "corpus_zipf_fit": SQL_ZIPF,
     "minhash_lsh_dedup": _sql_minhash(),
     "doc_fingerprints": _sql_fingerprints_all(),
     "dedup_clusters_apply": SQL_CLUSTERS_APPLY,

@@ -1352,6 +1352,61 @@ def build_vocab(
     )
 
 
+def corpus_zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the frequency head: least-squares regression
+    of ``ln(tf) ~ ln(rank)`` across the ``top_k`` most frequent tokens.
+    A natural-language corpus sits near slope −1; a strong departure is
+    a corpus-health smell (template/boilerplate floods flatten the
+    curve, aggressive dedup steepens it) — the one-row diagnostic
+    corpus reports track.
+
+    Returns one row: ``n_tokens_fit, slope, intercept, r2`` (rounded
+    6 dp). Sums run in DECIMAL (the DSIR discipline) so the regression
+    is exact and order-independent — engine-portable, value-hash
+    oracle-able. Cost: the ``build_vocab`` shuffle + a ``top_k``-row
+    aggregate.
+    """
+    vocab = build_vocab(df, text_col, id_col).filter(F.col("rank") <= top_k)
+    # (18,9): products stay inside decimal(37,18) in BOTH Spark and
+    # DuckDB (38-digit cap) — wider operands would silently lose scale
+    # on one engine and break value-hash parity
+    d = "decimal(18,9)"
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast(d)
+    y = F.round(F.log(F.col("tf").cast("double")), 9).cast(d)
+    agg = vocab.select(
+        x.alias("_x"), y.alias("_y")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        F.col("n").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 def unigram_surprisal(
     df: DataFrame,
     text_col: str = "text",

@@ -985,3 +985,24 @@ def test_token_budget_sample_no_single_reducer_sort(spark):
     # windows are partitioned by (stratum, bucket) or run over the tiny
     # per-bucket table; no global single-partition exchange
     assert "SinglePartition" not in plan
+
+
+def test_corpus_zipf_fit_recovers_planted_slope(spark):
+    import math
+
+    # plant an exact power law: token w_r appears round(1000 * r^-0.8)
+    # times -> the regression must recover slope ~= -0.8 with r2 ~= 1
+    rows = []
+    doc = 0
+    for r in range(1, 41):
+        n = max(1, round(1000 * r ** -0.8))
+        toks = (f"w{r:03d} " * n).strip()
+        rows.append((doc, toks))
+        doc += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = C.corpus_zipf_fit(docs, top_k=40).collect()[0]
+    assert out.n_tokens_fit == 40
+    assert abs(out.slope - (-0.8)) < 0.02  # rounding of counts only
+    assert out.r2 > 0.999
+    # intercept ~= ln(1000)
+    assert abs(out.intercept - math.log(1000)) < 0.05
