@@ -232,7 +232,11 @@ def test_assign_matmul_large_nlist_plans_and_runs(spark):
     elapsed = time.time() - t0
     # plan is one UDF node, not 4M literals — the string stays tiny
     assert len(plan) < 20_000
-    assert elapsed < 60, f"large-nlist assignment took {elapsed:.1f}s"
+    # generous bound: the point is seconds-not-hours (the literal path
+    # would not even finish planning); 120s tolerates a fully loaded
+    # container (a 60s bound flaked when the suite ran under a
+    # concurrent 32-core oracle gate; standalone it runs ~5s)
+    assert elapsed < 120, f"large-nlist assignment took {elapsed:.1f}s"
     d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     want = {i: int(d2[i].argmin()) for i in range(n)}
     assert got == want
