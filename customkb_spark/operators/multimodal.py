@@ -25,7 +25,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -291,28 +291,12 @@ def media_phash(media: DataFrame, side: int = 32) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(batches, PHASH_SCHEMA)
 
 
-def phash_near_duplicates(
-    media: DataFrame,
-    max_hamming: int = 4,
-    max_bucket_size: int | None = None,
-) -> DataFrame:
-    """Near-duplicate media pairs by perceptual hash — image dedup for
-    the training-data pipeline. Returns ``id_a, id_b, hamming`` for
-    pairs with Hamming distance ≤ ``max_hamming``.
-
-    Scale shape (the MinHash discipline, bit-level): the 63-bit hash is
-    cut into ``max_hamming + 1`` bit bands — by pigeonhole, any pair
-    within ``max_hamming`` shares at least one UNTOUCHED band, so
-    banding is recall-lossless. One groupBy on (band, band_key) buckets
-    candidates (``max_bucket_size`` caps mega-buckets, e.g. solid-color
-    thumbnails), then the exact Hamming verify is a JVM xor +
-    ``bit_count`` — the payload bytes are touched exactly once (the
-    hash stage) and never shuffle.
-    """
-    from customkb_spark.operators.dedup import minhash_candidate_pairs
-
+def phash_band_frame(hashed: DataFrame, max_hamming: int) -> DataFrame:
+    """(id, band, band_key) bit-band buckets of a ``(media_id, phash)``
+    frame: ``max_hamming + 1`` bands — by pigeonhole, any pair within
+    ``max_hamming`` shares at least one UNTOUCHED band, so banding is
+    recall-lossless. Pure JVM bit arithmetic."""
     n_bands = max_hamming + 1
-    hashed = media_phash(media).localCheckpoint(eager=False)
     width = 63 // n_bands
     band_exprs = []
     start = 0
@@ -328,10 +312,32 @@ def phash_near_duplicates(
             )
         )
         start += w
-    buckets = hashed.select(
+    return hashed.select(
         F.col("media_id").alias("id"), F.explode(F.array(*band_exprs)).alias("b")
     ).select("id", "b.band", "b.band_key")
-    pairs = minhash_candidate_pairs(buckets, max_bucket_size)
+
+
+def phash_hamming(a: Column, b: Column) -> Column:
+    """Exact Hamming distance between two phash columns — one JVM xor +
+    popcount, no Python."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+def phash_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from a ``(media_id, phash)`` frame: pigeonhole
+    band bucketing (one groupBy; ``max_bucket_size`` caps mega-buckets,
+    e.g. solid-color thumbnails) + exact Hamming verify."""
+    from customkb_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(
+        phash_band_frame(hashed, max_hamming), max_bucket_size
+    )
     ha = hashed.select(
         F.col("media_id").alias("id_a"), F.col("phash").alias("_ha")
     )
@@ -341,10 +347,28 @@ def phash_near_duplicates(
     return (
         pairs.join(ha, "id_a")
         .join(hb, "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
-        )
+        .withColumn("hamming", phash_hamming("_ha", "_hb"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def phash_near_duplicates(
+    media: DataFrame,
+    max_hamming: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual hash — image dedup for
+    the training-data pipeline. Returns ``id_a, id_b, hamming`` for
+    pairs with Hamming distance ≤ ``max_hamming``.
+
+    Scale shape (the MinHash discipline, bit-level): hash map-side
+    (``media_phash``), band + bucket + verify via ``phash_pairs`` —
+    payload bytes are touched exactly once (the hash stage) and never
+    shuffle.
+    """
+    return phash_pairs(
+        media_phash(media).localCheckpoint(eager=False),
+        max_hamming,
+        max_bucket_size,
     )

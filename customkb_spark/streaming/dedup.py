@@ -4,7 +4,9 @@ Streaming forms a training-data pipeline needs beyond batch dedup
 (operators/dedup.py) — one gate per duplicate geometry: exact
 (``streaming_dedup_exact``), lexical near-dup
 (``streaming_minhash_dedup``), semantic (``streaming_semantic_dedup``),
-exact substrings (``streaming_substring_dedup``):
+exact substrings (``streaming_substring_dedup``), normalized lines
+(``streaming_line_dedup``), perceptual media
+(``streaming_phash_dedup``):
 
 - ``streaming_dedup_exact``: drop documents whose content hash was
   already seen, state-bounded by a watermark
@@ -683,6 +685,140 @@ def streaming_line_dedup(
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_phash_dedup(
+    media_stream: DataFrame,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 4,
+    max_bucket_size: int | None = None,
+) -> StreamingQuery:
+    """Streaming perceptual-hash admission — the SIXTH streaming
+    duplicate geometry (exact hashes / lexical MinHash / semantic
+    embedding / exact substrings / normalized lines / perceptual
+    media): maintain a media corpus free of near-duplicate images as
+    items stream in (crawl re-fetches, recompressions, thumbnails).
+
+    Standing state under ``kept_dir``:
+      - ``media``:   (id, phash) — admitted items. Payload bytes are
+        hashed once in their arrival batch and NEVER stored in state:
+        the Hamming verify runs on hashes, so state is 16 bytes/item
+        regardless of media size;
+      - ``buckets``: (id, band, band_key, kp) — pigeonhole bit bands,
+        PARTITIONED BY ``kp`` (md5-prefix of the band key), so each
+        batch's probe prunes the standing scan to its own landed
+        partitions (the minhash gate's discipline).
+
+    Per micro-batch (foreachBatch):
+    1. pHash the batch (the one pass over payload bytes);
+    2. probe standing buckets (kp-pruned) → (new, old) candidates →
+       exact JVM Hamming verify against standing hashes → reject new
+       items with a kept near-dup (first-wins);
+    3. resolve batch-internal near-dup groups (``phash_pairs`` +
+       connected components, min-id survivor);
+    4. append BUCKETS FIRST, then media rows, behind an id anti-join —
+       the minhash gate's crash-ordering argument verbatim (docs-first
+       would finalize items whose bands never reach the probe state).
+
+    Greedy-vs-batch caveat as the other admission gates: evaluation is
+    against survivors only; tight clusters agree with batch dedup
+    (equivalence-tested).
+    """
+    from customkb_spark.operators.dedup import connected_components
+    from customkb_spark.operators.multimodal import (
+        media_phash,
+        phash_band_frame,
+        phash_hamming,
+        phash_pairs,
+    )
+
+    media_path = os.path.join(kept_dir, "media")
+    bucket_path = os.path.join(kept_dir, "buckets")
+
+    def _buckets(hashed: DataFrame) -> DataFrame:
+        return phash_band_frame(hashed, max_hamming).withColumn(
+            "kp", F.substring(F.md5("band_key"), 1, 2)
+        )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = (
+            media_phash(
+                batch_df.select(
+                    F.col(id_col).alias("media_id"),
+                    F.col(content_col).alias("content"),
+                )
+            )
+            .localCheckpoint()
+        )
+        bb = _buckets(hashed).localCheckpoint()
+
+        admitted = hashed
+        if os.path.isdir(bucket_path):
+            kps = [r["kp"] for r in bb.select("kp").distinct().collect()]
+            standing = spark.read.parquet(bucket_path).filter(
+                F.col("kp").isin(kps)
+            )
+            cand = (
+                bb.select("band", "band_key", F.col("id").alias("id_a"))
+                .join(
+                    standing.select(
+                        "band", "band_key", F.col("id").alias("id_b")
+                    ),
+                    ["band", "band_key"],
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            kept = spark.read.parquet(media_path)
+            rejected = (
+                cand.join(
+                    hashed.select(
+                        F.col("media_id").alias("id_a"),
+                        F.col("phash").alias("_ha"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    kept.select(
+                        F.col("id").alias("id_b"), F.col("phash").alias("_hb")
+                    ),
+                    "id_b",
+                )
+                .filter(phash_hamming("_ha", "_hb") <= max_hamming)
+                .select(F.col("id_a").alias("media_id"))
+                .distinct()
+            )
+            admitted = hashed.join(rejected, "media_id", "left_anti")
+
+        pairs_b = phash_pairs(admitted, max_hamming, max_bucket_size)
+        comps = connected_components(pairs_b.select("id_a", "id_b"))
+        losers = comps.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("media_id")
+        )
+        survivors = admitted.join(losers, "media_id", "left_anti").select(
+            F.col("media_id").alias("id"), "phash"
+        )
+        if os.path.isdir(media_path):
+            survivors = survivors.join(
+                spark.read.parquet(media_path).select("id"), "id", "left_anti"
+            )
+        survivors = survivors.localCheckpoint()
+        if survivors.limit(1).count():
+            _buckets(
+                survivors.select(F.col("id").alias("media_id"), "phash")
+            ).write.mode("append").partitionBy("kp").parquet(bucket_path)
+            survivors.write.mode("append").parquet(media_path)
+
+    return (
+        media_stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

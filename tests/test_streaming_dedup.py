@@ -444,3 +444,70 @@ def test_streaming_substring_dedup_partial_docs_commit_replay(spark, tmp_path):
     # the replay reconstructs exactly the original outcome: owner's
     # run survives, the dup's cut text is unchanged
     assert got == first
+
+
+# ------------------------------ streaming perceptual-hash gate
+
+
+def _run_phash_wave(spark, tmp_path, rows, tag, kept_dir):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    src = str(tmp_path / f"ph_src_{tag}")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = SD.streaming_phash_dedup(
+        stream, kept_dir, str(tmp_path / f"ph_ck_{tag}"), max_hamming=8
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_phash_dedup_admits_rejects_replays(spark, tmp_path):
+    import random
+
+    random.seed(21)
+    base = bytes(random.randrange(256) for _ in range(4096))
+    tweak = bytearray(base)
+    tweak[50] ^= 0xFF  # perceptually identical re-fetch
+    other = bytes(random.randrange(256) for _ in range(4096))
+    third = bytes(random.randrange(256) for _ in range(4096))
+
+    kept_dir = str(tmp_path / "ph_kept")
+    # wave 1: base + an internal near-dup (min id wins) + novel
+    _run_phash_wave(
+        spark, tmp_path,
+        [(1, base), (2, bytes(tweak)), (3, other)], "w1", kept_dir,
+    )
+    kept1 = sorted(r.id for r in spark.read.parquet(f"{kept_dir}/media").collect())
+    assert kept1 == [1, 3]  # 2 collapsed into 1 batch-internally
+
+    # wave 2: cross-batch near-dup of kept 1 rejected; novel admitted
+    _run_phash_wave(spark, tmp_path, [(10, bytes(tweak)), (11, third)], "w2", kept_dir)
+    kept2 = sorted(r.id for r in spark.read.parquet(f"{kept_dir}/media").collect())
+    assert kept2 == [1, 3, 11]
+
+    # fresh-checkpoint replay of wave 2: nothing changes
+    _run_phash_wave(spark, tmp_path, [(10, bytes(tweak)), (11, third)], "w2r", kept_dir)
+    kept3 = sorted(r.id for r in spark.read.parquet(f"{kept_dir}/media").collect())
+    assert kept3 == kept2
+
+    # streaming == batch on tight clusters: batch pairs + min-id apply
+    from customkb_spark.operators.dedup import connected_components
+    from customkb_spark.operators.multimodal import phash_near_duplicates
+
+    all_rows = [(1, base), (2, bytes(tweak)), (3, other), (10, bytes(tweak)), (11, third)]
+    media = spark.createDataFrame(
+        [(i, "image", c) for i, c in all_rows],
+        "media_id long, kind string, content binary",
+    )
+    pairs = phash_near_duplicates(media, max_hamming=8)
+    comps = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    batch_kept = sorted(
+        i for i, _ in all_rows if comps.get(i, i) == i
+    )
+    assert kept3 == batch_kept
