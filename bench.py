@@ -93,6 +93,8 @@ EXTRA_QUERIES = [
     "c4_page_filters",
     "refinedweb_corrections",
     "line_dedup_apply",
+    "token_budget_mix",
+    "corpus_zipf_fit",
     # bpe_subword_tokens deliberately NOT here: its q_ trains the model
     # inside the query (needed for the oracle artifact); the bench
     # measures the honest bpe_train/bpe_encode split in the ann leg
