@@ -7,6 +7,13 @@ comparison (cells canonicalized to strings; floats via repr of the
 double). Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Run this gate ALONE: several queries (flagship, ann, bpe) persist
+oracle artifacts under ORACLE_ART_DIR and a concurrent entry()/query
+run in another process can overwrite them mid-comparison — a transient
+value-hash mismatch that disappears single-run (observed once:
+hybrid_context_flagship red only while a concurrent smoke rewrote
+/tmp/spark_graft_oracle/flagship).
 """
 
 from __future__ import annotations
