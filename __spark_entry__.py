@@ -1519,12 +1519,33 @@ FROM hits WHERE orig_rank > 10
 
 
 def q_category_counts(spark, sf_dir):
-    """A5 category counts (lang as the category column)."""
+    """A5 category counts (lang as the category column), union-merged
+    r6 with the F17 fuzzy category merge candidates over distinct
+    source names (normalized Levenshtein >= 0.8 after a length-gap
+    prune — formerly the category_fuzzy_pairs entry). Count rows:
+    (mode='count', cat_a=category, cat_b NULL, value=n_docs); fuzzy
+    rows: (mode='fuzzy', cat_a, cat_b, value=similarity)."""
     docs = _t(spark, sf_dir, "documents")
-    return CAT.category_counts(docs.select(F.col("lang").alias("primary_category")))
+    counts = CAT.category_counts(
+        docs.select(F.col("lang").alias("primary_category"))
+    ).select(
+        F.lit("count").alias("mode"),
+        F.col("category").alias("cat_a"),
+        F.lit(None).cast("string").alias("cat_b"),
+        F.col("n_docs").cast("double").alias("value"),
+    )
+    pairs = CAT.fuzzy_category_pairs(
+        docs.select(F.col("source").alias("category")), threshold=0.8
+    ).select(
+        F.lit("fuzzy").alias("mode"),
+        "cat_a",
+        "cat_b",
+        F.col("similarity").alias("value"),
+    )
+    return counts.unionByName(pairs)
 
 
-SQL_CATEGORY_COUNTS = """
+SQL_CATEGORY_COUNTS_BASE = """
 SELECT lang AS category, count(*) AS n_docs FROM documents GROUP BY 1
 """
 
@@ -1548,6 +1569,15 @@ FROM n a JOIN n b
      <= ceil((1.0 - 0.8) * greatest(length(a.name), length(b.name)))
 WHERE round(1.0 - levenshtein(a.name, b.name)
             / CAST(greatest(length(a.name), length(b.name)) AS DOUBLE), 6) >= 0.8
+"""
+
+SQL_CATEGORY_COUNTS = f"""
+SELECT 'count' AS mode, category AS cat_a, CAST(NULL AS VARCHAR) AS cat_b,
+       CAST(n_docs AS DOUBLE) AS value
+FROM ({SQL_CATEGORY_COUNTS_BASE})
+UNION ALL
+SELECT 'fuzzy' AS mode, cat_a, cat_b, similarity AS value
+FROM ({SQL_CATEGORY_FUZZY})
 """
 
 
@@ -1814,7 +1844,12 @@ def q_corpus_filter_pipeline(spark, sf_dir):
     """Composite training-data curation pass: language gate → quality
     gate → exact-dedup to canonical docs. The shape every pretraining
     pipeline runs first; one scan feeds all three predicates, the only
-    shuffle is the dedup groupBy on the content hash."""
+    shuffle is the dedup groupBy on the content hash.
+
+    Union-merged r6: mode='gated' is the filtered pipeline output;
+    mode='all' is the plain exact-dedup hash-group report over the
+    UNGATED corpus (formerly the dedup_exact entry) — same
+    (id=canonical, text_hash, n_copies) grain, one groupBy each."""
     docs = _t(spark, sf_dir, "documents")
     # token array staged once; the lang/quality filter lambdas would
     # otherwise each re-evaluate the tokenizer (no CSE across lambdas)
@@ -1828,7 +1863,16 @@ def q_corpus_filter_pipeline(spark, sf_dir):
         .groupBy("text_hash")
         .agg(F.min("id").alias("id"), F.count("*").alias("n_copies"))
     )
-    return canonical.select("id", "text_hash", "n_copies")
+    g = canonical.select(
+        F.lit("gated").alias("mode"), "id", "text_hash", "n_copies"
+    )
+    a = q_dedup_exact(spark, sf_dir).select(
+        F.lit("all").alias("mode"),
+        F.col("canonical_id").alias("id"),
+        "text_hash",
+        F.col("n_dups").alias("n_copies"),
+    )
+    return g.unionByName(a)
 
 
 def _sql_corpus_filter() -> str:
@@ -1863,11 +1907,14 @@ q AS (
                                 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
                                 ELSE 0.0 END) * 10, 1.0))) / 3, 6) AS quality
   FROM langed WHERE lang_pred = 'en')
-SELECT min(doc_id) AS id,
+SELECT 'gated' AS mode, min(doc_id) AS id,
        md5(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_hash,
        count(*) AS n_copies
 FROM q WHERE quality >= 0.5
-GROUP BY 2
+GROUP BY 3
+UNION ALL
+SELECT 'all' AS mode, canonical_id AS id, text_hash, n_dups AS n_copies
+FROM ({SQL_DEDUP_EXACT})
 """
 
 
@@ -2170,7 +2217,19 @@ def q_c4_page_filters(spark, sf_dir):
         "\n",
     )
     prepped = docs.select("doc_id", t.alias("text"))
-    return CU.c4_page_filters(prepped, bad_words=("slow",)).orderBy("doc_id")
+    c4 = CU.c4_page_filters(prepped, bad_words=("slow",))
+    # r6: the RefinedWeb line-wise corrections (formerly the
+    # refinedweb_corrections entry) join on as rw_-prefixed columns —
+    # both zero-shuffle web-cleaning batteries on one contract row
+    rw = q_refinedweb_corrections(spark, sf_dir).select(
+        "doc_id",
+        F.col("clean_text").alias("rw_clean_text"),
+        F.col("lines_total").alias("rw_lines_total"),
+        F.col("lines_kept").alias("rw_lines_kept"),
+        "removed_char_frac",
+        F.col("keep").alias("rw_keep"),
+    )
+    return c4.join(rw, "doc_id").orderBy("doc_id")
 
 
 SQL_C4_FILTERS = """
@@ -2205,6 +2264,18 @@ SELECT doc_id, clean_text, lines_total, lines_kept, n_sentences,
        (n_sentences >= 3 AND NOT has_bad_word AND NOT has_policy
         AND NOT has_lorem AND NOT has_brace) AS keep
 FROM r ORDER BY doc_id
+"""
+
+def _sql_c4_merged() -> str:
+    return f"""
+SELECT c.*,
+       r.clean_text AS rw_clean_text,
+       r.lines_total AS rw_lines_total,
+       r.lines_kept AS rw_lines_kept,
+       r.removed_char_frac,
+       r.keep AS rw_keep
+FROM ({SQL_C4_FILTERS}) c JOIN ({SQL_REFINEDWEB}) r USING (doc_id)
+ORDER BY c.doc_id
 """
 
 
@@ -2344,14 +2415,35 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 
 
 def q_substring_dedup_apply(spark, sf_dir):
-    """ExactSubstr APPLY: cut the duplicated spans out of every doc,
-    corpus-order first copy survives — returns the shipped corpus
-    (doc_id, n_tokens, removed_tokens, text)."""
+    """Corpus-rewrite dedup APPLY paths union-merged (r6):
+
+    - ``substr``: ExactSubstr — cut the duplicated >=k-token spans out
+      of every doc, corpus-order first copy survives; total/removed
+      units are TOKENS.
+    - ``line``: CCNet line-level corpus dedup WITH reassembly
+      (formerly the line_dedup_apply entry); units are LINES.
+
+    Both ship every input doc exactly once as
+    (mode, doc_id, total_units, removed_units, text)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.exact_substring_dedup(docs, k=SUBSTR_K).orderBy("doc_id")
+    s = D.exact_substring_dedup(docs, k=SUBSTR_K).select(
+        F.lit("substr").alias("mode"),
+        "doc_id",
+        F.col("n_tokens").alias("total_units"),
+        F.col("removed_tokens").alias("removed_units"),
+        "text",
+    )
+    ln = CU.line_dedup(_prep_lines(docs)).select(
+        F.lit("line").alias("mode"),
+        "doc_id",
+        F.col("lines_total").cast("long").alias("total_units"),
+        F.col("lines_removed").cast("long").alias("removed_units"),
+        F.col("clean_text").alias("text"),
+    )
+    return s.unionByName(ln).orderBy("mode", "doc_id")
 
 
-SQL_SUBSTR_APPLY = f"""
+SQL_SUBSTR_APPLY_BASE = f"""
 WITH spans AS ({SQL_SUBSTR_SPANS.replace("ORDER BY doc_id, span_start", "")}),
 tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
 pos AS (
@@ -2371,6 +2463,16 @@ SELECT t.doc_id,
 FROM tk t LEFT JOIN kept k ON k.doc_id = t.doc_id
 GROUP BY t.doc_id, len(t.toks)
 ORDER BY t.doc_id
+"""
+
+SQL_SUBSTR_APPLY = f"""
+SELECT 'substr' AS mode, doc_id, n_tokens AS total_units,
+       removed_tokens AS removed_units, text
+FROM ({SQL_SUBSTR_APPLY_BASE})
+UNION ALL
+SELECT 'line' AS mode, doc_id, lines_total AS total_units,
+       lines_removed AS removed_units, clean_text AS text
+FROM ({SQL_LINE_DEDUP})
 """
 
 
@@ -2404,13 +2506,17 @@ FROM r WHERE sample_rank <= 3 ORDER BY source, doc_id
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary (tokenizer-training prep): term/doc
     frequencies + Zipf rank, top 200 tokens. The rank window runs over
-    the vocabulary, never the corpus."""
+    the vocabulary, never the corpus.
+
+    Union-merged r6: the corpus Zipf-law fit (exact DECIMAL-sum least
+    squares of ln(tf) ~ ln(rank) over the top-1000 head — formerly the
+    corpus_zipf_fit entry) cross-joins its one diagnostic row onto the
+    vocab rows; both ride the same two-phase vocabulary rank."""
     docs = _t(spark, sf_dir, "documents")
-    return (
-        CU.build_vocab(docs)
-        .orderBy("rank")
-        .limit(200)
+    fit = CU.corpus_zipf_fit(docs, top_k=1000).select(
+        "n_tokens_fit", "slope", "intercept", "r2"
     )
+    return CU.build_vocab(docs).orderBy("rank").limit(200).crossJoin(fit)
 
 
 SQL_VOCAB = f"""
@@ -2421,6 +2527,13 @@ v AS (
 SELECT token, tf, df,
        CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank
 FROM v ORDER BY rank LIMIT 200
+"""
+
+def _sql_vocab_merged() -> str:
+    return f"""
+SELECT v.*, z.n_tokens_fit, z.slope, z.intercept, z.r2
+FROM ({SQL_VOCAB}) v CROSS JOIN ({SQL_ZIPF}) z
+ORDER BY v.rank
 """
 
 
@@ -2967,7 +3080,10 @@ def q_doc_text_signals(spark, sf_dir):
     score, whitespace + BPE-ish token counts (F5), BM25 unique-token
     doc_length (F3), plus the citations regex tier (utils/citations
     analogue: head-of-doc title/author/year). Replaces five separate
-    per-doc queries — same expressions, one contract entry."""
+    per-doc queries — same expressions, one contract entry. r6: the
+    map-side fingerprint families (SimHash 16-bit + winnowing rolling
+    fingerprint — formerly the doc_fingerprints entry) join on as two
+    more per-doc columns."""
     from customkb_spark.operators.citations import extract_citations
 
     docs = _t(spark, sf_dir, "documents")
@@ -2988,7 +3104,8 @@ def q_doc_text_signals(spark, sf_dir):
             readability["fk_grade"].alias("fk_grade"),
         )
     )
-    return signals.join(extract_citations(docs), "doc_id")
+    fps = q_doc_fingerprints_all(spark, sf_dir).withColumnRenamed("id", "doc_id")
+    return signals.join(extract_citations(docs), "doc_id").join(fps, "doc_id")
 
 
 def _sql_doc_text_signals() -> str:
@@ -3010,13 +3127,15 @@ FROM (
 SELECT a.doc_id, a.lang_pred, b.word_count, b.quality,
        c.n_ws_tokens, c.n_bpe_approx, d.doc_length, d.n_tokens,
        e.flesch_ease, e.fk_grade,
-       f.title, f.author, f.year
+       f.title, f.author, f.year,
+       g.simhash, g.fingerprint
 FROM ({_sql_lang_id()}) a
 JOIN ({_sql_quality()}) b USING (doc_id)
 JOIN ({SQL_TOKEN_COUNTS}) c USING (doc_id)
 JOIN ({SQL_TOKEN_STATS}) d USING (doc_id)
 JOIN ({readability}) e USING (doc_id)
 JOIN ({sql_extract_citations()}) f USING (doc_id)
+JOIN ({_sql_fingerprints_all()}) g ON g.id = a.doc_id
 """
 
 
@@ -3044,18 +3163,39 @@ def q_fusion_scores(spark, sf_dir):
     Both fusers consume the SAME hit DataFrames so the union's two
     branches carry identical retrieval subtrees — Spark's exchange
     reuse (ReusedExchange) then runs vector top-k and BM25 once, not
-    twice."""
+    twice. r6: the M3/T4 rerank stage (vector top-20, head-10
+    re-ordered by deterministic overlap score — formerly the
+    rerank_topk entry) rides along as mode='rerank'; rerank_score /
+    final_rank are NULL on the fusion rows."""
     v = _vec_hits(spark, sf_dir)
     b = _bm25_hits(spark, sf_dir)
-    r = FU.rrf_fuse(v, b, 60, 20).select(F.lit("rrf").alias("mode"), "*")
-    w = FU.weighted_fuse(v, b, 0.7, 20).select(F.lit("weighted").alias("mode"), "*")
-    return r.unionByName(w)
+    nulls = [
+        F.lit(None).cast("double").alias("rerank_score"),
+        F.lit(None).cast("long").alias("final_rank"),
+    ]
+    r = FU.rrf_fuse(v, b, 60, 20).select(
+        F.lit("rrf").alias("mode"), "id", "score", *nulls
+    )
+    w = FU.weighted_fuse(v, b, 0.7, 20).select(
+        F.lit("weighted").alias("mode"), "id", "score", *nulls
+    )
+    rr = q_rerank_topk(spark, sf_dir).select(
+        F.lit("rerank").alias("mode"), "id", "score", "rerank_score", "final_rank"
+    )
+    return r.unionByName(w).unionByName(rr)
 
 
 SQL_FUSION_SCORES = f"""
-SELECT 'rrf' AS mode, * FROM ({SQL_RRF})
+SELECT 'rrf' AS mode, id, score,
+       CAST(NULL AS DOUBLE) AS rerank_score, CAST(NULL AS BIGINT) AS final_rank
+FROM ({SQL_RRF})
 UNION ALL
-SELECT 'weighted' AS mode, * FROM ({SQL_WEIGHTED})
+SELECT 'weighted' AS mode, id, score,
+       CAST(NULL AS DOUBLE) AS rerank_score, CAST(NULL AS BIGINT) AS final_rank
+FROM ({SQL_WEIGHTED})
+UNION ALL
+SELECT 'rerank' AS mode, id, score, rerank_score, final_rank
+FROM ({SQL_RERANK})
 """
 
 
@@ -3075,30 +3215,46 @@ FROM ({_sql_simhash()}) s JOIN ({SQL_FINGERPRINT}) f USING (id)
 
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding near-dup pairs: exact all-pairs + hyperplane-LSH
-    bucketed + SemDeDup k-means-cluster-scoped variants union-merged.
-    LSH and semantic pairs are each ⊆ exact pairs — the diff is the
-    recall each bucketing trades for never shuffling the corpus into a
-    cross join."""
+    """Near-dup PAIR reports union-merged: embedding-cosine exact
+    all-pairs + hyperplane-LSH bucketed + SemDeDup
+    k-means-cluster-scoped variants, plus (r6) the token-space
+    MinHash+LSH verified pairs over documents (formerly the
+    minhash_lsh_dedup entry). LSH and semantic pairs are each ⊆ exact
+    pairs — the diff is the recall each bucketing trades for never
+    shuffling the corpus into a cross join. ``sim`` carries the mode's
+    verify similarity: cosine for the vector modes, exact Jaccard for
+    minhash (ids there are doc_ids, incl. the planted +2^40
+    mutations)."""
+    sim = F.col("cos_sim").alias("sim")
     exact = q_embedding_near_dups(spark, sf_dir).select(
-        F.lit("exact").alias("mode"), "*"
+        F.lit("exact").alias("mode"), "id_a", "id_b", sim
     )
     lsh = q_lsh_bucketed_near_dups(spark, sf_dir).select(
-        F.lit("lsh").alias("mode"), "*"
+        F.lit("lsh").alias("mode"), "id_a", "id_b", sim
     )
     sem = q_semantic_near_dups(spark, sf_dir).select(
-        F.lit("semantic").alias("mode"), "*"
+        F.lit("semantic").alias("mode"), "id_a", "id_b", sim
     )
-    return exact.unionByName(lsh).unionByName(sem)
+    mh = q_minhash_lsh_dedup(spark, sf_dir).select(
+        F.lit("minhash").alias("mode"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("jaccard").alias("sim"),
+    )
+    return exact.unionByName(lsh).unionByName(sem).unionByName(mh)
 
 
 def _sql_near_dup_pairs() -> str:
     return f"""
-SELECT 'exact' AS mode, * FROM ({SQL_EMB_DUPS})
+SELECT 'exact' AS mode, id_a, id_b, cos_sim AS sim FROM ({SQL_EMB_DUPS})
 UNION ALL
-SELECT 'lsh' AS mode, * FROM ({_sql_lsh_near_dups()})
+SELECT 'lsh' AS mode, id_a, id_b, cos_sim AS sim FROM ({_sql_lsh_near_dups()})
 UNION ALL
-SELECT 'semantic' AS mode, * FROM ({_sql_semantic_dups()})
+SELECT 'semantic' AS mode, id_a, id_b, cos_sim AS sim FROM ({_sql_semantic_dups()})
+UNION ALL
+SELECT 'minhash' AS mode, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, jaccard AS sim
+FROM ({_sql_minhash()})
 """
 
 
@@ -3304,9 +3460,27 @@ def q_bpe_subword_tokens(spark, sf_dir):
     discipline), and encoding is a pure-JVM join against the learned
     segmentation table. The segmentation persists to ORACLE_ART_DIR so
     the oracle replays the encode (explode → join → ordered
-    reassembly) even though merge learning is iterative."""
+    reassembly) even though merge learning is iterative.
+
+    Union-merged r6 (VERDICT r5 #2 — every entry must sit in the
+    driver's 50-slot verified window): the per-source tokenizer
+    fertility/compression stats (formerly the bpe_fertility entry)
+    join onto each encode row by source — both BPE read paths off the
+    one persisted segmentation artifact, one contract entry."""
     docs = _t(spark, sf_dir, "documents")
-    return BP.bpe_apply(docs, _bpe_seg(spark, sf_dir)).orderBy("doc_id")
+    seg = _bpe_seg(spark, sf_dir)
+    enc = BP.bpe_apply(docs, seg)
+    fert = BP.bpe_fertility(docs, seg, by=("source",))
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .join(fert, "source")
+        .select(
+            "doc_id", "n_words", "n_subwords", "subword_text", "source",
+            "n_docs", "total_words", "total_subwords",
+            "fertility", "chars_per_subword",
+        )
+        .orderBy("doc_id")
+    )
 
 
 SQL_BPE_APPLY = f"""
@@ -3330,6 +3504,19 @@ SELECT doc_id,
        CAST(sum(len(subwords)) AS BIGINT) AS n_subwords,
        string_agg(array_to_string(subwords, ' '), ' ' ORDER BY pos) AS subword_text
 FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+# merged entry (encode rows ⋈ per-source fertility) — defined after
+# SQL_BPE_FERTILITY below
+def _sql_bpe_merged() -> str:
+    return f"""
+WITH enc AS ({SQL_BPE_APPLY.replace('ORDER BY doc_id', '')}),
+fert AS ({SQL_BPE_FERTILITY.replace('ORDER BY source', '')})
+SELECT e.doc_id, e.n_words, e.n_subwords, e.subword_text,
+       d.source, f.n_docs, f.total_words, f.total_subwords,
+       f.fertility, f.chars_per_subword
+FROM enc e JOIN documents d USING (doc_id) JOIN fert f USING (source)
+ORDER BY e.doc_id
 """
 
 
@@ -3423,7 +3610,10 @@ def q_corpus_sampling(spark, sf_dir):
     per source + md5-threshold stratified mix (sample_rank NULL for the
     mix rows — the mix is a keep/drop filter, not a ranking) + the
     98/1/1 train/validation/test hash split (operators/packing.py —
-    mode carries the assigned split)."""
+    mode carries the assigned split) + (r6) the token-budget mix
+    (formerly the token_budget_mix entry — per-source hash-order
+    prefix up to a token budget; sample_rank carries cum_tokens, the
+    prefix position that admitted the doc)."""
     w = q_weighted_sample_per_source(spark, sf_dir).select(
         F.lit("weighted").alias("mode"), "source", "doc_id", "sample_rank"
     )
@@ -3440,7 +3630,15 @@ def q_corpus_sampling(spark, sf_dir):
         "doc_id",
         F.lit(None).cast("long").alias("sample_rank"),
     )
-    return w.unionByName(m).unionByName(s)
+    tb = CU.token_budget_sample(
+        docs, {"src0": 4000, "src1": 2500, "src2": 1200}
+    ).select(
+        F.lit("budget").alias("mode"),
+        "source",
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("sample_rank"),
+    )
+    return w.unionByName(m).unionByName(s).unionByName(tb)
 
 
 def _sql_corpus_sampling() -> str:
@@ -3455,6 +3653,10 @@ SELECT 'split:' || CASE
          ELSE 'test' END AS mode,
        source, doc_id, CAST(NULL AS BIGINT) AS sample_rank
 FROM documents
+UNION ALL
+SELECT 'budget' AS mode, source, doc_id,
+       CAST(cum_tokens AS BIGINT) AS sample_rank
+FROM ({SQL_TOKEN_BUDGET})
 """
 
 
@@ -3638,23 +3840,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "fusion_scores": q_fusion_scores,
     "context_range_join": q_context_range_join,
-    "dedup_exact": q_dedup_exact,
     "substring_dup_spans": q_substring_dup_spans,
     "substring_dedup_apply": q_substring_dedup_apply,
     "c4_page_filters": q_c4_page_filters,
-    "refinedweb_corrections": q_refinedweb_corrections,
-    "line_dedup_apply": q_line_dedup_apply,
     "bpe_subword_tokens": q_bpe_subword_tokens,
-    "bpe_fertility": q_bpe_fertility,
-    "token_budget_mix": q_token_budget_mix,
-    "corpus_zipf_fit": q_corpus_zipf_fit,
-    "minhash_lsh_dedup": q_minhash_lsh_dedup,
-    "doc_fingerprints": q_doc_fingerprints_all,
     "dedup_clusters_apply": q_dedup_clusters_apply,
-    "rerank_topk": q_rerank_topk,
     "category_counts": q_category_counts,
-    "category_fuzzy_pairs": q_category_fuzzy_pairs,
-}
+    }
 
 _ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK,
@@ -3672,7 +3864,7 @@ _ORACLES: dict[str, str] = {
     "batch_reference_strings": SQL_BATCH_REFS,
     "multimodal_decode": SQL_MM_FULL,
     "corpus_sampling": _sql_corpus_sampling(),
-    "vocab_topk": SQL_VOCAB,
+    "vocab_topk": _sql_vocab_merged(),
     "boilerplate_spans": SQL_BOILERPLATE,
     "unigram_surprisal": SQL_SURPRISAL,
     "embedding_near_dups": _sql_near_dup_pairs(),
@@ -3698,22 +3890,12 @@ _ORACLES: dict[str, str] = {
     "knn_join": SQL_KNN,
     "fusion_scores": SQL_FUSION_SCORES,
     "context_range_join": SQL_CONTEXT,
-    "dedup_exact": SQL_DEDUP_EXACT,
     "substring_dup_spans": SQL_SUBSTR_SPANS,
     "substring_dedup_apply": SQL_SUBSTR_APPLY,
-    "c4_page_filters": SQL_C4_FILTERS,
-    "refinedweb_corrections": SQL_REFINEDWEB,
-    "line_dedup_apply": SQL_LINE_DEDUP,
-    "bpe_subword_tokens": SQL_BPE_APPLY,
-    "bpe_fertility": SQL_BPE_FERTILITY,
-    "token_budget_mix": SQL_TOKEN_BUDGET,
-    "corpus_zipf_fit": SQL_ZIPF,
-    "minhash_lsh_dedup": _sql_minhash(),
-    "doc_fingerprints": _sql_fingerprints_all(),
+    "c4_page_filters": _sql_c4_merged(),
+    "bpe_subword_tokens": _sql_bpe_merged(),
     "dedup_clusters_apply": SQL_CLUSTERS_APPLY,
-    "rerank_topk": SQL_RERANK,
     "category_counts": SQL_CATEGORY_COUNTS,
-    "category_fuzzy_pairs": SQL_CATEGORY_FUZZY,
     # the ANN entries replay everything downstream of k-means training
     # from the persisted centroid/codebook tables (see ORACLE_ART_DIR);
     # the flagship replays the full retrieval pipeline from its

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from customkb_spark.functions import hashing as H
@@ -684,11 +685,62 @@ def semdedup_incremental(
     )
 
 
+# ------------------------------------------------- rolling window hash
+
+# Two independent odd 64-bit polynomial bases (the golden-ratio and
+# xxhash avalanche constants — any fixed odd values work) with their
+# modular inverses mod 2^64. Newton's iteration x <- x(2 - b*x) doubles
+# the number of correct low bits per step; x0 = b is already correct to
+# 3 bits for odd b (b^2 = 1 mod 8), so 6 steps cover 64.
+_RH_MASK = (1 << 64) - 1
+
+
+def _inv_mod_2_64(b: int) -> int:
+    x = b
+    for _ in range(6):
+        x = (x * (2 - b * x)) & _RH_MASK
+    return x
+
+
+_RH_BASE1 = 0x9E3779B97F4A7C15
+_RH_BASE2 = 0xC2B2AE3D27D4EB4F
+_RH_INV1 = _inv_mod_2_64(_RH_BASE1)
+_RH_INV2 = _inv_mod_2_64(_RH_BASE2)
+
+
+def _rk_window_hashes(h_any, k: int, base: int, binv: int):
+    """O(n) Karp-Rabin hashes of every stride-1 k-window of a per-token
+    hash array: ``w[i] = sum_{m<k} h[i+m] * base^(k-1-m)  (mod 2^64)``.
+
+    Computed without per-window work via the prefix form
+    ``c[i] = sum_{j<i} h[j] * base^(-j)`` (one cumsum), then
+    ``w[i] = base^(i+k-1) * (c[i+k] - c[i])`` — the position factors
+    cancel exactly, so ``w[i]`` depends only on the window's token-hash
+    sequence. All arithmetic wraps mod 2^64 in numpy uint64 (exact
+    modular arithmetic; numpy integer arrays wrap silently, so this is
+    independent of Spark's ANSI setting). Returns int64[n-k+1]."""
+    import numpy as np
+
+    h = np.asarray(h_any, dtype=np.int64).astype(np.uint64)
+    n = int(h.shape[0])
+    binv_pows = np.full(n, np.uint64(binv), dtype=np.uint64)
+    binv_pows[0] = np.uint64(1)
+    np.cumprod(binv_pows, out=binv_pows)  # base^(-j), j = 0..n-1
+    c = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(h * binv_pows, out=c[1:])  # prefix sums of h[j]*base^(-j)
+    b_pows = np.full(n, np.uint64(base), dtype=np.uint64)
+    b_pows[0] = np.uint64(1)
+    np.cumprod(b_pows, out=b_pows)  # base^j, j = 0..n-1
+    w = (c[k:] - c[: n - k + 1]) * b_pows[k - 1 :]
+    return w.astype(np.int64)
+
+
 def duplicated_substring_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
+    hash_impl: str = "rolling",
 ) -> DataFrame:
     """ExactSubstr duplicated-span report — Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" (the
@@ -713,14 +765,18 @@ def duplicated_substring_spans(
     0-based, end-exclusive, ordered within a doc by span_start.
 
     Plan at 100 TB:
-    - window hashing is map-side (O(n_tokens x k) chars hashed per
-      doc; a rolling Karp-Rabin over per-token hashes is the upgrade
-      path if k grows — same output contract). md5 is the measured
-      choice for the 128-bit key: a struct of two seeded xxhash64
-      calls shuffles 16 bytes instead of 32 but re-builds the gram
-      string once per call (lambda expressions defeat common-
-      subexpression elimination) — measured 15% SLOWER end-to-end at
-      sf10 than one md5 evaluation;
+    - window hashing is map-side and O(n_tokens) per doc (default
+      ``hash_impl="rolling"``): each token is hashed ONCE JVM-side
+      (two independently-seeded xxhash64 passes over the staged token
+      array), then an Arrow-batched numpy Karp-Rabin roll turns them
+      into 128-bit window keys in O(1) per position — vs the legacy
+      ``hash_impl="md5"`` path's O(n_tokens x k) chars re-built and
+      re-hashed per window (at the paper's k=50 that pushed ~50x the
+      corpus bytes through string-build + md5; it was the repo's most
+      expensive sf10 query). The md5 path is kept as the zero-Python
+      fallback and the equality anchor (tests pin rolling == md5
+      spans); the rolling key also halves the shuffle width (16-byte
+      struct vs 32-char hex);
     - the occurrence table shuffles ONCE on the 128-bit window hash
       with full partial aggregation (count + min-struct both combine
       map-side), so a hyper-common boilerplate window collapses to one
@@ -739,45 +795,157 @@ def duplicated_substring_spans(
     - the interval merge is a per-document window (bounded by doc
       length), never a corpus-wide or single-partition sort.
     """
-    occ = _window_occurrences(docs, id_col, text_col, k)
-    agg = (
-        occ.groupBy("whash")
-        .agg(
-            F.count(F.lit(1)).alias("_n_occ"),
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
-        )
-        .filter(F.col("_n_occ") > 1)
-    )
+    occ = _window_occurrences(docs, id_col, text_col, k, hash_impl)
+    keys = _wkey_cols(hash_impl)
+    agg, is_first = _first_occurrence_agg(occ, id_col, keys)
     dup = (
-        occ.join(agg, "whash")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col(f"_first.{id_col}"))
-                & (F.col("pos") == F.col("_first.pos"))
-            )
-        )
+        occ.join(agg.filter(F.col("_n_occ") > 1), keys)
+        .filter(~is_first)
         .select(id_col, "pos")
     )
     return _merge_dup_spans(dup, id_col, k)
 
 
+def _first_occurrence_agg(occ, id_col: str, keys: list[str]):
+    """Per-window-key (count, corpus-order-first marker) over an
+    occurrence table — returns ``(agg_df, is_first)`` where ``agg_df``
+    has columns ``(*keys, _n_occ, _first*)`` and ``is_first`` is a
+    predicate valid on ``occ.join(agg_df, keys)`` rows.
+
+    The lexicographic min-(id, pos) is encoded as ONE fixed-width
+    decimal when the id is integral: ``id * 2^31 + pos`` as
+    decimal(31,0) is exact (|id| <= 2^63 so the product < 10^29, and
+    0 <= pos < 2^31 keeps the encoding order-isomorphic to (id, pos)).
+    This matters for the plan, not the semantics: ``min`` over a
+    struct (or string) aggregation buffer is not UnsafeRow-mutable, so
+    Catalyst demotes the whole corpus-window-sized aggregation to a
+    SortAggregate — a full sort of every occurrence row on both sides
+    of the shuffle (measured: the dominant cost of the sf10 spans leg,
+    far above the window hashing it was blamed on). A decimal buffer
+    keeps it a HashAggregate. Non-integral ids fall back to the
+    min(struct) form and its SortAggregate, documented here."""
+    id_type = occ.schema[id_col].dataType
+    if isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        ord_expr = F.col(id_col).cast("decimal(19,0)") * F.lit(
+            2_147_483_648
+        ).cast("decimal(10,0)") + F.col("pos").cast("decimal(10,0)")
+        agg = (
+            occ.select(*keys, ord_expr.alias("_ord"))
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("_n_occ"),
+                F.min("_ord").alias("_first_ord"),
+            )
+        )
+        return agg, ord_expr == F.col("_first_ord")
+    agg = occ.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n_occ"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    )
+    is_first = (F.col(id_col) == F.col(f"_first.{id_col}")) & (
+        F.col("pos") == F.col("_first.pos")
+    )
+    return agg, is_first
+
+
 def _window_occurrences(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame, id_col: str, text_col: str, k: int, hash_impl: str = "rolling"
 ) -> DataFrame:
-    """(id, pos, whash) for every stride-1 k-token window — map-side
-    (tokenize + transform + posexplode, no shuffle)."""
+    """(id, pos, *window-key) for every stride-1 k-token window —
+    map-side (tokenize + hash + posexplode, no shuffle). Key columns
+    per impl: :func:`_wkey_cols`.
+
+    ``hash_impl="rolling"`` (default): the key is (h1, h2) — two
+    independent 64-bit Karp-Rabin hashes rolled over per-token xxhash64
+    values in an Arrow-batched mapInPandas stage (O(n_tokens) per doc;
+    see :func:`_rk_window_hashes`), emitted as FLAT LONG columns (see
+    _wkey_cols for why not a struct). The scan recurrence (prefix
+    cumsum/cumprod) is genuinely inexpressible in DataFrame algebra —
+    Spark has no array scan — so this is the one sanctioned Python
+    stage, and it operates on long arrays, never text.
+
+    ``hash_impl="md5"``: whash is the hex md5 of the re-built k-gram,
+    one md5 per window — zero Python, O(n_tokens x k) chars hashed.
+    Kept as the equality anchor and fallback."""
     toked = docs.select(F.col(id_col), X.tokens(text_col).alias("_toks")).filter(
         F.size("_toks") >= k
     )
-    return toked.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - k),
-                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
-            )
-        ).alias("pos", "whash"),
+    if hash_impl == "md5":
+        return toked.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
+                )
+            ).alias("pos", "whash"),
+        )
+    if hash_impl != "rolling":
+        raise ValueError(f"hash_impl must be 'rolling' or 'md5', got {hash_impl!r}")
+    # _toks is staged in its own projection, so the regex tokenizer runs
+    # once even though two hash passes reference it (module docstring:
+    # CollapseProject keeps a non-cheap expression referenced twice).
+    hashed = toked.select(
+        F.col(id_col),
+        F.transform("_toks", lambda t: F.xxhash64(t)).alias("_h1"),
+        F.transform("_toks", lambda t: F.xxhash64(t, F.lit(1))).alias("_h2"),
     )
+    out_schema = T.StructType(
+        [
+            hashed.schema[id_col],
+            T.StructField("_w1", T.ArrayType(T.LongType())),
+            T.StructField("_w2", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def roll(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_w1": [
+                        _rk_window_hashes(h, k, _RH_BASE1, _RH_INV1)
+                        for h in pdf["_h1"]
+                    ],
+                    "_w2": [
+                        _rk_window_hashes(h, k, _RH_BASE2, _RH_INV2)
+                        for h in pdf["_h2"]
+                    ],
+                }
+            )
+
+    return (
+        hashed.mapInPandas(roll, out_schema)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.arrays_zip("_w1", "_w2")).alias("pos", "_z"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.col("_z._w1").alias("h1"),
+            F.col("_z._w2").alias("h2"),
+        )
+    )
+
+
+def _wkey_cols(hash_impl: str) -> list[str]:
+    """Window-key column names per hash impl. The rolling key is TWO
+    FLAT LONG columns, not a struct: struct grouping keys fall off the
+    UnsafeRow fast path and measured 2-3x slower than flat longs on
+    the corpus-window-sized groupBy (sf10: 36-50 s struct vs 13-29 s
+    flat for the identical aggregation)."""
+    return ["whash"] if hash_impl == "md5" else ["h1", "h2"]
+
+
+def whash_key_prefix(col: str = "h1") -> "F.Column":
+    """Bounded (256-way) partition key over a rolling window-hash
+    column, for standing-state layouts (streaming substr gate)."""
+    return F.pmod(F.col(col), F.lit(256)).cast("int")
 
 
 def _merge_dup_spans(dup: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -816,6 +984,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
+    hash_impl: str = "rolling",
 ) -> DataFrame:
     """Shipped-corpus counterpart of duplicated_substring_spans: cut
     the duplicated spans out of every document, keeping the
@@ -833,7 +1002,7 @@ def exact_substring_dedup(
     merge), so the token filter is an O(n_tokens x n_spans) JVM
     expression — no Python, no extra shuffle beyond the spans job.
     """
-    spans = duplicated_substring_spans(docs, id_col, text_col, k)
+    spans = duplicated_substring_spans(docs, id_col, text_col, k, hash_impl)
     return _cut_spans(docs, spans, id_col, text_col)
 
 

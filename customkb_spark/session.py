@@ -20,9 +20,17 @@ _BASE_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # 100 TB note: autoBroadcastJoinThreshold stays default (10 MB); we
-    # broadcast explicitly where the small side is provably bounded
-    # (top-k hit sets, dimension tables, query batches).
+    # 100 TB note: the STATIC autoBroadcastJoinThreshold stays default
+    # (10 MB) — estimator-based broadcasts of mis-estimated sides OOM
+    # executors; we broadcast explicitly where the small side is
+    # provably bounded (top-k hit sets, dimension tables, query
+    # batches). The ADAPTIVE threshold is raised to 64 MB: AQE decides
+    # from MEASURED shuffle sizes, so a 64 MB broadcast is safe and
+    # converts mid-size build sides (e.g. ExactSubstr's filtered
+    # duplicated-window table, ~32 MB at sf10) from a sort-merge join
+    # that sorts the corpus-window-sized probe into a broadcast probe
+    # that never shuffles it (measured 227 s -> 62 s on that join).
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     "spark.sql.parquet.filterPushdown": "true",
     # The driver's events table stores TIMESTAMP(NANOS) (unsupported by
     # Spark's reader) — read as long and convert (see schema.read_table).

@@ -399,12 +399,16 @@ def streaming_substring_dedup(
     """
     from customkb_spark.operators.dedup import (
         _cut_spans,
+        _first_occurrence_agg,
         _merge_dup_spans,
         _window_occurrences,
+        _wkey_cols,
+        whash_key_prefix,
     )
 
     doc_path = os.path.join(kept_dir, "docs")
     hash_path = os.path.join(kept_dir, "hashes")
+    keys = _wkey_cols("rolling")  # flat (h1, h2) window-key columns
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -428,43 +432,34 @@ def streaming_substring_dedup(
                 return  # epoch fully finalized
 
         occ = _window_occurrences(batch, id_col, text_col, k).localCheckpoint()
-        batch_hashes = occ.select("whash").distinct()
+        batch_hashes = occ.select(*keys).distinct()
 
         if os.path.isdir(hash_path):
             kps = [r["kp"] for r in occ.select(
-                F.substring("whash", 1, 2).alias("kp")).distinct().collect()]
+                whash_key_prefix().alias("kp")).distinct().collect()]
             state = spark.read.parquet(hash_path).filter(F.col("kp").isin(kps))
             seen = (
-                state.join(F.broadcast(batch_hashes), "whash", "left_semi")
+                state.join(F.broadcast(batch_hashes), keys, "left_semi")
                 .join(
                     F.broadcast(batch.select(F.col(id_col).alias("src_id"))),
                     "src_id",
                     "left_anti",
                 )
-                .select("whash")
+                .select(*keys)
                 .distinct()
             )
         else:
-            seen = spark.createDataFrame([], "whash string")
+            seen = spark.createDataFrame([], "h1 bigint, h2 bigint")
 
-        agg = occ.groupBy("whash").agg(
-            F.count(F.lit(1)).alias("_n_occ"),
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
-        )
+        agg, is_first = _first_occurrence_agg(occ, id_col, keys)
         dup = (
-            occ.join(agg, "whash")
+            occ.join(agg, keys)
             .join(
-                F.broadcast(seen.withColumn("_seen", F.lit(True))), "whash", "left"
+                F.broadcast(seen.withColumn("_seen", F.lit(True))), keys, "left"
             )
             .filter(
                 F.coalesce("_seen", F.lit(False))
-                | (
-                    (F.col("_n_occ") > 1)
-                    & ~(
-                        (F.col(id_col) == F.col(f"_first.{id_col}"))
-                        & (F.col("pos") == F.col("_first.pos"))
-                    )
-                )
+                | ((F.col("_n_occ") > 1) & ~is_first)
             )
             .select(id_col, "pos")
         )
@@ -479,8 +474,8 @@ def streaming_substring_dedup(
         if not done_any:
             (
                 occ.select(
-                    F.substring("whash", 1, 2).alias("kp"),
-                    "whash",
+                    whash_key_prefix().alias("kp"),
+                    *keys,
                     F.col(id_col).alias("src_id"),
                 )
                 .distinct()

@@ -313,6 +313,37 @@ def test_exact_substring_dedup_apply(spark):
         assert r["n_tokens"] - r["removed_tokens"] == len(r["text"].split())
 
 
+def test_substring_rolling_equals_md5_spans(spark):
+    """Equality lock: the O(n) rolling Karp-Rabin window hash and the
+    legacy O(n*k) md5-over-rebuilt-grams path produce IDENTICAL span
+    reports (hashes differ; spans are the contract) — on a corpus mixing
+    cross-doc shares, internal repeats, adjacent islands, and clean
+    docs, at two k values."""
+    shared = "the quick brown fox jumps over the lazy dog tonight again"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique ending one two"),
+            (2, "intro bits " + shared + " other tail"),
+            (3, "aa bb cc dd ee aa bb cc dd ee aa bb cc dd ee ff gg"),
+            (4, "totally unrelated content with zero shared window runs"),
+            (5, shared + " mid gap " + shared),
+        ],
+        ["doc_id", "text"],
+    )
+    for k in (4, 7):
+        rolling = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in D.duplicated_substring_spans(docs, k=k, hash_impl="rolling")
+            .collect()
+        )
+        md5 = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in D.duplicated_substring_spans(docs, k=k, hash_impl="md5")
+            .collect()
+        )
+        assert rolling == md5 and rolling
+
+
 def test_substring_spans_fully_duplicated_doc_empties(spark):
     """A non-canonical doc that is one big duplicated run cleans to
     empty text (the paper's drop case, left to the caller)."""
