@@ -224,16 +224,21 @@ def build_ngram_bloom(
     bench_text_col: str = "text",
     fpp: float = 1e-6,
 ) -> NgramBloom:
-    """Build the benchmark-side Bloom filter, distributed:
+    """Build the benchmark-side Bloom filter, distributed and
+    bitmap-SLICED (the r5 coalesce(16)+driver-OR scheme capped the
+    distinct-gram stage at 16 tasks and pushed 16 full bitmaps —
+    ~5.8 GB at the 10⁸-gram / fpp 1e-6 tier — through the driver):
 
     1. distinct benchmark n-grams → two xxhash64 seeds per gram
-       (JVM-side, map-only);
-    2. each partition sets its bits into a LOCAL numpy bitmap
-       (Arrow-batched ``mapInPandas``, one binary row out per
-       partition — the hash side is coalesced so the driver OR-reduce
-       sees a bounded number of partition bitmaps; the tree-reduce
-       upgrade applies if partition count must grow);
-    3. driver ORs the partition bitmaps.
+       (JVM-side, map-only, NATURAL parallelism — no coalesce);
+    2. every gram's k double-hash bit positions are emitted as
+       (slice, offset) rows (Arrow-batched ``mapInPandas``; a slice is
+       a contiguous ~8 MB stripe of the bitmap);
+    3. ONE shuffle repartitions positions by slice; each reducer owns
+       exactly one stripe, ORs its offsets into a slice-local bitmap,
+       and emits it once;
+    4. the driver places each slice at its byte offset — total driver
+       transit is exactly m bits, independent of build parallelism.
 
     m = ceil(-n·ln(fpp)/ln²2) bits, k = round(m/n·ln2) — the standard
     optimal sizing. The build/probe split follows the repo's frozen-
@@ -244,7 +249,6 @@ def build_ngram_bloom(
     import math
 
     import numpy as np
-    import pandas as pd
 
     grams = benchmark.select(
         F.explode(word_ngrams(bench_text_col, n)).alias("ngram")
@@ -259,21 +263,80 @@ def build_ngram_bloom(
     hashed = grams.select(
         F.xxhash64("ngram").alias("h1"),
         F.xxhash64("ngram", F.lit(_BLOOM_SEED2)).alias("h2"),
-    ).coalesce(16)
-
-    def set_bits(batches):
-        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-        for b in batches:
-            for pos in _bloom_positions(b["h1"], b["h2"], k, m_bits):
-                np.bitwise_or.at(bitmap, pos >> np.uint64(3),
-                                 np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
-        yield pd.DataFrame({"bm": [bitmap.tobytes()]})
-
-    parts = hashed.mapInPandas(set_bits, "bm binary").collect()
+    )
+    sliced, slice_bits, n_slices = _bloom_slice_plan(hashed, m_bits, k)
     bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-    for r in parts:
-        bitmap |= np.frombuffer(r["bm"], dtype=np.uint8)
+    slice_bytes = slice_bits // 8
+    for r in sliced.collect():
+        start = r["slice"] * slice_bytes
+        chunk = np.frombuffer(r["bm"], dtype=np.uint8)
+        end = min(start + len(chunk), len(bitmap))
+        bitmap[start:end] |= chunk[: end - start]
     return NgramBloom(bitmap, m_bits, k, n_items)
+
+
+# a bitmap stripe per reducer: big enough that slice rows stay few,
+# small enough that a reducer's working set is trivial
+_BLOOM_SLICE_TARGET_BITS = 8 * (1 << 20) * 8  # 8 MB
+
+
+def _bloom_slice_plan(hashed: DataFrame, m_bits: int, k: int):
+    """The distributed part of the sliced Bloom build: (h1, h2) rows →
+    one (slice int, bm binary) row per bitmap stripe. Returned
+    un-collected so the plan test can assert its shape (no Coalesce;
+    the only exchange is the by-slice repartition)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n_slices = max(1, min(4096, math.ceil(m_bits / _BLOOM_SLICE_TARGET_BITS)))
+    slice_bits = (math.ceil(m_bits / n_slices) + 7) // 8 * 8
+
+    def positions(batches):
+        sb = np.uint64(slice_bits)
+        for b in batches:
+            pos = np.concatenate(_bloom_positions(b["h1"], b["h2"], k, m_bits))
+            yield pd.DataFrame(
+                {
+                    "slice": (pos // sb).astype(np.int32),
+                    "off": (pos % sb).astype(np.int64),
+                }
+            )
+
+    def build_slices(batches):
+        maps: dict[int, "np.ndarray"] = {}
+        for b in batches:
+            sl = b["slice"].to_numpy()
+            off = b["off"].to_numpy().astype(np.uint64)
+            for s in np.unique(sl):
+                bm = maps.setdefault(
+                    int(s), np.zeros(slice_bits // 8, dtype=np.uint8)
+                )
+                o = off[sl == s]
+                np.bitwise_or.at(
+                    bm,
+                    (o >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(np.uint8(1), (o & np.uint64(7)).astype(np.uint8)),
+                )
+        if not maps:  # empty reducer partition — typed empty batch
+            yield pd.DataFrame(
+                {
+                    "slice": pd.Series([], dtype="int32"),
+                    "bm": pd.Series([], dtype=object),
+                }
+            )
+            return
+        yield pd.DataFrame(
+            {"slice": list(maps), "bm": [m.tobytes() for m in maps.values()]}
+        )
+
+    sliced = (
+        hashed.mapInPandas(positions, "slice int, off long")
+        .repartition(n_slices, "slice")
+        .mapInPandas(build_slices, "slice int, bm binary")
+    )
+    return sliced, slice_bits, n_slices
 
 
 def decontaminate_bloom(

@@ -689,6 +689,55 @@ def test_bloom_decontaminate_fpr_bounded(spark):
     assert fps / total < 0.01
 
 
+def test_bloom_sliced_build_parallelism_independent(spark):
+    """The sliced build (r6): identical bitmap whatever the input
+    parallelism, build stage NOT coalesced (the r5 scheme capped the
+    distinct stage at 16 tasks), and multi-slice assembly places each
+    stripe at its offset (forced tiny slice target)."""
+    import numpy as np
+
+    import customkb_spark.operators.curation as C
+
+    rows = [(" ".join(f"w{i+j}" for j in range(10)),) for i in range(0, 300, 3)]
+    bench1 = spark.createDataFrame(rows, ["text"]).coalesce(1)
+    bench64 = spark.createDataFrame(rows, ["text"]).repartition(64)
+    b1 = C.build_ngram_bloom(bench1, n=4)
+    b64 = C.build_ngram_bloom(bench64, n=4)
+    assert (b1.m_bits, b1.k, b1.n_items) == (b64.m_bits, b64.k, b64.n_items)
+    assert np.array_equal(b1.bitmap, b64.bitmap)
+
+    # multi-slice path: shrink the stripe so n_slices > 1
+    orig = C._BLOOM_SLICE_TARGET_BITS
+    C._BLOOM_SLICE_TARGET_BITS = 1024
+    try:
+        bs = C.build_ngram_bloom(bench64, n=4)
+    finally:
+        C._BLOOM_SLICE_TARGET_BITS = orig
+    assert np.array_equal(bs.bitmap, b1.bitmap)
+
+    # plan shape: no Coalesce anywhere; the only exchange is the
+    # by-slice repartition (hashpartitioning on slice)
+    from pyspark.sql import functions as F
+
+    hashed = bench64.select(
+        F.explode(C.word_ngrams("text", 4)).alias("ngram")
+    ).distinct().select(
+        F.xxhash64("ngram").alias("h1"),
+        F.xxhash64("ngram", F.lit(C._BLOOM_SEED2)).alias("h2"),
+    )
+    from tests.test_plans import explain_str
+
+    C._BLOOM_SLICE_TARGET_BITS = 1024  # force n_slices > 1
+    try:
+        sliced, _, n_slices = C._bloom_slice_plan(hashed, b1.m_bits, b1.k)
+    finally:
+        C._BLOOM_SLICE_TARGET_BITS = orig
+    assert n_slices > 1
+    plan = explain_str(sliced, "extended")
+    assert "Coalesce" not in plan
+    assert "hashpartitioning(slice" in plan
+
+
 def test_bloom_roundtrip_and_empty_benchmark(spark):
     bench = spark.createDataFrame(
         [("alpha beta gamma delta epsilon zeta eta theta",)], ["text"]
