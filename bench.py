@@ -120,6 +120,10 @@ EXTRA_QUERIES = [
 SF10_QUERIES = [
     "span_dedup_stats",
     "substring_dup_spans",
+    # r6 (VERDICT r5 #8): the APPLY halves join the sf10 leg — the
+    # span-cut/reassembly and line-owner joins were unmeasured past sf1
+    "substring_dedup_apply",
+    "line_dedup_apply",
     "corpus_filter_pipeline",
     "cross_corpus_shingle_join",
     "minhash_lsh_dedup",
@@ -352,6 +356,115 @@ def _sf1_dir() -> str | None:
         return None
 
 
+def _dedup_stage_split(spark, d: str) -> dict[str, float]:
+    """VERDICT r5 #5: the two heavy sf10 dedup legs timed per STAGE so
+    a med/min spread is attributable (hashing vs shuffle vs merge vs
+    verify). Stage boundaries are localCheckpoints — each timing covers
+    exactly its own plan, at the cost of materializing the boundary
+    (so the stage SUM exceeds the end-to-end row, which fuses them)."""
+    from pyspark.sql import functions as F
+
+    from customkb_spark.operators import dedup as D
+
+    out: dict[str, float] = {}
+    docs = E._t(spark, d, "documents")
+
+    # --- ExactSubstr: window-hash -> duplicate-mark -> island-merge
+    t = time.time()
+    occ = D._window_occurrences(docs, "doc_id", "text", E.SUBSTR_K).localCheckpoint()
+    occ.count()
+    out["substr_stage_windows"] = round(time.time() - t, 3)
+    keys = D._wkey_cols("rolling")
+    t = time.time()
+    agg, is_first = D._first_occurrence_agg(occ, "doc_id", keys)
+    dup = (
+        occ.join(agg.filter(F.col("_n_occ") > 1), keys)
+        .filter(~is_first)
+        .select("doc_id", "pos")
+        .localCheckpoint()
+    )
+    dup.count()
+    out["substr_stage_mark"] = round(time.time() - t, 3)
+    t = time.time()
+    D._merge_dup_spans(dup, "doc_id", E.SUBSTR_K).count()
+    out["substr_stage_merge"] = round(time.time() - t, 3)
+
+    # --- MinHash: shingles+signatures -> buckets+pairs -> verify
+    aug = E._augmented_docs(docs)
+    t = time.time()
+    sh = D.shingle_sets(aug, "doc_id", "text", 3).localCheckpoint()
+    sig = D.minhash_signatures(aug, shingles_df=sh, num_hashes=16).localCheckpoint()
+    sig.count()
+    out["minhash_stage_signatures"] = round(time.time() - t, 3)
+    t = time.time()
+    pairs = D.minhash_candidate_pairs(
+        D.minhash_band_buckets(sig, 16, 4)
+    ).localCheckpoint()
+    pairs.count()
+    out["minhash_stage_pairs"] = round(time.time() - t, 3)
+    t = time.time()
+    D.jaccard_verify(aug, pairs, shingles_df=sh, threshold=0.5).count()
+    out["minhash_stage_verify"] = round(time.time() - t, 3)
+    return out
+
+
+def _vs_prev(out: dict, prev_path: str) -> dict:
+    """VERDICT r5 #3: per-query verdict against the previous round's
+    committed artifact, decided from PLAN FINGERPRINTS + min/med:
+
+    - ``plan_changed``  — fingerprint differs (regression or rework;
+      read the plan);
+    - ``same_plan_stall`` — same plan, min degraded > 1.3x but the
+      MEDIAN did not (the container-stall signature);
+    - ``regression``    — same plan, min AND med both degraded > 1.3x;
+    - ``same``          — same plan, min within 1.3x.
+    """
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except OSError:
+        return {}
+    verdicts: dict[str, dict] = {}
+    sections = [
+        ("plan_fp", "queries", "queries_med"),
+        ("sf1_plan_fp", "sf1_queries", "sf1_queries_med"),
+        ("sf10_plan_fp", "sf10_queries", "sf10_queries_med"),
+    ]
+    for fp_key, min_key, med_key in sections:
+        new_fp, old_fp = out.get(fp_key, {}), prev.get(fp_key, {})
+        new_min, old_min = out.get(min_key, {}), prev.get(min_key, {})
+        new_med, old_med = out.get(med_key, {}), prev.get(med_key, {})
+        # extras share the headline fingerprint dict
+        if fp_key == "plan_fp":
+            new_min = {**out.get("extra_queries", {}), **new_min}
+            old_min = {**prev.get("extra_queries", {}), **old_min}
+            new_med = {**out.get("extra_queries_med", {}), **new_med}
+            old_med = {**prev.get("extra_queries_med", {}), **old_med}
+        for q in new_fp:
+            if q not in old_fp or q not in old_min or q not in new_min:
+                continue
+            if new_fp[q] != old_fp[q]:
+                v = "plan_changed"
+            else:
+                min_ratio = new_min[q] / max(old_min[q], 1e-9)
+                med_ratio = (
+                    new_med[q] / max(old_med[q], 1e-9)
+                    if q in new_med and q in old_med
+                    else min_ratio
+                )
+                if min_ratio <= 1.3:
+                    v = "same"
+                elif med_ratio > 1.3:
+                    v = "regression"
+                else:
+                    v = "same_plan_stall"
+            verdicts[q] = {
+                "verdict": v,
+                "min_ratio": round(new_min[q] / max(old_min[q], 1e-9), 2),
+            }
+    return verdicts
+
+
 def _leg(leg_name: str) -> dict[str, float] | None:
     """Run a scale leg in a FRESH python/JVM subprocess.
 
@@ -431,12 +544,21 @@ def main() -> None:
             return
         names = SF1_QUERIES if leg == "sf1" else SF10_QUERIES
         spark.read.parquet(f"{d}/documents.parquet").count()  # warm
-        # min of 2: the container shows random multi-second stalls that
-        # strike a different query each session; a single run records
-        # them as 10-20x per-query outliers
+        # min of 2 (sf1) / 3 (sf10 — VERDICT r5 #9): the container shows
+        # random multi-second stalls that strike a different query each
+        # session; a single run records them as 10-20x per-query
+        # outliers, and the expensive sf10 leg is where a bad min
+        # costs a round of signal
         leg_fps: dict[str, str] = {}
-        mins, meds = _run(qs, spark, names, d, runs=2, fps=leg_fps)
-        print(json.dumps({"min": mins, "med": meds, "fp": leg_fps}))
+        runs = 3 if leg == "sf10" else 2
+        mins, meds = _run(qs, spark, names, d, runs=runs, fps=leg_fps)
+        out = {"min": mins, "med": meds, "fp": leg_fps}
+        if leg == "sf10":
+            try:
+                out["stages"] = _dedup_stage_split(spark, d)
+            except Exception as e:  # stage probe must not kill the leg
+                print(f"# stage split failed: {e}", file=sys.stderr)
+        print(json.dumps(out))
         return
 
     spark = get_spark("bench", cpus=cpus)
@@ -484,6 +606,19 @@ def main() -> None:
             out["sf10_queries_med"] = sf10_timings.get("med", {})
             out["sf10_plan_fp"] = sf10_timings.get("fp", {})
             out["sf10_total"] = round(sum(out["sf10_queries"].values()), 3)
+            if sf10_timings.get("stages"):
+                out["sf10_stages"] = sf10_timings["stages"]
+
+    prev_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PREV",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r05.json"
+        ),
+    )
+    vs = _vs_prev(out, prev_path)
+    if vs:
+        out["vs_prev"] = vs
+        out["vs_prev_source"] = os.path.basename(prev_path)
 
     # COMMITTED full artifact (VERDICT r4 #4): the driver's 2,000-byte
     # stdout tail drops the per-query sections, so the complete record
