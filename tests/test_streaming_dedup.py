@@ -511,3 +511,198 @@ def test_streaming_phash_dedup_admits_rejects_replays(spark, tmp_path):
         i for i, _ in all_rows if comps.get(i, i) == i
     )
     assert kept3 == batch_kept
+
+
+def test_chained_streaming_gates_equal_batch_pipeline(spark, tmp_path):
+    """VERDICT r5 #7: the full curation chain — exact → line → substr →
+    minhash → semantic — composed as five streaming gates, each reading
+    the previous gate's standing output as its file-source stream, over
+    TWO waves with cross-wave duplicates at every stage. The final kept
+    corpus must equal the batch operators applied in the same order on
+    the concatenated corpus; a worst-case replay (fresh checkpoint,
+    whole input re-read) at the mid-chain substring gate appends
+    nothing.
+
+    Corpus design notes: the chain order constrains what each later
+    gate can still see — exact dups must be cross-wave (within-batch
+    dropDuplicates keeps an arbitrary row, the batch twin keeps the min
+    id), shared LINES are 5 tokens so they never trip the k=12
+    substring gate, the substring phrase is 12 tokens, and the minhash
+    pair shares only 8-token runs (< k) via a unique token inserted
+    every 8 positions — J = 0.56, surfaced by 8x2 LSH banding (4x4
+    would see it with p≈0.34 only). ccnet_line_norm strips non-letters,
+    so every synthetic token is letters-only (digit-suffixed tokens
+    would alias whole lines together)."""
+    import string
+
+    import numpy as np
+
+    from customkb_spark.operators import curation as CU
+    from customkb_spark.operators import dedup as D
+    from customkb_spark.operators.dedup import content_hash
+
+    K, BANDS = 12, 8
+    LINES = {
+        "A": "alpha bravo charlie delta echo",
+        "B": "foxtrot golf hotel india juliet",
+        "E": "uniform victor whiskey xray yankee",
+        "F": "zulu apple banana cherry date",
+        "G": "elder fig grape honey iris",
+        "H": "jasmine kale lemon mango nectar",
+    }
+    P = "shared run tokens quite long enough to trip the substring gate now"
+    lets = string.ascii_lowercase
+    d2_toks = ["w" + lets[i // 26] + lets[i % 26] for i in range(27)]
+    d2 = "\n".join(" ".join(d2_toks[i : i + 9]) for i in range(0, 27, 9))
+    d13_toks = []
+    for i, t in enumerate(d2_toks):
+        d13_toks.append(t)
+        if (i + 1) % 8 == 0:
+            d13_toks.append("ins" + lets[i % 26])
+    d13 = "\n".join(
+        " ".join(d13_toks[i : i + 10]) for i in range(0, len(d13_toks), 10)
+    )
+    waves = [
+        [
+            (1, LINES["A"] + "\n" + LINES["B"], "2024-01-01 00:00:01"),
+            (2, d2, "2024-01-01 00:00:02"),
+            (3, LINES["A"] + "\n" + LINES["E"], "2024-01-01 00:00:03"),
+            (4, "one two " + P + " three four\n" + LINES["F"], "2024-01-01 00:00:04"),
+        ],
+        [
+            (10, LINES["A"] + "\n" + LINES["B"], "2024-01-01 00:10:01"),  # exact dup of 1
+            (11, LINES["B"] + "\n" + LINES["G"], "2024-01-01 00:10:02"),  # line dup vs 1
+            (12, "five six " + P + " seven eight\n" + LINES["H"], "2024-01-01 00:10:03"),  # substr dup vs 4
+            (13, d13, "2024-01-01 00:10:04"),  # minhash near-dup of 2 (J=0.56)
+            (14, "totally novel closing document with singular vocabulary entries", "2024-01-01 00:10:05"),  # semantic dup of 1
+        ],
+    ]
+
+    # deterministic embeddings: {1,14} tight pair in cell 0 (1 arrives
+    # first AND is the low-centroid-sim member, so greedy first-wins ==
+    # batch low_centroid_sim); everyone else >= 25 degrees apart
+    import math
+
+    def v0(deg):
+        r = math.radians(deg)
+        return [math.cos(r), 0.0, math.sin(r), 0.0]
+
+    def v1(deg):
+        r = math.radians(deg)
+        return [0.0, math.cos(r), 0.0, math.sin(r)]
+
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    emb_rows = [
+        (1, v0(20)), (2, v0(70)), (3, v1(0)), (4, v1(25)),
+        (10, v0(45)), (11, v1(50)), (12, v1(75)), (13, v0(88)),
+        (14, v0(18)),
+    ]
+    emb_static = spark.createDataFrame(emb_rows, "id long, embedding array<double>")
+
+    base = tmp_path / "chain"
+    src = str(base / "src")
+    d1 = str(base / "d1")
+    kept2, kept3, kept4, kept5 = (str(base / f"kept{i}") for i in range(2, 6))
+
+    def run_chain(wave, tag, substr_ckpt=None):
+        _docs(spark, wave).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = (
+            SD.streaming_dedup_exact(
+                spark.readStream.schema(schema).parquet(src), watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", d1)
+            .option("checkpointLocation", str(base / "ck1"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        s2in = spark.readStream.schema(spark.read.parquet(d1).schema).parquet(d1)
+        SD.streaming_line_dedup(s2in, kept2, str(base / "ck2")).awaitTermination(120)
+        s3in = spark.readStream.schema(
+            spark.read.parquet(f"{kept2}/docs").schema
+        ).parquet(f"{kept2}/docs")
+        SD.streaming_substring_dedup(
+            s3in, kept3, substr_ckpt or str(base / "ck3"),
+            text_col="clean_text", k=K,
+        ).awaitTermination(120)
+        s4in = spark.readStream.schema(
+            spark.read.parquet(f"{kept3}/docs").schema
+        ).parquet(f"{kept3}/docs")
+        SD.streaming_minhash_dedup(
+            s4in, kept4, str(base / "ck4"),
+            id_col="doc_id", text_col="clean_text",
+            num_hashes=16, bands=BANDS, shingle_n=3, threshold=0.5,
+        ).awaitTermination(120)
+        s5raw = spark.readStream.schema(
+            spark.read.parquet(f"{kept4}/docs").schema
+        ).parquet(f"{kept4}/docs")
+        s5in = s5raw.join(emb_static, "id").select(
+            F.col("id").alias("vec_id"), "embedding"
+        )
+        SD.streaming_semantic_dedup(
+            s5in, kept5, str(base / "ck5"), cents, threshold=0.95
+        ).awaitTermination(120)
+
+    run_chain(waves[0], "w1")
+    run_chain(waves[1], "w2")
+
+    stream_kept = sorted(r.vec_id for r in spark.read.parquet(kept5).collect())
+    stream_texts = {
+        r.id: r.text for r in spark.read.parquet(f"{kept4}/docs").collect()
+    }
+
+    # worst-case mid-chain replay: fresh substr checkpoint re-reads the
+    # ENTIRE kept2/docs history; every id is finalized, so it must
+    # append nothing (and nothing new flows downstream)
+    before = sorted(
+        (r.doc_id, r.clean_text)
+        for r in spark.read.parquet(f"{kept3}/docs").collect()
+    )
+    s3in = spark.readStream.schema(
+        spark.read.parquet(f"{kept2}/docs").schema
+    ).parquet(f"{kept2}/docs")
+    SD.streaming_substring_dedup(
+        s3in, kept3, str(base / "ck3_replay"), text_col="clean_text", k=K
+    ).awaitTermination(120)
+    after = sorted(
+        (r.doc_id, r.clean_text)
+        for r in spark.read.parquet(f"{kept3}/docs").collect()
+    )
+    assert after == before
+
+    # batch twin: the same five operators in the same order on the
+    # concatenated corpus
+    full = spark.createDataFrame(
+        [(d, t) for w in waves for d, t, _ in w], "doc_id long, text string"
+    )
+    h = full.select("doc_id", "text", content_hash(F.col("text")).alias("h"))
+    first = h.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    s1 = h.join(first, "h").filter("doc_id = keep_id").select("doc_id", "text")
+    s2 = CU.line_dedup(s1).select("doc_id", F.col("clean_text").alias("text"))
+    s3 = D.exact_substring_dedup(s2, k=K).select("doc_id", "text")
+    pairs = D.minhash_lsh_duplicates(s3, "doc_id", "text", 16, BANDS, 3, 0.5)
+    losers = (
+        D.connected_components(pairs)
+        .filter("id != cluster_id")
+        .select(F.col("id").alias("doc_id"))
+    )
+    s4 = s3.join(losers, "doc_id", "left_anti")
+    emb = s4.join(
+        emb_static.withColumnRenamed("id", "doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    marks = D.semdedup_apply(
+        emb, cents, "vec_id", "embedding", threshold=0.95,
+        keep="low_centroid_sim",
+    )
+    batch_kept = sorted(r.id for r in marks.filter("kept").collect())
+    batch_texts = {r.doc_id: r.text for r in s4.collect()}
+
+    assert stream_kept == batch_kept == [1, 2, 3, 4, 11, 12]
+    # the texts the chain shipped match the batch pipeline's rewrites
+    # (doc 3/11 lost a line, doc 12 lost the 12-token phrase)
+    assert {i: stream_texts[i] for i in stream_kept} == {
+        i: batch_texts[i] for i in batch_kept
+    }
