@@ -2866,18 +2866,21 @@ probe AS (
   SELECT c.cluster_id, c.centroid AS cv FROM cent c, q
   ORDER BY list_distance(c.centroid, q.qv), c.cluster_id LIMIT 8),
 lut AS (
-  SELECT p.cluster_id, b.subvector, b.code,
-         list_dot_product(
-           b.bv,
-           list_transform(list_zip({_PQ_SLICE.format(v='q.qv')}, {_PQ_SLICE.format(v='p.cv')}),
-                          s -> s[1] - s[2])) AS contrib
-  FROM probe p CROSS JOIN books b, q),
+  -- IP-metric ADC decomposition q·(c+r) = q·c + Σⱼ q⁽ʲ⁾·rⱼ: the LUT
+  -- takes the RAW query subvector (not q−c, the L2 residual recipe)
+  -- and the per-cell q·c bias rides the probe row (mirrors
+  -- embedding/pq.pq_topk's _bias column)
+  SELECT b.subvector, b.code,
+         list_dot_product(b.bv, {_PQ_SLICE.format(v='q.qv')}) AS contrib
+  FROM books b, q),
+bias AS (
+  SELECT p.cluster_id, list_dot_product(p.cv, q.qv) AS cbias FROM probe p, q),
 adc AS (
-  SELECT c.vec_id AS id, round(sum(l.contrib), 6) AS adc_score
+  SELECT c.vec_id AS id, round(any_value(bs.cbias) + sum(l.contrib), 6) AS adc_score
   FROM codes c
   JOIN assigned a ON a.vec_id = c.vec_id
-  JOIN lut l ON l.cluster_id = a.cluster_id
-            AND l.subvector = c.subvector AND l.code = c.code
+  JOIN bias bs ON bs.cluster_id = a.cluster_id
+  JOIN lut l ON l.subvector = c.subvector AND l.code = c.code
   GROUP BY c.vec_id),
 cand AS (SELECT id FROM adc ORDER BY adc_score DESC, id LIMIT 40)
 SELECT e.vec_id AS id,

@@ -59,6 +59,13 @@ class KBConfig:
     max_centroids: int = 256
     pq_m: int = 8
     pq_nbits: int = 8
+    # exact-refine pool = k × this (FAISS IndexRefineFlat's k_factor).
+    # Measured on planted-cluster corpora (tools/recall_clustered.py,
+    # 100k × 64, 200 clusters): recall@10 at pool 80 = 0.78, 160 =
+    # 0.94, 320 = 1.00 with m=8 codes. A few hundred exact re-scores
+    # per query is noise next to the pruned ADC scan; doubling m
+    # instead would double the CORPUS-side code storage.
+    pq_refine_factor: int = 32
 
     # Spark-scale additions (not in the reference)
     shuffle_partitions: int = 32

@@ -40,6 +40,7 @@ class VectorIndexTier:
     centroids: np.ndarray | None = None
     indexed: DataFrame | None = None  # +cluster_id (ivf) / pq codes (ivfpq)
     pq: PQModel | None = None
+    refine_factor: int = 32  # cfg.pq_refine_factor (see config.py note)
 
     def topk(self, query_vec: list[float], k: int, nprobe: int = 32) -> DataFrame:
         """(id, score) top-k under this tier's search strategy."""
@@ -56,11 +57,18 @@ class VectorIndexTier:
 
             q = np.asarray(query_vec, dtype=np.float64)
             qn = (q / (np.linalg.norm(q) or 1.0)).tolist()
+            # ASK pq_topk for the whole refine pool (k × factor): it
+            # returns exactly its k argument, so limiting ITS k-row
+            # output to k×8 afterwards is a no-op — the r6 bug that
+            # silently collapsed the refine pool to k and capped
+            # clustered recall at raw-ADC@k (locked by
+            # test_auto_tier_clustered_recall_at_scale)
+            pool = k * self.refine_factor
             adc = pq_topk(
-                self.indexed, self.pq, qn, k,
+                self.indexed, self.pq, qn, pool,
                 min(nprobe, len(self.pq.centroids)), "ip", self.id_col,
             )
-            cands = F.broadcast(adc.limit(k * 8).select(F.col("id").alias("_cid")))
+            cands = F.broadcast(adc.select(F.col("id").alias("_cid")))
             exact_src = self.vectors.join(
                 cands, F.col(self.id_col) == F.col("_cid")
             ).drop("_cid")
@@ -141,5 +149,6 @@ def build_vector_index(
             centroids=cents,
             indexed=encode_pq(normed, model, id_col, vec_col).cache(),
             pq=model,
+            refine_factor=cfg.pq_refine_factor,
         )
     return VectorIndexTier("flat", vectors, id_col, vec_col)

@@ -49,17 +49,28 @@ def lloyd_kmeans(
     sample: np.ndarray, k: int, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
     """Plain Lloyd's on an in-memory sample (driver-side, same as FAISS
-    training on a ≤10k sample, embed_manager.py:694-715)."""
+    training on a ≤10k sample, embed_manager.py:694-715).
+
+    Assignment uses the BLAS form ``argmin(|c|² − 2·x·Cᵀ)`` — the
+    per-row |x|² term cannot change the argmin — so the working set is
+    one (n_sample × k) matrix. The naive broadcast subtraction
+    materializes an (n_sample × k × dim) temp, which at the large-tier
+    defaults (10k sample × 512 centroids × 256 dims, float64) is a
+    ~10 GB allocation per iteration; FAISS trains its coarse quantizer
+    with the same matmul shape. Per-cluster means come from one
+    bincount pass instead of a Python loop over k."""
     rng = np.random.default_rng(seed)
     k = min(k, len(sample))
-    centroids = sample[rng.choice(len(sample), k, replace=False)]
+    sample = np.ascontiguousarray(sample, dtype=np.float64)
+    centroids = sample[rng.choice(len(sample), k, replace=False)].copy()
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (sample @ centroids.T)
         assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, sample)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centroids
 
 

@@ -39,6 +39,20 @@ from pyspark.sql import types as T
 from customkb_spark.embedding.index import lloyd_kmeans, nearest_clusters, sample_vectors
 
 
+def _assign_nearest(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Row-wise nearest-center argmin in the BLAS form
+    ``argmin(|c|² − 2·x·Cᵀ)`` (the per-row |x|² term can't change the
+    argmin) — one (n × k) matrix instead of the naive broadcast
+    subtraction's (n × k × dim) temp, which at a 10k-row Arrow batch ×
+    512 centroids × 256 dims is a ~10 GB allocation PER TASK (×32
+    local threads ⇒ memory thrash). First-minimum tiebreak matches
+    index.assign_clusters' array_position semantics."""
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    c = np.ascontiguousarray(centers, dtype=np.float64)
+    d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+    return d2.argmin(axis=1)
+
+
 @dataclass
 class PQModel:
     """Trained codebooks: (m, 2^nbits, dsub). ``centroids`` non-None ⇒
@@ -88,8 +102,7 @@ def train_pq(
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
     if centroids is not None:
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        sample = sample - centroids[d2.argmin(axis=1)]
+        sample = sample - centroids[_assign_nearest(sample, centroids)]
     dsub = dim // m
     ksub = 1 << nbits
     books = np.stack(
@@ -131,15 +144,13 @@ def encode_pq(
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             out = {id_col: ids}
             if cents is not None:
-                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)
+                assign = _assign_nearest(x, cents)
                 out["cluster_id"] = assign.astype(np.int32)
                 x = x - cents[assign]
             codes = np.empty((len(x), m), dtype=np.int16)
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]
-                d2s = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2s.argmin(axis=1).astype(np.int16)
+                codes[:, j] = _assign_nearest(sub, books[j]).astype(np.int16)
             out["pq_code"] = list(codes)
             yield pd.DataFrame(out)
 
@@ -148,7 +159,18 @@ def encode_pq(
 
 def _adc_lut(model: PQModel, query: np.ndarray, metric: str) -> list[list[float]]:
     """(m, ksub) lookup table: distance/similarity contribution of each
-    sub-centroid to the query's matching subvector."""
+    sub-centroid to the query's matching subvector.
+
+    Residual-mode callers must pass the right ``query`` per metric:
+    L2 wants the query RESIDUAL (q − c), since ‖q−(c+r)‖² =
+    ‖(q−c)−r‖² decomposes over subvectors of q−c; IP wants the RAW
+    query, since q·(c+r) = q·c + Σⱼ q⁽ʲ⁾·rⱼ — the q·c term is a
+    per-cell constant added OUTSIDE the LUT (pq_topk's ``_bias``).
+    Building the IP LUT from q−c instead scores (q−c)·r = q·r − c·r:
+    the missing q·c bias breaks ranking ACROSS probed cells and the
+    spurious −c·r term perturbs it within a cell — on clustered
+    corpora (where q·c dominates) recall collapses to ≈0. FAISS's
+    IndexIVFPQ applies the same decomposition for METRIC_INNER_PRODUCT."""
     m, dsub = model.m, model.dsub
     lut = []
     for j in range(m):
@@ -184,27 +206,41 @@ def pq_topk(
     asc = metric != "ip"
     if model.centroids is not None:
         probes = nearest_clusters(query_vec, model.centroids, nprobe)
+        # metric-specific decomposition (see _adc_lut): L2 tables take
+        # the query residual; IP tables take the raw query plus a
+        # per-cell q·c bias column carried on the broadcast LUT row
         luts = [
-            (int(c), _adc_lut(model, q - model.centroids[c], metric)) for c in probes
+            (
+                int(c),
+                _adc_lut(
+                    model,
+                    q if metric == "ip" else q - model.centroids[c],
+                    metric,
+                ),
+                float(q @ model.centroids[c]) if metric == "ip" else 0.0,
+            )
+            for c in probes
         ]
         spark = encoded.sparkSession
         lut_df = F.broadcast(
             spark.createDataFrame(
-                luts, "cluster_id int, _lut array<array<double>>"
+                luts, "cluster_id int, _lut array<array<double>>, _bias double"
             )
         )
         # inner join = the nprobe pruning filter AND the LUT lookup
         scored_src = encoded.join(lut_df, "cluster_id")
         lut_col = F.col("_lut")
+        bias_col = F.col("_bias")
     else:
         lut_col = F.lit(_adc_lut(model, q, metric))
+        bias_col = F.lit(0.0)
         scored_src = encoded
     contrib = F.zip_with(
         F.col("pq_code"),
         lut_col,
         lambda c, row: F.element_at(row, c.cast("int") + 1),
     )
-    score = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    score = F.aggregate(contrib, bias_col, lambda a, x: a + x)
     scored = scored_src.select(
         F.col(id_col).alias("id"), F.round(score, 6).alias("adc_score")
     )

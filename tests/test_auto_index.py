@@ -88,3 +88,43 @@ def test_hybrid_index_uses_tier(spark, embeddings):
     assert index.vindex is not None and index.vindex.kind == "ivf"
     # no cfg → flat fallback, prior behavior
     assert HY.HybridIndex.build(chunks, vecs).vindex is None
+
+def test_auto_tier_clustered_recall_at_scale(spark):
+    """Round-6 task: on a CLUSTERED corpus at auto-tier scale
+    (n ≥ medium_dataset_threshold) the auto policy must engage the
+    IVF-family tier and keep recall@10 ≥ 0.9 at the cfg-default nprobe
+    — the regime BASELINE.md's old 2k-random-vector table never
+    exercised (near-orthogonal vectors are the conservative floor; real
+    embedding corpora cluster, reference docs/vector-db-evaluation.md:46-56).
+
+    Same generator as tools/recall_clustered.py (smaller dim for test
+    wall-clock); queries are FRESH mixture draws, never corpus members."""
+    import numpy as np
+    import pandas as pd
+
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from recall_clustered import make_clustered
+
+    n, dim = 100_000, 64
+    pts, qs = make_clustered(n, dim, n_clusters=200, n_queries=5, seed=7)
+    pdf = pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64), "vector": list(pts)}
+    )
+    emb = spark.createDataFrame(pdf).repartition(16).cache()
+
+    cfg = KBConfig()
+    tier = build_vector_index(emb, cfg, n=n)
+    # ≥100k → the large (IVF-family, PQ-coded) tier, never flat
+    assert tier.kind == "ivfpq"
+    assert len(tier.centroids) == 512  # min(4·√100k, 2×cap) = cap binds
+
+    hits = total = 0
+    for i in range(len(qs)):
+        q = qs[i].tolist()
+        exact = [r["id"] for r in brute_force_topk(emb, q, 10).collect()]
+        got = [r["id"] for r in tier.topk(q, 10, cfg.faiss_nprobe).collect()]
+        hits += len(set(got) & set(exact))
+        total += 10
+    assert hits / total >= 0.9
+    emb.unpersist()

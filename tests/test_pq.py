@@ -86,3 +86,42 @@ def test_pq_training_deterministic(spark, embeddings):
 def test_pq_rejects_bad_m(spark, embeddings):
     with pytest.raises(ValueError, match="must divide"):
         train_pq(embeddings.select("vec_id", "embedding"), "embedding", m=7)
+
+def test_residual_adc_score_is_ip_of_reconstruction(spark, embeddings):
+    """Regression lock for the r6 IP-bias bug: in RESIDUAL (IVFPQ) mode
+    the ADC inner-product score of every scanned row must equal
+    q·(centroid + Σⱼ codewordⱼ) — the IP of the query with the PQ
+    reconstruction. The broken version built the LUT from q − c (the
+    L2 residual recipe), scoring q·r − c·r instead: missing the
+    per-cell q·c bias, recall on clustered corpora collapsed to ≈0
+    while structural tests (self-hit, determinism) still passed."""
+    emb = embeddings.select("vec_id", "embedding").filter("vec_id < 500").cache()
+    cents = train_centroids(emb, "embedding", nlist=8, seed=1)
+    model = train_pq(emb, "embedding", m=8, nbits=4, centroids=cents, seed=1)
+    codes = encode_pq(emb, model, "vec_id", "embedding").cache()
+    q = np.asarray(emb.filter("vec_id = 3").first()["embedding"], dtype=np.float64)
+
+    got = {
+        r["id"]: r["adc_score"]
+        for r in pq_topk(codes, model, q.tolist(), k=500, nprobe=8,
+                         metric="ip", id_col="vec_id").collect()
+    }
+    code_rows = codes.collect()
+    assert len(got) == len(code_rows)  # nprobe=nlist scans everything
+    for r in code_rows:
+        recon = model.centroids[r["cluster_id"]].copy()
+        for j, c in enumerate(r["pq_code"]):
+            recon[j * model.dsub : (j + 1) * model.dsub] += model.codebooks[j][c]
+        assert got[r["vec_id"]] == pytest.approx(float(q @ recon), abs=1e-4)
+
+    # and the L2 path: ADC distance == squared L2 to the reconstruction
+    got_l2 = {
+        r["id"]: r["adc_score"]
+        for r in pq_topk(codes, model, q.tolist(), k=500, nprobe=8,
+                         metric="l2", id_col="vec_id").collect()
+    }
+    for r in code_rows[:50]:
+        recon = model.centroids[r["cluster_id"]].copy()
+        for j, c in enumerate(r["pq_code"]):
+            recon[j * model.dsub : (j + 1) * model.dsub] += model.codebooks[j][c]
+        assert got_l2[r["vec_id"]] == pytest.approx(float(((q - recon) ** 2).sum()), abs=1e-4)
