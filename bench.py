@@ -431,6 +431,11 @@ def _vs_prev(out: dict, prev_path: str) -> dict:
         ("sf10_plan_fp", "sf10_queries", "sf10_queries_med"),
     ]
     for fp_key, min_key, med_key in sections:
+        # the headline/extras leg follows $SPARK_GRAFT_SF_DIR — timings
+        # are only comparable when both artifacts ran the same sf (the
+        # sf1/sf10 legs are pinned by construction)
+        if fp_key == "plan_fp" and out.get("sf") != prev.get("sf"):
+            continue
         new_fp, old_fp = out.get(fp_key, {}), prev.get(fp_key, {})
         new_min, old_min = out.get(min_key, {}), prev.get(min_key, {})
         new_med, old_med = out.get(med_key, {}), prev.get(med_key, {})
