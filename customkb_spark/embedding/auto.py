@@ -126,14 +126,28 @@ def build_vector_index(
     first = vectors.select(vec_col).first()
     dims = len(first[0]) if first else 0
     kind = select_index_kind(n, dims, cfg)
+
+    def _train_sample(nlist: int) -> int:
+        # FAISS guideline: ≥39 training points per centroid. A fixed
+        # 10k sample undertrains at the large-tier nlist (20/centroid
+        # at nlist 512); the measured effect is cell quality — on the
+        # clustered 100k×256 benchmark the 39×nlist sample reaches
+        # recall 1.0 probing 1.3% of the corpus vs 10.6% for the 10k
+        # sample at the same recall (BASELINE.md clustered table).
+        return max(10_000, 39 * nlist)
+
     if kind == "ivf":
-        cents = train_centroids(vectors, vec_col, _n_centroids(n, cfg, False))
+        nlist = _n_centroids(n, cfg, False)
+        cents = train_centroids(
+            vectors, vec_col, nlist, sample_size=_train_sample(nlist)
+        )
         return VectorIndexTier(
             "ivf", vectors, id_col, vec_col,
             centroids=cents,
             indexed=assign_clusters(vectors, cents, vec_col).cache(),
         )
     if kind == "ivfpq":
+        from customkb_spark.embedding.index import sample_vectors
         from customkb_spark.functions.vector import l2_normalize
         from pyspark.sql import functions as F
 
@@ -142,8 +156,14 @@ def build_vector_index(
         normed = vectors.select(
             F.col(id_col), l2_normalize(F.col(vec_col)).alias(vec_col)
         )
-        cents = train_centroids(normed, vec_col, _n_centroids(n, cfg, True))
-        model = train_pq(normed, vec_col, _pq_m(dims, cfg), cfg.pq_nbits, centroids=cents)
+        nlist = _n_centroids(n, cfg, True)
+        # one driver-side collect feeds both trainers
+        sample = sample_vectors(normed, vec_col, _train_sample(nlist), 42)
+        cents = train_centroids(normed, vec_col, nlist, sample=sample)
+        model = train_pq(
+            normed, vec_col, _pq_m(dims, cfg), cfg.pq_nbits,
+            centroids=cents, sample=sample,
+        )
         return VectorIndexTier(
             "ivfpq", vectors, id_col, vec_col,
             centroids=cents,
