@@ -502,6 +502,28 @@ def cmd_curate(args) -> int:
             id_col,
             "left",
         ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    if getattr(args, "semantic_benchmark", None):
+        # third decontamination tier: embedding cosine catches benchmark
+        # items that leaked in REWORDED — n-gram overlap (exact or
+        # Bloom) can't see paraphrases. Both sides are embeddings
+        # parquets keyed by the report's id column.
+        demb = spark.read.parquet(args.embeddings)
+        bemb = spark.read.parquet(args.semantic_benchmark)
+        sem = CU.decontaminate_semantic(
+            demb, bemb, threshold=args.semantic_threshold, id_col=id_col
+        )
+        report = report.join(
+            sem.select(
+                id_col,
+                F.col("best_sim").alias("bench_best_sim"),
+                F.col("contaminated").alias("semantic_contaminated"),
+            ),
+            id_col,
+            "left",
+        ).withColumn(
+            "semantic_contaminated",
+            F.coalesce("semantic_contaminated", F.lit(False)),
+        )
     if args.surprisal:
         # both LM rungs: corpus unigram + hashed Stupid-Backoff bigram.
         # left join: empty/token-less docs emit no surprisal row but
@@ -1003,6 +1025,24 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="decontaminate via the Bloom tier (fixed-size bitmap "
         "broadcast; no false negatives) instead of exact n-gram strings",
+    )
+    c.add_argument(
+        "--semantic-benchmark",
+        default=None,
+        help="benchmark EMBEDDINGS parquet (id col matching --id-col + "
+        "'embedding'): adds the embedding-cosine decontamination tier "
+        "that catches paraphrased benchmark leakage; requires --embeddings",
+    )
+    c.add_argument(
+        "--embeddings",
+        default=None,
+        help="corpus embeddings parquet for --semantic-benchmark",
+    )
+    c.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=0.9,
+        help="cosine threshold for semantic contamination (default 0.9)",
     )
     c.add_argument(
         "--gopher-full",

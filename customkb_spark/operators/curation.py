@@ -408,6 +408,89 @@ def decontaminate_bloom(
     )
 
 
+def decontaminate_semantic(
+    doc_embeddings: DataFrame,
+    bench_embeddings: DataFrame,
+    centroids=None,
+    nlist: int = 64,
+    nprobe: int = 4,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine train-test decontamination — the paraphrase
+    blind spot of :func:`decontaminate`/:func:`decontaminate_bloom`:
+    n-gram overlap misses benchmark items that leaked into the corpus
+    reworded (the published contamination studies' motivating case),
+    while high-similarity embeddings catch them.
+
+    Returns one row per corpus document:
+    ``id_col, best_bench_id, best_sim (max cosine vs any benchmark
+    item, NULL/0-free via left join), contaminated (bool)``.
+
+    Plan (the SemDeDup cell-scoping shape, dedup.semantic_duplicates):
+    k-means cells bound the comparison — never corpus × benchmark. The
+    CORPUS side is assigned to exactly ONE cell (one map-side argmin,
+    no shuffle); the BENCHMARK side — bounded, like the n-gram path's
+    broadcast — is expanded to its ``nprobe`` nearest cells
+    (index._probe_clusters_udf), so boundary-straddling paraphrases
+    are still compared without ever multi-assigning the big side.
+    The expanded bench table (|bench| × nprobe rows) broadcasts; the
+    per-doc max is a partial aggregation keyed by document id. At
+    100 TB: corpus scan + broadcast hash join + partial agg — zero
+    corpus shuffles beyond the doc-keyed max.
+
+    Pass frozen ``centroids`` to reuse a standing index (the
+    incremental discipline of semdedup_incremental); otherwise they are
+    trained here from a driver-side sample of the corpus.
+    """
+    from customkb_spark.embedding.index import (
+        _probe_clusters_udf,
+        assign_clusters,
+        train_centroids,
+    )
+    from customkb_spark.functions import vector as V
+
+    bench_id_col = bench_id_col or id_col
+    if centroids is None:
+        centroids = train_centroids(doc_embeddings, vec_col, nlist)
+    docs_a = assign_clusters(doc_embeddings, centroids, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster_id")
+    )
+    bench_a = bench_embeddings.select(
+        F.col(bench_id_col).alias("_bench_id"),
+        F.col(vec_col).alias("_bench_vec"),
+        F.explode(
+            _probe_clusters_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("cluster_id"),
+    )
+    sim = F.round(V.cosine(F.col(vec_col), F.col("_bench_vec")), 6)
+    # deterministic argmax: struct max orders by (sim, bench_id), so a
+    # sim tie resolves to the LARGEST bench id on every engine
+    best = (
+        docs_a.join(F.broadcast(bench_a), "cluster_id")
+        .select(F.col(id_col), F.col("_bench_id"), sim.alias("_sim"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct("_sim", "_bench_id")).alias("_best"))
+        .select(
+            id_col,
+            F.col("_best._bench_id").alias("best_bench_id"),
+            F.col("_best._sim").alias("best_sim"),
+        )
+    )
+    return (
+        doc_embeddings.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "best_bench_id",
+            F.coalesce("best_sim", F.lit(-1.0)).alias("best_sim"),
+            (F.coalesce("best_sim", F.lit(-1.0)) >= threshold).alias("contaminated"),
+        )
+    )
+
+
 # ------------------------------------------------------- PII redaction
 
 # Patterns are kept in the common subset of Java regex (Spark) and RE2

@@ -648,3 +648,43 @@ def test_cli_mix_budgets(spark, tmp_path, capsys):
         if s in got:
             assert got[s]["tokens"] <= lim
     assert cli.main(["mix", docs, "--budgets", "bad"]) == 2
+
+
+def test_cli_curate_semantic_decontamination(spark, tmp_path, capsys):
+    """--semantic-benchmark adds the embedding-cosine tier: corpus
+    embeddings vs benchmark embeddings, flag column + best-sim column.
+    Benchmark = a slice of the corpus embeddings re-keyed, so those
+    exact rows must flag at threshold ~1."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").limit(50).collect()]
+    vecs = rng.normal(size=(len(ids), 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb_path = str(tmp_path / "emb")
+    bench_path = str(tmp_path / "bench_emb")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "embedding": list(vecs)})
+    ).write.parquet(emb_path)
+    # benchmark = first 5 corpus vectors (re-keyed): exact leaks
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(5)), "embedding": list(vecs[:5])})
+    ).write.parquet(bench_path)
+
+    out = str(tmp_path / "report")
+    rc = cli.main([
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--embeddings", emb_path,
+        "--semantic-benchmark", bench_path,
+        "--semantic-threshold", "0.99",
+    ])
+    assert rc == 0
+    rep = spark.read.parquet(out)
+    assert {"semantic_contaminated", "bench_best_sim"} <= set(rep.columns)
+    flagged = {r["doc_id"] for r in rep.filter("semantic_contaminated").collect()}
+    assert set(ids[:5]) <= flagged
+    # docs without an embedding row default to clean, not NULL
+    assert rep.filter("semantic_contaminated IS NULL").count() == 0

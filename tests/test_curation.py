@@ -1055,3 +1055,69 @@ def test_corpus_zipf_fit_recovers_planted_slope(spark):
     assert out.r2 > 0.999
     # intercept ~= ln(1000)
     assert abs(out.intercept - math.log(1000)) < 0.05
+
+
+# ------------------------------------------- semantic decontamination
+
+
+def _planted_embeddings():
+    """(corpus rows, bench rows, contaminated ids): 3 benchmark vectors;
+    corpus = 2 exact copies, 2 paraphrases (tiny angular noise), and
+    clean docs near other random directions."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    bench = rng.normal(size=(3, 32))
+    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    rows, dirty = [], set()
+    vid = 0
+    for b in range(3):
+        for kind in ("copy", "para"):
+            v = bench[b] + (0.0 if kind == "copy" else 0.05) * rng.normal(size=32)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            dirty.add(vid)
+            vid += 1
+    for _ in range(40):
+        v = rng.normal(size=32)
+        rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+        vid += 1
+    return rows, [(i, bench[i].tolist()) for i in range(3)], dirty
+
+
+def test_decontaminate_semantic_catches_paraphrases(spark):
+    rows, bench, dirty = _planted_embeddings()
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    out = C.decontaminate_semantic(
+        docs, bdf, nlist=8, nprobe=3, threshold=0.95
+    ).collect()
+    assert len(out) == len(rows)  # clean docs preserved via left join
+    flagged = {r["vec_id"] for r in out if r["contaminated"]}
+    assert flagged == dirty  # copies AND paraphrases, nothing else
+    # exact copies report sim 1.0 against their own bench item
+    for r in out:
+        if r["vec_id"] in (0, 2, 4):  # the copy rows (even ids < 6)
+            assert r["best_sim"] == pytest.approx(1.0, abs=1e-6)
+            assert r["best_bench_id"] == r["vec_id"] // 2
+
+
+def test_decontaminate_semantic_equals_bruteforce_at_full_probe(spark):
+    """With nprobe = nlist (every cell probed) the cell scoping is
+    exhaustive: flags must equal the brute-force cosine verdicts —
+    locks the cell-scoped join against dropping boundary pairs."""
+    import numpy as np
+
+    rows, bench, _ = _planted_embeddings()
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    thr = 0.8
+    out = {
+        r["vec_id"]: r["contaminated"]
+        for r in C.decontaminate_semantic(
+            docs, bdf, nlist=4, nprobe=4, threshold=thr
+        ).collect()
+    }
+    B = np.array([b for _, b in bench])
+    for vid, v in rows:
+        truth = bool((B @ np.array(v)).max() >= thr)
+        assert out[vid] == truth, vid
