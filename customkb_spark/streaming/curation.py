@@ -41,6 +41,10 @@ def curate_stream(
     quality_model=None,
     citations: bool = False,
     web_clean: bool = False,
+    semantic_bench=None,
+    semantic_bench_ids=None,
+    semantic_threshold: float = 0.9,
+    embedding_col: str = "embedding",
 ) -> DataFrame:
     """The stateless curation gate over a (streaming or batch) frame:
 
@@ -138,11 +142,72 @@ def curate_stream(
 
         for name, col in citation_columns(text_col).items():
             out = out.withColumn(name, col)
+    if semantic_bench is not None:
+        # semantic decontamination rides the stateless gate as one
+        # Arrow-batched matmul against the BROADCAST benchmark matrix:
+        # rows must carry ``embedding_col``. The batch operator
+        # (curation.decontaminate_semantic) cell-scopes because it
+        # amortizes a standing corpus; a stream row is seen once, and
+        # the bench side is bounded by construction (same argument as
+        # the n-gram literal array above), so the exact row × bench
+        # product is the cheaper AND recall-lossless shape here.
+        sem_cols = _semantic_bench_columns(
+            out.sparkSession, semantic_bench, semantic_bench_ids, embedding_col
+        )
+        out = (
+            out.withColumn("_sem", sem_cols)
+            .withColumn("bench_best_sim", F.col("_sem.sim"))
+            .withColumn("best_bench_id", F.col("_sem.bid"))
+            .withColumn(
+                "semantic_contaminated",
+                F.col("_sem.sim") >= F.lit(semantic_threshold),
+            )
+            .drop("_sem")
+        )
     if language is not None:
         out = out.filter(F.col("language") == language)
     if min_quality > 0.0:
         out = out.filter(F.col("quality") >= min_quality)
     return out.drop("_toks")
+
+
+def _semantic_bench_columns(spark, bench, bench_ids, embedding_col: str):
+    """Struct column ``(sim, bid)``: max cosine of the row's embedding
+    against the benchmark matrix, plus the argmax bench id — one
+    ``(batch × |bench|)`` numpy matmul per Arrow batch. The L2-normed
+    bench matrix ships as a Spark broadcast (fetched once per
+    executor); ties resolve to the LARGEST bench id, matching the
+    batch operator's struct-max convention."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.ascontiguousarray(np.asarray(bench, dtype=np.float64))
+    B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+    ids = np.asarray(
+        bench_ids if bench_ids is not None else np.arange(len(B)), dtype=np.int64
+    )
+    # pre-sort by id so that among equal sims argmax picks the largest
+    # id via the reversed scan below
+    order = np.argsort(ids)
+    B, ids = B[order], ids[order]
+    bc = spark.sparkContext.broadcast((B, ids))
+
+    @pandas_udf("struct<sim: double, bid: long>")
+    def _sem(vs):
+        Bm, bi = bc.value
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if not len(X):
+            return pd.DataFrame({"sim": [], "bid": []})
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = np.round(X @ Bm.T, 6)
+        # reversed argmax = last (largest-id) maximum
+        j = (S.shape[1] - 1) - np.argmax(S[:, ::-1], axis=1)
+        return pd.DataFrame(
+            {"sim": S[np.arange(len(X)), j], "bid": bi[j]}
+        )
+
+    return _sem(F.col(embedding_col))
 
 
 def _bloom_any_hit(spark, bloom, toks_col: str, n: int):

@@ -280,3 +280,64 @@ def test_streaming_token_budget_never_exceeds(spark, tmp_path):
     # 5 tokens per doc, budget 23 -> exactly 4 docs (20 tokens)
     assert len(out) == 4
     assert max(r.cum_tokens for r in out) == 20
+
+
+def test_streaming_semantic_decontamination_gate(spark, tmp_path):
+    """The semantic tier rides the stateless gate: rows carrying an
+    embedding column get bench_best_sim / best_bench_id /
+    semantic_contaminated from one broadcast matmul, and the streaming
+    verdicts equal the batch operator's cell-scoped ones at full probe
+    (both are exact)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    bench = rng.normal(size=(4, 16))
+    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    vecs = []
+    for i, (doc_id, _) in enumerate(ROWS):
+        if i < 2:  # two planted leaks: bench item i plus tiny noise
+            v = bench[i] + 0.03 * rng.normal(size=16)
+        else:
+            v = rng.normal(size=16)
+        vecs.append((v / np.linalg.norm(v)).tolist())
+
+    src = str(tmp_path / "sem_src")
+    pdf = pd.DataFrame(
+        {"doc_id": [r[0] for r in ROWS], "text": [r[1] for r in ROWS],
+         "embedding": vecs}
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        curate_stream(
+            stream, semantic_bench=bench.tolist(),
+            semantic_bench_ids=[10, 11, 12, 13], semantic_threshold=0.95,
+        )
+        .writeStream.format("memory").queryName("sem_gate")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["semantic_contaminated"], r["best_bench_id"],
+                      round(r["bench_best_sim"], 6))
+        for r in spark.sql("SELECT * FROM sem_gate").collect()
+    }
+    assert got[1][:2] == (True, 10) and got[2][:2] == (True, 11)
+    assert all(not got[d][0] for d in (3, 4, 5))
+    # streaming verdicts == batch operator at full probe (both exact)
+    emb_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in ROWS], "embedding": vecs})
+    )
+    bench_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12, 13], "embedding": list(bench)})
+    )
+    batch = {
+        r["doc_id"]: (r["contaminated"], r["best_bench_id"],
+                      round(r["best_sim"], 6))
+        for r in CU.decontaminate_semantic(
+            emb_df, bench_df, nlist=2, nprobe=2, threshold=0.95,
+            id_col="doc_id",
+        ).collect()
+    }
+    assert got == batch
