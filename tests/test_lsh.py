@@ -49,3 +49,28 @@ def test_multiprobe_hamming_generates_all_combinations(spark):
     assert L.multiprobe_buckets("1010", 0) == {"1010"}
     # capped at nbits: full flip enumerates the whole 2^4 keyspace
     assert len(L.multiprobe_buckets("1010", 99)) == 16
+
+
+def test_lsh_search_reuses_prebucketed_table(spark, embeddings, tmp_path):
+    """lsh_search on a table already carrying lsh_bucket (the persisted
+    index shape) must return exactly the inline-assignment results —
+    and must NOT re-derive the sign expressions (locked via a plan
+    check on a PERSISTED index: no sign-chain CASE WHEN, and the
+    bucket filter is PUSHED to the parquet scan)."""
+    from customkb_spark.embedding import lsh as L
+
+    dim = len(embeddings.select("embedding").first()[0])
+    planes = L.random_hyperplanes(dim, 12, 7)
+    q = [float(x) for x in embeddings.filter("vec_id = 9").first()["embedding"]]
+    inline = [
+        (r["id"], round(r["score"], 9))
+        for r in L.lsh_search(embeddings, q, planes, k=10, multiprobe_hamming=1).collect()
+    ]
+    idx_path = str(tmp_path / "lsh_index")
+    L.assign_lsh_buckets(embeddings, planes, "embedding").write.parquet(idx_path)
+    bucketed = spark.read.parquet(idx_path)
+    pre = L.lsh_search(bucketed, q, planes, k=10, multiprobe_hamming=1)
+    assert [(r["id"], round(r["score"], 9)) for r in pre.collect()] == inline
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" not in plan  # stored buckets, not re-derived
+    assert "PushedFilters: [In(lsh_bucket" in plan  # probe filter reaches the scan
