@@ -231,6 +231,31 @@ def _ann_build_search(spark, sf_dir: str) -> dict[str, float]:
         best = min(best, time.time() - t0)
     out["ann_ivf_search"] = round(best, 3)
 
+    # batch retrieval throughput (r6): the whole 64-query set through
+    # ivf_search_batch in ONE job round — the scale path for scoring
+    # query workloads (vs the per-query driver loop above). Reported as
+    # seconds for the batch; divide by 64 for the amortized per-query.
+    from pyspark.sql import functions as F
+
+    from customkb_spark.embedding.index import ivf_search_batch
+
+    qset = (
+        emb.filter(F.col("vec_id") < 64)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .cache()
+    )
+    qset.count()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        ivf_search_batch(
+            indexed, cents, qset, k=10, nprobe=4,
+            id_col="vec_id", vec_col="embedding",
+        ).count()
+        best = min(best, time.time() - t0)
+    out["ann_ivf_search_batch64"] = round(best, 3)
+    qset.unpersist()
+
     t0 = time.time()
     pq = train_pq(emb, "embedding", m=8, nbits=6, centroids=cents)
     codes = encode_pq(emb, pq, "vec_id", "embedding").cache()
@@ -265,6 +290,25 @@ def _ann_build_search(spark, sf_dir: str) -> dict[str, float]:
         D.semantic_duplicates(emb, sd_cents, "vec_id", "embedding", threshold=0.35).count()
         best = min(best, time.time() - t0)
     out["semdedup_pairs"] = round(best, 3)
+
+    # semantic decontamination (r6): corpus embeddings vs a 1/41 bench
+    # slice, reusing the semdedup centroids — the steady-state cost is
+    # the broadcast cell-join + per-doc max, same frozen-artifact
+    # discipline as the legs above
+    from customkb_spark.operators import curation as CUR
+
+    bench_slice = emb.filter(F.col("vec_id") % 41 == 0).cache()
+    bench_slice.count()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        CUR.decontaminate_semantic(
+            emb, bench_slice, centroids=sd_cents, nprobe=4,
+            threshold=0.95, id_col="vec_id",
+        ).count()
+        best = min(best, time.time() - t0)
+    out["semantic_decontaminate"] = round(best, 3)
+    bench_slice.unpersist()
 
     # learned quality classifier: same build/score split (training is
     # LBFGS — conflating it with scoring would repeat the ann_pq_topk
