@@ -603,6 +603,12 @@ def cmd_curate(args) -> int:
     ]
     if args.benchmark:
         agg.append(F.sum(F.col("contaminated").cast("long")).alias("contaminated_docs"))
+    if getattr(args, "semantic_benchmark", None):
+        agg.append(
+            F.sum(F.col("semantic_contaminated").cast("long")).alias(
+                "semantic_contaminated_docs"
+            )
+        )
     if args.surprisal:
         agg.append(F.round(F.avg("mean_surprisal"), 4).alias("avg_unigram_surprisal"))
         agg.append(F.round(F.avg("bigram_surprisal"), 4).alias("avg_bigram_surprisal"))

@@ -682,6 +682,10 @@ def test_cli_curate_semantic_decontamination(spark, tmp_path, capsys):
         "--semantic-threshold", "0.99",
     ])
     assert rc == 0
+    import json as _json
+
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["semantic_contaminated_docs"] >= 5
     rep = spark.read.parquet(out)
     assert {"semantic_contaminated", "bench_best_sim"} <= set(rep.columns)
     flagged = {r["doc_id"] for r in rep.filter("semantic_contaminated").collect()}
