@@ -469,12 +469,15 @@ def _vs_prev(out: dict, prev_path: str) -> dict:
     except OSError:
         return {}
     verdicts: dict[str, dict] = {}
+    # verdict keys are SECTION-QUALIFIED ("sf1:q") for the scale legs:
+    # the same query name appears in headline + sf1 + sf10, and a flat
+    # dict silently overwrote the headline verdict with the sf10 one
     sections = [
-        ("plan_fp", "queries", "queries_med"),
-        ("sf1_plan_fp", "sf1_queries", "sf1_queries_med"),
-        ("sf10_plan_fp", "sf10_queries", "sf10_queries_med"),
+        ("plan_fp", "queries", "queries_med", ""),
+        ("sf1_plan_fp", "sf1_queries", "sf1_queries_med", "sf1:"),
+        ("sf10_plan_fp", "sf10_queries", "sf10_queries_med", "sf10:"),
     ]
-    for fp_key, min_key, med_key in sections:
+    for fp_key, min_key, med_key, prefix in sections:
         # the headline/extras leg follows $SPARK_GRAFT_SF_DIR — timings
         # are only comparable when both artifacts ran the same sf (the
         # sf1/sf10 legs are pinned by construction)
@@ -507,7 +510,7 @@ def _vs_prev(out: dict, prev_path: str) -> dict:
                     v = "regression"
                 else:
                     v = "same_plan_stall"
-            verdicts[q] = {
+            verdicts[prefix + q] = {
                 "verdict": v,
                 "min_ratio": round(new_min[q] / max(old_min[q], 1e-9), 2),
             }
