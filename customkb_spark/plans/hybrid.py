@@ -222,9 +222,52 @@ def hybrid_search_batch(
     qvecs = embed_texts(
         queries, "qid", "query_text", cfg.vector_model, cfg.vector_dimensions
     ).select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
-    vec_hits = knn_join(
-        qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector"
-    ).select("qid", "id", "score")
+    vindex = index.vindex
+    if (
+        vindex is not None
+        and getattr(vindex, "kind", "flat") in ("ivf", "ivfpq")
+        and getattr(vindex, "indexed", None) is not None
+    ):
+        # honor the built index tier, like the single-query path does
+        # (vindex.topk above): batch retrieval probes the same nprobe
+        # cells per query through ivf_search_batch — the corpus is
+        # never scanned in full. IVF: identical results to the single
+        # path (same nearest_clusters probes, exact scoring within).
+        # IVFPQ: the probed cells come from the PQ coarse quantizer and
+        # scoring is EXACT against the raw vectors semi-joined through
+        # the code table's cluster_id — same candidate cells as the
+        # single path's ADC, but without ADC's within-cell ranking
+        # noise (recall ≥ the single path's ADC+refine; a batch ADC
+        # would save the raw-vector reads at the cost of that noise).
+        from customkb_spark.embedding.index import ivf_search_batch
+
+        if vindex.kind == "ivf":
+            src, probe_q = vindex.indexed, qvecs
+        else:
+            from customkb_spark.functions.vector import l2_normalize
+
+            src = vindex.vectors.join(
+                vindex.indexed.select(vindex.id_col, "cluster_id"), vindex.id_col
+            )
+            # PQ centroids live in L2-normalized space — probe with the
+            # normalized query (cosine scoring is norm-invariant, so
+            # scores still equal raw-query cosine)
+            probe_q = qvecs.select(
+                "qid", l2_normalize(F.col("qvec")).alias("qvec")
+            )
+        vec_hits = ivf_search_batch(
+            src,
+            vindex.centroids,
+            probe_q,
+            k=cfg.query_top_k,
+            nprobe=min(cfg.faiss_nprobe, len(vindex.centroids)),
+            id_col=vindex.id_col,
+            vec_col=vindex.vec_col,
+        ).select("qid", "id", "score")
+    else:
+        vec_hits = knn_join(
+            qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector"
+        ).select("qid", "id", "score")
 
     # same tokenizer as the postings index (text.bm25_token_set);
     # explode_outer avoids the inferred not-empty filter re-evaluating

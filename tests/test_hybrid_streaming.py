@@ -151,3 +151,65 @@ def test_batch_drops_invalid_query_rows(spark, documents):
     )
     got = {r["qid"] for r in HY.hybrid_search_batch(idx, queries, cfg).collect()}
     assert got == {0}
+
+
+def test_batch_retrieval_honors_ivf_tier(spark, documents):
+    """r6: hybrid_search_batch must use the built index tier like the
+    single-query path does — IVF tier: identical hits AND scores to
+    single-query retrieval (same nearest_clusters probes, exact cosine
+    within); and the corpus-scan twin (knn_join) must NOT appear in the
+    plan (the probe join on cluster_id must)."""
+    chunks = documents_to_chunks(documents, chunk_size=200).cache()
+    vectors = embed_texts(chunks, "id", "embedtext")
+    cfg = KBConfig(query_top_k=5, ann_index="ivf", vector_dimensions=64)
+    idx = HY.HybridIndex.build(chunks, vectors, cfg=cfg)
+    assert idx.vindex is not None and idx.vindex.kind == "ivf"
+    texts = ["spark data query table", "window sort merge"]
+    queries = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["qid", "query_text"]
+    )
+    batch = HY.hybrid_search_batch(idx, queries, cfg)
+    plan = batch._jdf.queryExecution().optimizedPlan().toString()
+    assert "cluster_id" in plan  # pruned probe join, not a full scan
+    rows = batch.collect()
+    for qid, text in enumerate(texts):
+        single = {
+            (r["id"], r["score"])
+            for r in HY.hybrid_search(idx, text, cfg=cfg).collect()
+        }
+        got = {(r["id"], r["score"]) for r in rows if r["qid"] == qid}
+        assert got == single
+
+
+def test_batch_retrieval_ivfpq_full_probe_equals_exact(spark, documents):
+    """IVFPQ tier in batch = pruned-EXACT within the probed cells (no
+    ADC ranking noise). With nprobe covering every cell the result must
+    equal brute-force knn over the whole corpus."""
+    from customkb_spark.operators.topk import knn_join
+
+    chunks = documents_to_chunks(documents, chunk_size=200).cache()
+    vectors = embed_texts(chunks, "id", "embedtext")
+    cfg = KBConfig(
+        query_top_k=5, ann_index="ivfpq", vector_dimensions=64,
+        faiss_nprobe=10_000,  # > nlist → every cell probed
+    )
+    idx = HY.HybridIndex.build(chunks, vectors, cfg=cfg)
+    assert idx.vindex is not None and idx.vindex.kind == "ivfpq"
+    queries = spark.createDataFrame(
+        [(0, "spark data query table")], ["qid", "query_text"]
+    )
+    got = {
+        (r["id"], r["score"])
+        for r in HY.hybrid_search_batch(
+            idx, queries, KBConfig(query_top_k=5, enable_hybrid_search=False,
+                                   faiss_nprobe=10_000)
+        ).collect()
+    }
+    qv = embed_texts(queries, "qid", "query_text").select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    exact = {
+        (r["id"], r["score"])
+        for r in knn_join(qv, idx.vectors, 5, "qid", "qvec", "id", "vector").collect()
+    }
+    assert got == exact
