@@ -51,8 +51,15 @@ def save_centroids(spark: SparkSession, centroids: np.ndarray, path: str) -> Non
 
 
 def load_centroids(spark: SparkSession, path: str) -> np.ndarray:
-    rows = spark.read.parquet(path).orderBy("cluster_id").collect()
-    return np.array([r.centroid for r in rows], dtype=np.float64)
+    # Arrow toPandas, not collect(): boxing an array<double> column
+    # element-by-element through py4j is ~50× slower (index.
+    # sample_vectors' measured 57 s); at the FAISS-scale tiers this
+    # loader exists for (nlist 16k × dim 1024 = 16M doubles) the boxed
+    # path takes minutes
+    pdf = spark.read.parquet(path).orderBy("cluster_id").toPandas()
+    if not len(pdf):
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack([np.asarray(c, dtype=np.float64) for c in pdf["centroid"].values])
 
 
 def save_pq(spark: SparkSession, model: PQModel, path: str) -> None:
@@ -72,15 +79,16 @@ def save_pq(spark: SparkSession, model: PQModel, path: str) -> None:
 
 
 def load_pq(spark: SparkSession, path: str) -> PQModel:
-    rows = (
-        spark.read.parquet(f"{path}/codebooks").orderBy("subvector", "code").collect()
+    # Arrow transfer (see load_centroids): m × 2^nbits codebook rows
+    pdf = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("subvector", "code").toPandas()
     )
-    m = max(r.subvector for r in rows) + 1
-    ksub = max(r.code for r in rows) + 1
-    dsub = len(rows[0].centroid)
+    m = int(pdf["subvector"].max()) + 1
+    ksub = int(pdf["code"].max()) + 1
+    dsub = len(pdf["centroid"].iloc[0])
     books = np.zeros((m, ksub, dsub), dtype=np.float64)
-    for r in rows:
-        books[r.subvector, r.code] = r.centroid
+    for j, c, cent in zip(pdf["subvector"], pdf["code"], pdf["centroid"]):
+        books[int(j), int(c)] = np.asarray(cent, dtype=np.float64)
     cents = None
     try:
         cents = load_centroids(spark, f"{path}/ivf_centroids")
