@@ -41,9 +41,24 @@ class VectorIndexTier:
     indexed: DataFrame | None = None  # +cluster_id (ivf) / pq codes (ivfpq)
     pq: PQModel | None = None
     refine_factor: int = 32  # cfg.pq_refine_factor (see config.py note)
+    sq: object | None = None  # SQModel (ivfsq tier, embedding/sq.py)
 
     def topk(self, query_vec: list[float], k: int, nprobe: int = 32) -> DataFrame:
         """(id, score) top-k under this tier's search strategy."""
+        if self.kind == "ivfsq":
+            # SQ8 scores the dequantized vector exactly — no refine
+            # pass (the tier's point vs ivfpq); codes were built on
+            # L2-normalized vectors so IP ≡ cosine
+            from pyspark.sql import functions as F
+
+            from customkb_spark.embedding.sq import sq_topk
+
+            q = np.asarray(query_vec, dtype=np.float64)
+            qn = (q / (np.linalg.norm(q) or 1.0)).tolist()
+            return sq_topk(
+                self.indexed, self.sq, qn, k,
+                min(nprobe, len(self.centroids)), "ip", self.id_col,
+            ).select("id", F.col("sq_score").alias("score"))
         if self.kind == "ivf":
             return ivf_search(
                 self.indexed, self.centroids, query_vec, k,
@@ -145,6 +160,29 @@ def build_vector_index(
             "ivf", vectors, id_col, vec_col,
             centroids=cents,
             indexed=assign_clusters(vectors, cents, vec_col).cache(),
+        )
+    if kind == "ivfsq":
+        # opt-in tier (cfg.ann_index="ivfsq", never auto — the auto
+        # policy mirrors the reference's Flat/IVF/IVFPQ ladder): SQ8
+        # codes at dim bytes/vector, exact dequantized scoring, no
+        # refine scan. FAISS IndexIVFScalarQuantizer's slot.
+        from customkb_spark.embedding.index import sample_vectors
+        from customkb_spark.embedding.sq import encode_sq, train_sq
+        from customkb_spark.functions.vector import l2_normalize
+        from pyspark.sql import functions as F
+
+        normed = vectors.select(
+            F.col(id_col), l2_normalize(F.col(vec_col)).alias(vec_col)
+        )
+        nlist = _n_centroids(n, cfg, False)
+        sample = sample_vectors(normed, vec_col, _train_sample(nlist), 42)
+        cents = train_centroids(normed, vec_col, nlist, sample=sample)
+        model = train_sq(normed, vec_col, centroids=cents, sample=sample)
+        return VectorIndexTier(
+            "ivfsq", vectors, id_col, vec_col,
+            centroids=cents,
+            indexed=encode_sq(normed, model, id_col, vec_col).cache(),
+            sq=model,
         )
     if kind == "ivfpq":
         from customkb_spark.embedding.index import sample_vectors

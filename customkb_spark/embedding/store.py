@@ -78,6 +78,30 @@ def save_pq(spark: SparkSession, model: PQModel, path: str) -> None:
         save_centroids(spark, model.centroids, f"{path}/ivf_centroids")
 
 
+def save_sq(spark: SparkSession, model, path: str) -> None:
+    """SQ8 grid: one row (vmin, scale, nbits) — the whole model is
+    2×dim doubles."""
+    _write_single_file(
+        spark,
+        [([float(x) for x in model.vmin], [float(x) for x in model.scale],
+          int(model.nbits))],
+        "vmin array<double>, scale array<double>, nbits int",
+        path,
+    )
+
+
+def load_sq(spark: SparkSession, path: str, centroids=None):
+    from customkb_spark.embedding.sq import SQModel
+
+    r = spark.read.parquet(path).collect()[0]
+    return SQModel(
+        np.asarray(r.vmin, dtype=np.float64),
+        np.asarray(r.scale, dtype=np.float64),
+        int(r.nbits),
+        centroids,
+    )
+
+
 def load_pq(spark: SparkSession, path: str) -> PQModel:
     # Arrow transfer (see load_centroids): m × 2^nbits codebook rows
     pdf = (
@@ -167,6 +191,8 @@ def save_vector_index(tier, path: str) -> None:
     save_centroids(spark, tier.centroids, f"{path}/centroids")
     if tier.kind == "ivfpq":
         save_pq(spark, tier.pq, f"{path}/pq")
+    if tier.kind == "ivfsq":
+        save_sq(spark, tier.sq, f"{path}/sq")
     write_ivf_table(tier.indexed, f"{path}/indexed")
 
 
@@ -272,6 +298,12 @@ def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
     if meta.kind == "ivf":
         return VectorIndexTier(
             "ivf", vectors, meta.id_col, meta.vec_col, centroids=cents, indexed=indexed
+        )
+    if meta.kind == "ivfsq":
+        sq = load_sq(spark, f"{path}/sq", centroids=cents)
+        return VectorIndexTier(
+            "ivfsq", vectors, meta.id_col, meta.vec_col,
+            centroids=cents, indexed=indexed, sq=sq,
         )
     pq = load_pq(spark, f"{path}/pq")
     return VectorIndexTier(
