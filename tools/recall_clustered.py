@@ -135,6 +135,32 @@ def main() -> int:
         "build_s": build_s, "search_s_per_q": search_s,
     })
 
+    # ---- SQ8 tier (opt-in ivfsq): 4× codes, exact dequantized scoring,
+    # no refine pass ----
+    cfg_sq = KBConfig(ann_index="ivfsq")
+    t0 = time.time()
+    sq_tier = build_vector_index(emb, cfg_sq, id_col="vec_id", vec_col="embedding", n=n)
+    sq_tier.indexed.count()
+    sq_build = round(time.time() - t0, 2)
+    sq_sizes = {
+        r.cluster_id: r.cnt
+        for r in sq_tier.indexed.groupBy("cluster_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    t0 = time.time()
+    got = {
+        qid: [r.id for r in sq_tier.topk(qv, k, cfg_sq.faiss_nprobe).collect()]
+        for qid, qv in queries
+    }
+    rows.append({
+        "index": f"IVFSQ8 nlist={len(sq_tier.centroids)}",
+        "config": f"nprobe={cfg_sq.faiss_nprobe}, no refine",
+        "recall": recall(got),
+        "probe_frac": probe_fraction(sq_tier.centroids, sq_sizes, cfg_sq.faiss_nprobe),
+        "build_s": sq_build,
+        "search_s_per_q": round((time.time() - t0) / len(queries), 3),
+    })
+    sq_tier.indexed.unpersist()
+
     # ---- forced IVF at the auto nlist and at FAISS-recipe 4·√n ----
     recipe_nlist = int(4 * n ** 0.5)
     for nlist, sample_n in ((len(tier.centroids), 10_000), (recipe_nlist, 39 * recipe_nlist)):
