@@ -225,7 +225,7 @@ def hybrid_search_batch(
     vindex = index.vindex
     if (
         vindex is not None
-        and getattr(vindex, "kind", "flat") in ("ivf", "ivfpq")
+        and getattr(vindex, "kind", "flat") in ("ivf", "ivfpq", "ivfsq")
         and getattr(vindex, "indexed", None) is not None
     ):
         # honor the built index tier, like the single-query path does
@@ -249,9 +249,10 @@ def hybrid_search_batch(
             src = vindex.vectors.join(
                 vindex.indexed.select(vindex.id_col, "cluster_id"), vindex.id_col
             )
-            # PQ centroids live in L2-normalized space — probe with the
-            # normalized query (cosine scoring is norm-invariant, so
-            # scores still equal raw-query cosine)
+            # PQ/SQ centroids live in L2-normalized space — probe with
+            # the normalized query (cosine scoring is norm-invariant,
+            # so scores still equal raw-query cosine). Both code tiers
+            # route through the same pruned-exact shape here.
             probe_q = qvecs.select(
                 "qid", l2_normalize(F.col("qvec")).alias("qvec")
             )

@@ -213,3 +213,34 @@ def test_batch_retrieval_ivfpq_full_probe_equals_exact(spark, documents):
         for r in knn_join(qv, idx.vectors, 5, "qid", "qvec", "id", "vector").collect()
     }
     assert got == exact
+
+
+def test_batch_retrieval_ivfsq_full_probe_equals_exact(spark, documents):
+    """The SQ8 tier routes through the same pruned-exact batch shape as
+    ivfpq: full probe == brute-force knn."""
+    from customkb_spark.operators.topk import knn_join
+
+    chunks = documents_to_chunks(documents, chunk_size=200).cache()
+    vectors = embed_texts(chunks, "id", "embedtext")
+    cfg = KBConfig(query_top_k=5, ann_index="ivfsq", vector_dimensions=64,
+                   faiss_nprobe=10_000)
+    idx = HY.HybridIndex.build(chunks, vectors, cfg=cfg)
+    assert idx.vindex is not None and idx.vindex.kind == "ivfsq"
+    queries = spark.createDataFrame(
+        [(0, "spark data query table")], ["qid", "query_text"]
+    )
+    got = {
+        (r["id"], r["score"])
+        for r in HY.hybrid_search_batch(
+            idx, queries, KBConfig(query_top_k=5, enable_hybrid_search=False,
+                                   faiss_nprobe=10_000)
+        ).collect()
+    }
+    qv = embed_texts(queries, "qid", "query_text").select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    exact = {
+        (r["id"], r["score"])
+        for r in knn_join(qv, idx.vectors, 5, "qid", "qvec", "id", "vector").collect()
+    }
+    assert got == exact
