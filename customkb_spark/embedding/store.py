@@ -280,17 +280,37 @@ def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
     fp_now = content_fingerprint(vectors, meta.id_col, meta.vec_col)
     cents = load_centroids(spark, f"{path}/centroids")
     if fp_now != fp_old:
-        if meta.kind != "ivf":
+        if meta.kind not in ("ivf", "ivfsq"):
             return None
-        # ivf absorbs PURE appends (FAISS ``add`` after ``train``); any
-        # in-place re-embed under existing ids invalidates the table
+        # ivf/ivfsq absorb PURE appends (FAISS ``add`` after ``train``
+        # — both assignment and the SQ grid are frozen artifacts, so
+        # new rows encode deterministically); any in-place re-embed
+        # under existing ids invalidates the table. ivfpq could in
+        # principle add the same way but is rebuilt: its residual
+        # codebooks drift fastest as the corpus grows, and a rebuild
+        # doubles as the retrain index_drift would recommend.
         indexed_ids = spark.read.parquet(f"{path}/indexed").select(meta.id_col)
         old_subset = vectors.join(indexed_ids, meta.id_col, "left_semi")
         if content_fingerprint(old_subset, meta.id_col, meta.vec_col) != fp_old:
             return None
-        incremental_index(
-            vectors, f"{path}/indexed", cents, id_col=meta.id_col, vec_col=meta.vec_col
-        )
+        fresh = vectors.join(indexed_ids, meta.id_col, "left_anti")
+        if meta.kind == "ivf":
+            incremental_index(
+                vectors, f"{path}/indexed", cents,
+                id_col=meta.id_col, vec_col=meta.vec_col,
+            )
+        else:
+            from customkb_spark.embedding.sq import encode_sq
+            from customkb_spark.functions.vector import l2_normalize
+
+            sq_m = load_sq(spark, f"{path}/sq", centroids=cents)
+            normed = fresh.select(
+                F.col(meta.id_col),
+                l2_normalize(F.col(meta.vec_col)).alias(meta.vec_col),
+            )
+            appended = encode_sq(normed, sq_m, meta.id_col, meta.vec_col)
+            if appended.limit(1).count():
+                write_ivf_table(appended, f"{path}/indexed", mode="append")
         _write_meta(
             spark, path, meta.kind, vectors.count(), meta.id_col, meta.vec_col, fp_now
         )

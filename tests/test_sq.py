@@ -129,3 +129,39 @@ def test_ivfsq_tier_build_search_and_persistence(spark, embeddings, tmp_path):
     np.testing.assert_allclose(loaded.sq.scale, tier.sq.scale)
     got2 = [(r["id"], r["score"]) for r in loaded.topk(q, 10, nprobe=512).collect()]
     assert got2 == got
+
+
+def test_ivfsq_absorbs_appends_like_ivf(spark, embeddings, tmp_path):
+    """FAISS-add semantics for the SQ tier: a persisted ivfsq index
+    reloaded against an APPENDED vectors table encodes only the new
+    rows with the frozen grid+centroids (no retrain); searches then see
+    the appended vector. An in-place re-embed still invalidates."""
+    from customkb_spark.config import KBConfig
+    from customkb_spark.embedding.auto import build_vector_index
+    from customkb_spark.embedding.store import load_vector_index, save_vector_index
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).filter("id < 500").cache()
+    tier = build_vector_index(base, KBConfig(ann_index="ivfsq"))
+    path = str(tmp_path / "vindex")
+    save_vector_index(tier, path)
+
+    novel = base.filter("id = 3").select(
+        F.lit(999_999).alias("id"), F.col("vector")
+    )
+    appended = base.unionByName(novel).cache()
+    loaded = load_vector_index(spark, path, appended)
+    assert loaded is not None and loaded.kind == "ivfsq"
+    assert loaded.indexed.filter("id = 999999").count() == 1
+    q = [float(x) for x in base.filter("id = 3").first()["vector"]]
+    got = [r["id"] for r in loaded.topk(q, 3, nprobe=512).collect()]
+    assert 999_999 in got and 3 in got  # the clone and its twin both hit
+
+    # in-place mutation of an existing id → stale, rebuild required
+    mutated = appended.withColumn(
+        "vector",
+        F.when(F.col("id") == 7, F.expr("transform(vector, x -> x + 1.0)"))
+        .otherwise(F.col("vector")),
+    )
+    assert load_vector_index(spark, path, mutated) is None
