@@ -270,6 +270,24 @@ def _ann_build_search(spark, sf_dir: str) -> dict[str, float]:
         ).count()
         best = min(best, time.time() - t0)
     out["ann_pq_search"] = round(best, 3)
+
+    # SQ8 tier (r6): same build/search split — refine-free search is
+    # the tier's selling point, so the search leg times the pure
+    # code-scan top-k
+    from customkb_spark.embedding.sq import encode_sq, sq_topk, train_sq
+
+    t0 = time.time()
+    sq = train_sq(emb, "embedding", centroids=cents)
+    sq_codes = encode_sq(emb, sq, "vec_id", "embedding").cache()
+    sq_codes.count()
+    out["ann_sq_build"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        sq_topk(sq_codes, sq, qv, k=10, nprobe=8, metric="ip", id_col="vec_id").count()
+        best = min(best, time.time() - t0)
+    out["ann_sq_search"] = round(best, 3)
+    sq_codes.unpersist()
     indexed.unpersist()
     codes.unpersist()
 
