@@ -183,6 +183,12 @@ def _semantic_bench_columns(spark, bench, bench_ids, embedding_col: str):
     from pyspark.sql.functions import pandas_udf
 
     B = np.ascontiguousarray(np.asarray(bench, dtype=np.float64))
+    if B.size == 0:
+        # empty benchmark (e.g. a release with no items yet): every row
+        # is trivially clean — constant struct, no UDF needed
+        return F.struct(
+            F.lit(-1.0).alias("sim"), F.lit(-1).cast("long").alias("bid")
+        )
     B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
     ids = np.asarray(
         bench_ids if bench_ids is not None else np.arange(len(B)), dtype=np.int64

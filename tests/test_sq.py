@@ -165,3 +165,31 @@ def test_ivfsq_absorbs_appends_like_ivf(spark, embeddings, tmp_path):
         .otherwise(F.col("vector")),
     )
     assert load_vector_index(spark, path, mutated) is None
+
+
+def test_sq_quantization_error_bound_property(spark):
+    """Hypothesis-style invariant: for any vector inside the trained
+    range, per-dim reconstruction error ≤ scale/2 + eps (the grid's
+    rounding radius), hence |q·x̂ − q·x| ≤ Σ|qᵢ|·scaleᵢ/2 — the bound
+    that makes SQ8's no-refine ranking trustworthy."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(17)
+    sample = rng.uniform(-2.0, 3.0, size=(2000, 8))
+    from customkb_spark.embedding.sq import SQModel, train_sq
+
+    vmin = sample.min(axis=0)
+    vmax = sample.max(axis=0)
+    model = SQModel(vmin, (vmax - vmin) / 255.0, 8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(-2.0, 3.0, allow_nan=False), min_size=8, max_size=8))
+    def check(vec):
+        x = np.clip(np.asarray(vec, dtype=np.float64), vmin, vmax)
+        code = np.clip(np.rint((x - vmin) / np.where(model.scale > 0, model.scale, 1.0)),
+                       0, 255)
+        recon = vmin + model.scale * code
+        assert np.all(np.abs(recon - x) <= model.scale / 2 + 1e-9)
+
+    check()
