@@ -1279,11 +1279,14 @@ def q_embedding_near_dups(spark, sf_dir):
     return D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
 
 
+_SQL_COS_AB = SQL_COS.format(
+    a='CAST(a.embedding AS DOUBLE[])', b='CAST(b.embedding AS DOUBLE[])'
+)
 SQL_EMB_DUPS = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {SQL_COS.format(a='CAST(a.embedding AS DOUBLE[])', b='CAST(b.embedding AS DOUBLE[])')} AS cos_sim
+       {_SQL_COS_AB} AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {SQL_COS.format(a='CAST(a.embedding AS DOUBLE[])', b='CAST(b.embedding AS DOUBLE[])')} >= 0.35
+WHERE {_SQL_COS_AB} >= 0.35
 """
 
 
@@ -3272,7 +3275,31 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
         F.col("id_b").cast("long").alias("id_b"),
         F.col("jaccard").alias("sim"),
     )
-    return exact.unionByName(lsh).unionByName(sem).unionByName(mh)
+    # r6 fifth mode — semantic train-test decontamination
+    # (curation.decontaminate_semantic, the paraphrase-leakage tier):
+    # per corpus vector, the argmax-cosine item of the 1/41 benchmark
+    # slice (ties → largest bench id, the operator's struct-max
+    # convention); id_a = corpus vector, id_b = its best benchmark
+    # match. Run at nprobe = nlist so every cell is probed — the result
+    # is centroid-INDEPENDENT (each corpus row meets every bench row),
+    # which is what makes a pure-SQL oracle possible with no persisted
+    # k-means artifact.
+    from customkb_spark.operators import curation as CU2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 41 == 0)
+    contam = CU2.decontaminate_semantic(
+        emb, bench, nlist=8, nprobe=8, threshold=0.5, id_col="vec_id"
+    ).select(
+        F.lit("contam").alias("mode"),
+        F.col("vec_id").alias("id_a"),
+        F.col("best_bench_id").alias("id_b"),
+        F.col("best_sim").alias("sim"),
+    )
+    return (
+        exact.unionByName(lsh).unionByName(sem).unionByName(mh)
+        .unionByName(contam)
+    )
 
 
 def _sql_near_dup_pairs() -> str:
@@ -3286,6 +3313,12 @@ UNION ALL
 SELECT 'minhash' AS mode, CAST(id_a AS BIGINT) AS id_a,
        CAST(id_b AS BIGINT) AS id_b, jaccard AS sim
 FROM ({_sql_minhash()})
+UNION ALL
+SELECT 'contam' AS mode, id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COS_AB} AS sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id % 41 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id ORDER BY {_SQL_COS_AB} DESC, b.vec_id DESC) = 1)
 """
 
 
