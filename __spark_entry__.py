@@ -37,11 +37,13 @@ from customkb_spark.operators import categorize as CAT
 from customkb_spark.operators import curation as CU
 from customkb_spark.operators import dedup as D
 from customkb_spark.operators import fusion as FU
+from customkb_spark.operators import mining as MI
 from customkb_spark.operators import multimodal as MM
 from customkb_spark.operators import packing as PK
 from customkb_spark.operators import rerank as RR
 from customkb_spark.operators import sessionize as S
 from customkb_spark.operators import topk as TK
+from customkb_spark.operators import unigram as UG
 from customkb_spark.operators import windows as W
 from customkb_spark.operators.range_join import context_range_join
 from customkb_spark.plans import hybrid as HY
@@ -1043,12 +1045,46 @@ SELECT id, score FROM vec ORDER BY score DESC, id LIMIT 10
 
 
 def q_knn_join(spark, sf_dir):
-    """Batch k-NN join: 5 broadcast query vectors × corpus, top-5 each."""
+    """Batch k-NN join: 5 broadcast query vectors × corpus, top-5 each.
+
+    Late-r6 second mode (union-merged, registry stays at 50):
+    ``mode='triplet'`` runs contrastive triplet mining
+    (``operators/mining.py`` — FaceNet/ANCE shape: per anchor the top-5
+    HARD NEGATIVES = most-similar different-label rows, joined with the
+    HARDEST POSITIVE = least-similar same-label row, plus the margin
+    flags) over every 25th vector as the anchor batch. Same one-scan
+    broadcast geometry as the knn branch; the pos_* /margin columns are
+    NULL on the knn branch."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return _longs(TK.knn_join(queries, emb, 5, "qid", "qvec", "vec_id", "embedding"))
+    knn = _longs(
+        TK.knn_join(queries, emb, 5, "qid", "qvec", "vec_id", "embedding")
+    ).select(
+        F.lit("knn").alias("mode"),
+        "qid",
+        "id",
+        "score",
+        "rank",
+        F.lit(None).cast("long").alias("pos_id"),
+        F.lit(None).cast("double").alias("pos_score"),
+        F.lit(None).cast("boolean").alias("violates_margin"),
+        F.lit(None).cast("boolean").alias("semi_hard"),
+    )
+    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    trip = MI.triplet_mine(anchors, emb, k=5, margin=0.05).select(
+        F.lit("triplet").alias("mode"),
+        F.col("qid").cast("long").alias("qid"),
+        F.col("neg_id").cast("long").alias("id"),
+        F.col("neg_score").alias("score"),
+        F.col("neg_rank").cast("long").alias("rank"),
+        F.col("pos_id").cast("long").alias("pos_id"),
+        "pos_score",
+        "violates_margin",
+        "semi_hard",
+    )
+    return knn.unionByName(trip).orderBy("mode", "qid", "rank")
 
 
 SQL_KNN = f"""
@@ -1061,8 +1097,41 @@ scored AS (
 ranked AS (
   SELECT qid, id, score,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS BIGINT) AS rank
-  FROM scored)
-SELECT qid, id, score, rank FROM ranked WHERE rank <= 5
+  FROM scored),
+-- triplet branch: anchors = every 25th vector; hard negatives are the
+-- top-5 most-similar DIFFERENT-label rows; hardest positive is the
+-- least-similar same-label row (self excluded); margin flags mirror
+-- operators/mining.triplet_mine
+a AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 25 = 0),
+nscored AS (
+  SELECT a.qid, e.vec_id AS id,
+         round({SQL_COS.format(a='CAST(e.embedding AS DOUBLE[])', b='a.qv')}, 6) AS score
+  FROM embeddings e, a WHERE e.label <> a.qlabel),
+nranked AS (
+  SELECT qid, id, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS BIGINT) AS rank
+  FROM nscored),
+pscored AS (
+  SELECT a.qid, e.vec_id AS pid,
+         round({SQL_COS.format(a='CAST(e.embedding AS DOUBLE[])', b='a.qv')}, 6) AS pscore
+  FROM embeddings e, a WHERE e.label = a.qlabel AND e.vec_id <> a.qid),
+pos AS (
+  SELECT qid, pid, pscore,
+         row_number() OVER (PARTITION BY qid ORDER BY pscore, pid) AS pr
+  FROM pscored)
+SELECT 'knn' AS mode, qid, id, score, rank,
+       CAST(NULL AS BIGINT) AS pos_id, CAST(NULL AS DOUBLE) AS pos_score,
+       CAST(NULL AS BOOLEAN) AS violates_margin, CAST(NULL AS BOOLEAN) AS semi_hard
+FROM ranked WHERE rank <= 5
+UNION ALL
+SELECT 'triplet' AS mode, n.qid, n.id, n.score, n.rank,
+       p.pid AS pos_id, p.pscore AS pos_score,
+       n.score + 0.05 > p.pscore AS violates_margin,
+       (n.score + 0.05 > p.pscore) AND n.score < p.pscore AS semi_hard
+FROM nranked n JOIN pos p ON n.qid = p.qid AND p.pr = 1
+WHERE n.rank <= 5
+ORDER BY mode, qid, rank
 """
 
 
@@ -3435,26 +3504,37 @@ ORDER BY mode, vec_id
 """
 
 
-_BPE_SEG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BPE_SEG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _bpe_seg(spark, sf_dir):
-    """Train (or reuse) the BPE segmentation for this (session, sf):
-    both bpe_* queries share one training run + one artifact write —
-    retraining byte-identical output per query would double the
-    correctness-gate cost for nothing."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _seg_table(spark, sf_dir, algo="bpe"):
+    """Train (or reuse) the subword segmentation for this
+    (session, sf, algo): the tokenizer queries share one training run +
+    one artifact write per algorithm — retraining byte-identical output
+    per query would double the correctness-gate cost for nothing.
+    ``algo`` picks the family: greedy-merge BPE (Sennrich 2016) or the
+    EM-fit unigram LM (Kudo 2018, ``operators/unigram.py``); both emit
+    the same ``(word, subwords)`` contract so the corpus encode path —
+    and its oracle replay — is shared."""
+    key = (spark.sparkContext.applicationId, sf_dir, algo)
     seg = _BPE_SEG_CACHE.get(key)
     if seg is None:
         docs = _t(spark, sf_dir, "documents")
-        _, seg = BP.bpe_train(docs, num_merges=80)
+        if algo == "bpe":
+            _, seg = BP.bpe_train(docs, num_merges=80)
+        else:
+            _, seg = UG.unigram_train(docs, vocab_size=60)
         seg = seg.localCheckpoint()
         if _persist_oracle_artifacts():
             seg.coalesce(1).write.mode("overwrite").parquet(
-                f"{ORACLE_ART_DIR}/bpe/seg"
+                f"{ORACLE_ART_DIR}/{algo}/seg"
             )
         _BPE_SEG_CACHE[key] = seg
     return seg
+
+
+def _bpe_seg(spark, sf_dir):
+    return _seg_table(spark, sf_dir, "bpe")
 
 
 def q_corpus_zipf_fit(spark, sf_dir):
@@ -3530,21 +3610,57 @@ def q_bpe_subword_tokens(spark, sf_dir):
     driver's 50-slot verified window): the per-source tokenizer
     fertility/compression stats (formerly the bpe_fertility entry)
     join onto each encode row by source — both BPE read paths off the
-    one persisted segmentation artifact, one contract entry."""
+    one persisted segmentation artifact, one contract entry.
+
+    Late-r6 second mode: ``algo='unigram'`` runs the SAME encode +
+    fertility contract off the unigram-LM segmentation
+    (``operators/unigram.py`` — EM-fit, Viterbi-segmented), so both
+    tokenizer families of the training-data story are value-hash
+    oracled through one shared replay shape (the oracle joins each
+    algo's persisted segmentation table)."""
     docs = _t(spark, sf_dir, "documents")
-    seg = _bpe_seg(spark, sf_dir)
-    enc = BP.bpe_apply(docs, seg)
-    fert = BP.bpe_fertility(docs, seg, by=("source",))
-    return (
-        enc.join(docs.select("doc_id", "source"), "doc_id")
-        .join(fert, "source")
-        .select(
-            "doc_id", "n_words", "n_subwords", "subword_text", "source",
-            "n_docs", "total_words", "total_subwords",
-            "fertility", "chars_per_subword",
+    parts = []
+    for algo in ("bpe", "unigram"):
+        seg = _seg_table(spark, sf_dir, algo)
+        enc = BP.bpe_apply(docs, seg)
+        fert = BP.bpe_fertility(docs, seg, by=("source",))
+        parts.append(
+            enc.join(docs.select("doc_id", "source"), "doc_id")
+            .join(fert, "source")
+            .select(
+                F.lit(algo).alias("algo"),
+                "doc_id", "n_words", "n_subwords", "subword_text", "source",
+                "n_docs", "total_words", "total_subwords",
+                "fertility", "chars_per_subword",
+            )
         )
-        .orderBy("doc_id")
-    )
+    return parts[0].unionByName(parts[1]).orderBy("algo", "doc_id")
+
+
+def _sql_seg_apply(seg_dir: str) -> str:
+    """Encode-replay SQL against one persisted segmentation artifact —
+    shared by the BPE and unigram branches of the merged entry (the
+    encode path is algorithm-independent by design)."""
+    return f"""
+WITH seg AS (SELECT word, subwords
+             FROM read_parquet('{seg_dir}/*.parquet')),
+tk AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+w AS (SELECT doc_id, i AS pos, toks[i + 1] AS word
+      FROM tk, unnest(generate_series(0, len(toks) - 1)) u(i)),
+j AS (SELECT doc_id, pos,
+        coalesce(
+          s.subwords,
+          list_append(
+            list_transform(generate_series(1, length(word)),
+                           i -> substr(word, CAST(i AS INT), 1)),
+            '</w>')) AS subwords
+      FROM w LEFT JOIN seg s USING (word))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(subwords)) AS BIGINT) AS n_subwords,
+       string_agg(array_to_string(subwords, ' '), ' ' ORDER BY pos) AS subword_text
+FROM j GROUP BY doc_id
+"""
 
 
 SQL_BPE_APPLY = f"""
@@ -3570,18 +3686,30 @@ SELECT doc_id,
 FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
-# merged entry (encode rows ⋈ per-source fertility) — defined after
-# SQL_BPE_FERTILITY below
+# merged entry (encode rows ⋈ per-source fertility, one branch per
+# tokenizer family off its own persisted segmentation artifact)
 def _sql_bpe_merged() -> str:
-    return f"""
-WITH enc AS ({SQL_BPE_APPLY.replace('ORDER BY doc_id', '')}),
-fert AS ({SQL_BPE_FERTILITY.replace('ORDER BY source', '')})
-SELECT e.doc_id, e.n_words, e.n_subwords, e.subword_text,
+    branches = []
+    for algo in ("bpe", "unigram"):
+        apply_sql = _sql_seg_apply(f"{ORACLE_ART_DIR}/{algo}/seg")
+        branches.append(f"""
+SELECT '{algo}' AS algo, e.doc_id, e.n_words, e.n_subwords, e.subword_text,
        d.source, f.n_docs, f.total_words, f.total_subwords,
        f.fertility, f.chars_per_subword
-FROM enc e JOIN documents d USING (doc_id) JOIN fert f USING (source)
-ORDER BY e.doc_id
-"""
+FROM ({apply_sql}) e
+JOIN documents d USING (doc_id)
+JOIN (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+         round(sum(n_subwords) / CAST(greatest(sum(n_words), 1) AS DOUBLE), 6) AS fertility,
+         round(sum(length(replace(replace(subword_text, '</w>', ''), ' ', '')))
+               / CAST(greatest(sum(n_subwords), 1) AS DOUBLE), 6) AS chars_per_subword
+  FROM ({apply_sql}) e2 JOIN documents d2 ON e2.doc_id = d2.doc_id
+  GROUP BY source
+) f USING (source)""")
+    return " UNION ALL ".join(branches) + " ORDER BY algo, doc_id"
 
 
 def q_bpe_fertility(spark, sf_dir):
