@@ -56,10 +56,16 @@ def _assign_nearest(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
 @dataclass
 class PQModel:
     """Trained codebooks: (m, 2^nbits, dsub). ``centroids`` non-None ⇒
-    codes are residuals vs the IVF centroid (FAISS IVFPQ semantics)."""
+    codes are residuals vs the IVF centroid (FAISS IVFPQ semantics).
+    ``rotation`` non-None ⇒ OPQ (Ge et al. 2014): residuals are rotated
+    by the orthonormal (d×d) matrix before coding, and queries are
+    rotated symmetrically at search — rotation commutes with both
+    metrics (‖Rx‖=‖x‖, (Rq)·(Rx)=q·x), so every downstream contract
+    (ADC decomposition, IP bias, refine) is unchanged."""
 
     codebooks: np.ndarray
     centroids: np.ndarray | None = None
+    rotation: np.ndarray | None = None
 
     @property
     def m(self) -> int:
@@ -78,6 +84,75 @@ class PQModel:
         return self.m * self.dsub
 
 
+def _pq_encode_decode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Quantize-and-reconstruct a sample against codebooks (training
+    helper; the distributed encode is ``encode_pq``)."""
+    m, _, dsub = books.shape
+    recon = np.empty_like(x)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        recon[:, j * dsub : (j + 1) * dsub] = books[j][_assign_nearest(sub, books[j])]
+    return recon
+
+
+def learn_opq_rotation(
+    sample: np.ndarray,
+    m: int,
+    nbits: int = 8,
+    iters: int = 4,
+    kmeans_iters: int = 4,
+    seed: int = 42,
+) -> np.ndarray:
+    """Orthonormal OPQ rotation over a bounded training sample (Ge et
+    al. 2014, "Optimized Product Quantization"; FAISS ``OPQMatrix``).
+
+    Init = the PARAMETRIC solution: eigendecompose the sample
+    covariance and greedily allocate eigen-directions to the m
+    subspaces balancing the per-subspace log-eigenvalue product (each
+    subquantizer gets equal variance mass — the closed-form optimum
+    under a Gaussian assumption). Then ``iters`` rounds of the
+    NON-PARAMETRIC alternation: PQ-train on the rotated sample,
+    reconstruct, and solve the orthogonal Procrustes problem
+    ``min_R ‖X Rᵀ − recon‖_F`` via SVD. All driver-side NumPy on the
+    k-means-discipline sample — the corpus never participates in
+    rotation learning. Deterministic (seeded k-means, LAPACK SVD).
+    """
+    x = np.ascontiguousarray(sample, dtype=np.float64)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"m={m} must divide dim={d}")
+    dsub = d // m
+    cov = (x.T @ x) / max(n, 1)
+    w, u = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1]
+    w, u = w[order], u[:, order]
+    # balanced allocation: next-largest eigenvalue goes to the open
+    # bucket with the smallest accumulated log-product
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    for i in range(d):
+        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(open_b, key=lambda t: (logs[t], t))
+        buckets[b].append(i)
+        logs[b] += float(np.log(max(w[i], 1e-12)))
+    perm = [i for b in buckets for i in b]
+    rot = u[:, perm].T  # rows are eigenvectors: x' = R @ x
+    ksub = 1 << nbits
+    for _ in range(iters):
+        xr = x @ rot.T
+        books = np.stack(
+            [
+                lloyd_kmeans(xr[:, j * dsub : (j + 1) * dsub], ksub, kmeans_iters, seed + j)
+                for j in range(m)
+            ]
+        )
+        recon = _pq_encode_decode(xr, books)
+        # min_Ω ‖XΩ − recon‖, ΩᵀΩ=I ⇒ Ω = UVᵀ for XᵀY = USVᵀ; R = Ωᵀ
+        us, _s, vt = np.linalg.svd(x.T @ recon)
+        rot = (us @ vt).T
+    return rot
+
+
 def train_pq(
     vectors: DataFrame,
     vec_col: str = "vector",
@@ -88,6 +163,8 @@ def train_pq(
     iters: int = 10,
     seed: int = 42,
     sample: np.ndarray | None = None,
+    opq: bool = False,
+    opq_iters: int = 4,
 ) -> PQModel:
     """Per-subvector codebooks from a seeded uniform sample.
 
@@ -95,7 +172,12 @@ def train_pq(
     the same reason, embed_manager.py:209). With ``centroids`` the
     training sample is converted to residuals first (IVFPQ).
     ``sample`` short-circuits the collection (share one sample across
-    IVF + PQ training)."""
+    IVF + PQ training). ``opq=True`` learns an orthonormal rotation of
+    the (residual) space first (``learn_opq_rotation``) and trains the
+    codebooks in the rotated space — lower quantization error when
+    dimensions are correlated or variance is unevenly spread (real
+    embedding models, PCA'd features), identical plan shapes
+    everywhere downstream."""
     if sample is None:
         sample = sample_vectors(vectors, vec_col, sample_size, seed)
     dim = sample.shape[1]
@@ -103,6 +185,10 @@ def train_pq(
         raise ValueError(f"m={m} must divide dim={dim}")
     if centroids is not None:
         sample = sample - centroids[_assign_nearest(sample, centroids)]
+    rotation = None
+    if opq:
+        rotation = learn_opq_rotation(sample, m, nbits, opq_iters, seed=seed)
+        sample = sample @ rotation.T
     dsub = dim // m
     ksub = 1 << nbits
     books = np.stack(
@@ -111,7 +197,7 @@ def train_pq(
             for j in range(m)
         ]
     )
-    return PQModel(books, centroids)
+    return PQModel(books, centroids, rotation)
 
 
 def encode_pq(
@@ -128,6 +214,7 @@ def encode_pq(
     original table around for the refine step."""
     books = model.codebooks
     cents = model.centroids
+    rot = model.rotation
     m, dsub = model.m, model.dsub
     fields = [T.StructField(id_col, vectors.schema[id_col].dataType)]
     if cents is not None:
@@ -147,6 +234,8 @@ def encode_pq(
                 assign = _assign_nearest(x, cents)
                 out["cluster_id"] = assign.astype(np.int32)
                 x = x - cents[assign]
+            if rot is not None:
+                x = x @ rot.T
             codes = np.empty((len(x), m), dtype=np.int16)
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]
@@ -204,6 +293,14 @@ def pq_topk(
     """
     q = np.asarray(query_vec, dtype=np.float64)
     asc = metric != "ip"
+    # OPQ: codes live in the rotated space, so the LUT query rotates
+    # symmetrically — IP's q·c bias stays in the ORIGINAL space
+    # (q·x = q·c + (Rq)·R(x−c) for orthonormal R)
+    rot = model.rotation
+
+    def _lut_query(vec: np.ndarray) -> np.ndarray:
+        return rot @ vec if rot is not None else vec
+
     if model.centroids is not None:
         probes = nearest_clusters(query_vec, model.centroids, nprobe)
         # metric-specific decomposition (see _adc_lut): L2 tables take
@@ -214,7 +311,7 @@ def pq_topk(
                 int(c),
                 _adc_lut(
                     model,
-                    q if metric == "ip" else q - model.centroids[c],
+                    _lut_query(q if metric == "ip" else q - model.centroids[c]),
                     metric,
                 ),
                 float(q @ model.centroids[c]) if metric == "ip" else 0.0,
@@ -232,7 +329,7 @@ def pq_topk(
         lut_col = F.col("_lut")
         bias_col = F.col("_bias")
     else:
-        lut_col = F.lit(_adc_lut(model, q, metric))
+        lut_col = F.lit(_adc_lut(model, _lut_query(q), metric))
         bias_col = F.lit(0.0)
         scored_src = encoded
     contrib = F.zip_with(

@@ -76,6 +76,13 @@ def save_pq(spark: SparkSession, model: PQModel, path: str) -> None:
     )
     if model.centroids is not None:
         save_centroids(spark, model.centroids, f"{path}/ivf_centroids")
+    if model.rotation is not None:
+        _write_single_file(
+            spark,
+            [(i, [float(x) for x in row]) for i, row in enumerate(model.rotation)],
+            "row int, coeffs array<double>",
+            f"{path}/opq_rotation",
+        )
 
 
 def save_sq(spark: SparkSession, model, path: str) -> None:
@@ -118,7 +125,15 @@ def load_pq(spark: SparkSession, path: str) -> PQModel:
         cents = load_centroids(spark, f"{path}/ivf_centroids")
     except Exception:
         pass  # flat PQ (no IVF coupling) has no centroids table
-    return PQModel(books, cents)
+    rotation = None
+    try:
+        rpdf = spark.read.parquet(f"{path}/opq_rotation").orderBy("row").toPandas()
+        rotation = np.asarray(
+            [np.asarray(r, dtype=np.float64) for r in rpdf["coeffs"]]
+        )
+    except Exception:
+        pass  # plain PQ has no rotation table
+    return PQModel(books, cents, rotation)
 
 
 def content_fingerprint(df: DataFrame, id_col: str, vec_col: str) -> str:
