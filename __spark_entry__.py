@@ -44,6 +44,7 @@ from customkb_spark.operators import rerank as RR
 from customkb_spark.operators import sessionize as S
 from customkb_spark.operators import topk as TK
 from customkb_spark.operators import unigram as UG
+from customkb_spark.operators import urls as UR
 from customkb_spark.operators import windows as W
 from customkb_spark.operators.range_join import context_range_join
 from customkb_spark.plans import hybrid as HY
@@ -2298,12 +2299,52 @@ def q_c4_page_filters(spark, sf_dir):
     return CU.c4_page_filters(prepped, bad_words=("slow",)).orderBy("doc_id")
 
 
+def _derived_urls(docs):
+    """Deterministic synthetic URLs over (source, doc_id) — exercises
+    every normalization path (userinfo, default port, tracking params,
+    second-level suffix, fragments). Textually mirrored in
+    _SQL_URL_DERIVE so both engines filter the SAME crawl."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(d % 7 == 0, F.lit("user@")).otherwise(F.lit("")),
+            F.lit("www."),
+            F.col("source"),
+            F.lit(".example"),
+            F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            d.cast("string"),
+            F.when(d % 5 == 0, F.lit("?utm_source=x&b=2&a=1"))
+            .when(d % 5 == 1, F.concat(F.lit("?q="), d.cast("string")))
+            .otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+_URL_BLOCKED = ("example.co.uk",)
+_URL_HARD = ("p/13",)
+_URL_SOFT = {"src0": 0.4, "utm": 0.3}
+_URL_CAP = 150
+
+
 def q_c4_page_filters_full(spark, sf_dir):
     """Registry form of c4_page_filters (r6 join-merge; the bench
     keeps the two base batteries as separate timed rows): the
     RefinedWeb line-wise corrections (formerly the
     refinedweb_corrections entry) join on as rw_-prefixed columns —
-    both zero-shuffle web-cleaning batteries on one contract row."""
+    both zero-shuffle web-cleaning batteries on one contract row.
+
+    Late-r6 third join: the URL curation battery
+    (``operators/urls.py`` — RefinedWeb §G.1's pre-content stage) over
+    deterministically derived URLs: normalization (userinfo/default
+    port/tracking-param/fragment stripping, sorted query), registered
+    domain, blocklist + hard/soft word verdicts, and the two-phase
+    per-domain frequency cap — url_-prefixed columns, value-hash
+    replayed by a plain-window DuckDB twin."""
     c4 = q_c4_page_filters(spark, sf_dir)
     rw = q_refinedweb_corrections(spark, sf_dir).select(
         "doc_id",
@@ -2313,7 +2354,32 @@ def q_c4_page_filters_full(spark, sf_dir):
         "removed_char_frac",
         F.col("keep").alias("rw_keep"),
     )
-    return c4.join(rw, "doc_id").orderBy("doc_id")
+    urls = _derived_urls(_t(spark, sf_dir, "documents"))
+    verdicts = UR.url_filters(
+        urls,
+        blocked_domains=_URL_BLOCKED,
+        hard_words=_URL_HARD,
+        soft_words=_URL_SOFT,
+        soft_threshold=0.7,
+    ).select(
+        "doc_id",
+        "url",
+        "url_normalized",
+        F.col("host").alias("url_host"),
+        F.col("domain").alias("url_domain"),
+        "blocked_domain",
+        "hard_word_hit",
+        "soft_score",
+        "soft_blocked",
+        "url_keep",
+    )
+    cap = UR.domain_frequency_cap(urls, cap=_URL_CAP).select(
+        "doc_id", "dom_rank", F.col("kept").alias("cap_kept")
+    )
+    return (
+        c4.join(rw, "doc_id").join(verdicts, "doc_id").join(cap, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 SQL_C4_FILTERS = """
@@ -2350,6 +2416,104 @@ SELECT doc_id, clean_text, lines_total, lines_kept, n_sentences,
 FROM r ORDER BY doc_id
 """
 
+# textual twin of _derived_urls + operators/urls.py (normalization,
+# registered domain, verdicts, plain-window cap = the two-phase rank's
+# semantic twin)
+_SQL_URL_DERIVE = """
+SELECT doc_id,
+       'https://'
+       || CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END
+       || 'www.' || source || '.example'
+       || CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+       || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+       || '/p/' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&b=2&a=1'
+               WHEN doc_id % 5 = 1 THEN '?q=' || CAST(doc_id AS VARCHAR)
+               ELSE '' END
+       || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+FROM documents
+"""
+
+
+def _sql_url_battery() -> str:
+    tracked = ", ".join(f"'{t}'" for t in (
+        "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+        "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid", "ref",
+    ))
+    suffixes = ", ".join(f"'{s}'" for s in (
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+        "co.jp", "ne.jp", "or.jp", "co.nz", "co.in", "com.br", "com.cn",
+        "com.mx", "co.za", "com.ar", "com.tr", "com.sg", "co.kr", "com.hk",
+    ))
+    blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKED)
+    # soft score: sorted word order, the occurrence-count length-delta
+    soft_terms = " + ".join(
+        f"{float(wt)} * (length(lurl) - length(replace(lurl, '{w}', ''))) / {len(w)}"
+        for w, wt in sorted(_URL_SOFT.items())
+    )
+    hard_terms = " OR ".join(
+        f"contains(lurl, '{w}')" for w in _URL_HARD
+    ) or "FALSE"
+    return f"""
+WITH u AS ({_SQL_URL_DERIVE}),
+p AS (
+  SELECT doc_id, url, lower(url) AS lurl,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1), '^[^@]*@', '')) AS host0,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u),
+h AS (
+  SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                 ELSE host0 END AS host,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         -- array_to_string([]) is NULL in DuckDB, '' in Spark
+         coalesce(array_to_string(list_sort(list_filter(
+             list_filter(string_split(q, '&'), x -> length(x) > 0),
+             x -> NOT list_contains([{tracked}], lower(split_part(x, '=', 1))))), '&'), '') AS qn
+  FROM p),
+d AS (
+  SELECT *, regexp_replace(host, ':[0-9]+$', '') AS hostp FROM h),
+g AS (
+  SELECT *, string_split(hostp, '.') AS labels,
+         regexp_matches(hostp, '^[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}$') AS is_ip
+  FROM d),
+dom AS (
+  SELECT *, CASE WHEN is_ip OR len(labels) <= 2 THEN hostp
+                 WHEN list_contains([{suffixes}],
+                        labels[len(labels)-1] || '.' || labels[len(labels)])
+                      AND len(labels) >= 3
+                   THEN labels[len(labels)-2] || '.' || labels[len(labels)-1] || '.' || labels[len(labels)]
+                 ELSE labels[len(labels)-1] || '.' || labels[len(labels)] END AS domain
+  FROM g),
+v AS (
+  SELECT doc_id, url,
+         (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
+           || host || path
+           || (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_normalized,
+         host AS url_host, domain AS url_domain,
+         list_contains([{blocked}], domain) AS blocked_domain,
+         ({hard_terms}) AS hard_word_hit,
+         round({soft_terms}, 6) AS soft_score
+  FROM dom),
+vb AS (
+  SELECT *, soft_score >= 0.7 AS soft_blocked FROM v),
+cap AS (
+  SELECT u2.doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY d2.domain
+           ORDER BY md5('domcap-v1:' || CAST(u2.doc_id AS VARCHAR)), u2.doc_id
+         ) AS BIGINT) AS dom_rank
+  FROM u u2 JOIN dom d2 ON u2.doc_id = d2.doc_id)
+SELECT vb.doc_id, vb.url, vb.url_normalized, vb.url_host, vb.url_domain,
+       vb.blocked_domain, vb.hard_word_hit, vb.soft_score, vb.soft_blocked,
+       (NOT vb.blocked_domain AND NOT vb.hard_word_hit AND NOT vb.soft_blocked) AS url_keep,
+       cap.dom_rank, cap.dom_rank <= {_URL_CAP} AS cap_kept
+FROM vb JOIN cap USING (doc_id)
+"""
+
+
 def _sql_c4_merged() -> str:
     return f"""
 SELECT c.*,
@@ -2357,8 +2521,13 @@ SELECT c.*,
        r.lines_total AS rw_lines_total,
        r.lines_kept AS rw_lines_kept,
        r.removed_char_frac,
-       r.keep AS rw_keep
-FROM ({SQL_C4_FILTERS}) c JOIN ({SQL_REFINEDWEB}) r USING (doc_id)
+       r.keep AS rw_keep,
+       w.url, w.url_normalized, w.url_host, w.url_domain,
+       w.blocked_domain, w.hard_word_hit, w.soft_score, w.soft_blocked,
+       w.url_keep, w.dom_rank, w.cap_kept
+FROM ({SQL_C4_FILTERS}) c
+JOIN ({SQL_REFINEDWEB}) r USING (doc_id)
+JOIN ({_sql_url_battery()}) w USING (doc_id)
 ORDER BY c.doc_id
 """
 
