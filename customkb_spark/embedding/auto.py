@@ -200,7 +200,7 @@ def build_vector_index(
         cents = train_centroids(normed, vec_col, nlist, sample=sample)
         model = train_pq(
             normed, vec_col, _pq_m(dims, cfg), cfg.pq_nbits,
-            centroids=cents, sample=sample,
+            centroids=cents, sample=sample, opq=cfg.pq_opq,
         )
         return VectorIndexTier(
             "ivfpq", vectors, id_col, vec_col,

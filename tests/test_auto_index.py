@@ -71,6 +71,15 @@ def test_each_tier_searches_correctly(spark, embeddings):
     bf = {r["id"]: r["score"] for r in brute_force_topk(emb, q, 500).collect()}
     for r in rows:
         assert abs(r["score"] - bf[r["id"]]) < 1e-6
+    # the OPQ-rotated tier keeps every structural guarantee
+    tier_opq = build_vector_index(
+        emb, KBConfig(ann_index="ivfpq", pq_nbits=6, pq_opq=True)
+    )
+    assert tier_opq.pq.rotation is not None
+    rows_opq = tier_opq.topk(q, 10, nprobe=512).collect()
+    assert [r["id"] for r in rows_opq][0] == 5
+    for r in rows_opq:
+        assert abs(r["score"] - bf[r["id"]]) < 1e-6
 
 
 def test_hybrid_index_uses_tier(spark, embeddings):
