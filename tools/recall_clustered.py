@@ -38,22 +38,31 @@ from customkb_spark.session import get_spark  # noqa: E402
 
 def make_clustered(
     n: int, dim: int, n_clusters: int, n_queries: int, seed: int = 42,
-    spread: float = 0.6,
+    spread: float = 0.6, aniso: bool = False,
 ):
     """Planted Gaussian mixture: unit-norm centers, per-point noise with
     E[noise norm] ≈ `spread` (σ = spread/√dim per coordinate) so
     intra-cluster cosine ≈ 1/√(1+spread²) ≈ 0.86 — clustered enough
     that IVF pruning is meaningful, noisy enough that recall is not
     trivially 1.0. Queries are FRESH draws from the same mixture (never
-    corpus members), the realistic retrieval condition."""
+    corpus members), the realistic retrieval condition.
+
+    ``aniso=True`` gives the noise a decaying per-coordinate spectrum
+    (same total energy) — the correlated-residual regime real embedding
+    models produce (PCA'd features, uneven variance), where OPQ's
+    balanced eigen-allocation separates from plain PQ; isotropic noise
+    is OPQ's null case (rotation can't improve a spherical residual)."""
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(n_clusters, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    sigma = spread / np.sqrt(dim)
+    sigma = np.full(dim, spread / np.sqrt(dim))
+    if aniso:
+        spec = np.exp(-np.arange(dim) / (dim / 8.0))
+        sigma = spread * spec / np.linalg.norm(spec)
     assign = rng.integers(0, n_clusters, size=n)
-    pts = centers[assign] + rng.normal(scale=sigma, size=(n, dim))
+    pts = centers[assign] + rng.normal(size=(n, dim)) * sigma
     qassign = rng.integers(0, n_clusters, size=n_queries)
-    qs = centers[qassign] + rng.normal(scale=sigma, size=(n_queries, dim))
+    qs = centers[qassign] + rng.normal(size=(n_queries, dim)) * sigma
     return pts.astype(np.float64), qs.astype(np.float64)
 
 
@@ -78,16 +87,17 @@ def main() -> int:
     n_clusters = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000
     n_queries = int(sys.argv[4]) if len(sys.argv) > 4 else 20
     k = int(sys.argv[5]) if len(sys.argv) > 5 else 10
+    aniso = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
 
     spark = get_spark("recall_clustered")
-    pts, qs = make_clustered(n, dim, n_clusters, n_queries)
+    pts, qs = make_clustered(n, dim, n_clusters, n_queries, aniso=aniso)
     pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(pts)})
     emb = spark.createDataFrame(pdf).repartition(32).cache()
     emb.count()
     queries = [(i, qs[i].tolist()) for i in range(n_queries)]
 
     print(f"# corpus n={n} dim={dim} planted_clusters={n_clusters} "
-          f"queries={n_queries} k={k}", file=sys.stderr)
+          f"queries={n_queries} k={k} aniso={int(aniso)}", file=sys.stderr)
 
     t0 = time.time()
     exact = {
@@ -134,6 +144,48 @@ def main() -> int:
         "probe_frac": probe_fraction(tier.centroids, sizes, cfg.faiss_nprobe),
         "build_s": build_s, "search_s_per_q": search_s,
     })
+
+    # ---- OPQ vs plain PQ, ADC-only (refine masks quantization quality;
+    # the ADC ranking is where the rotation earns its keep) ----
+    from customkb_spark.embedding.pq import encode_pq, pq_topk, train_pq
+    from customkb_spark.functions.vector import l2_normalize
+
+    normed = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).cache()
+    nlist_pq = len(tier.centroids)
+    sample = sample_vectors(normed, "embedding", 39 * nlist_pq, 42)
+    cents_pq = train_centroids(normed, "embedding", nlist_pq, sample=sample)
+    for label, use_opq in (("PQ", False), ("OPQ", True)):
+        t0 = time.time()
+        model = train_pq(
+            normed, "embedding", m=8, nbits=8, centroids=cents_pq,
+            sample=sample, opq=use_opq,
+        )
+        codes = encode_pq(normed, model, "vec_id", "embedding").cache()
+        codes.count()
+        build_s = round(time.time() - t0, 2)
+        pq_sizes = {
+            r.cluster_id: r.cnt
+            for r in codes.groupBy("cluster_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        t0 = time.time()
+        got = {
+            qid: [r.id for r in
+                  pq_topk(codes, model, qv, k=k, nprobe=cfg.faiss_nprobe,
+                          metric="ip", id_col="vec_id").collect()]
+            for qid, qv in queries
+        }
+        rows.append({
+            "index": f"IVF{label} nlist={nlist_pq} m=8×8b ADC-only",
+            "config": f"nprobe={cfg.faiss_nprobe}, no refine",
+            "recall": recall(got),
+            "probe_frac": probe_fraction(cents_pq, pq_sizes, cfg.faiss_nprobe),
+            "build_s": build_s,
+            "search_s_per_q": round((time.time() - t0) / len(queries), 3),
+        })
+        codes.unpersist()
+    normed.unpersist()
 
     # ---- SQ8 tier (opt-in ivfsq): 4× codes, exact dequantized scoring,
     # no refine pass ----
@@ -231,7 +283,7 @@ def main() -> int:
     print()
     print(json.dumps({
         "n": n, "dim": dim, "planted_clusters": n_clusters,
-        "n_queries": n_queries, "k": k, "rows": rows,
+        "n_queries": n_queries, "k": k, "aniso": int(aniso), "rows": rows,
     }))
     return 0
 
