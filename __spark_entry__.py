@@ -44,6 +44,7 @@ from customkb_spark.operators import rerank as RR
 from customkb_spark.operators import sessionize as S
 from customkb_spark.operators import topk as TK
 from customkb_spark.operators import unigram as UG
+from customkb_spark.operators import wordpiece as WP
 from customkb_spark.operators import urls as UR
 from customkb_spark.operators import windows as W
 from customkb_spark.operators.range_join import context_range_join
@@ -3681,16 +3682,20 @@ def _seg_table(spark, sf_dir, algo="bpe"):
     (session, sf, algo): the tokenizer queries share one training run +
     one artifact write per algorithm — retraining byte-identical output
     per query would double the correctness-gate cost for nothing.
-    ``algo`` picks the family: greedy-merge BPE (Sennrich 2016) or the
-    EM-fit unigram LM (Kudo 2018, ``operators/unigram.py``); both emit
-    the same ``(word, subwords)`` contract so the corpus encode path —
-    and its oracle replay — is shared."""
+    ``algo`` picks the family: greedy-merge BPE (Sennrich 2016), the
+    EM-fit unigram LM (Kudo 2018, ``operators/unigram.py``), or
+    likelihood-scored WordPiece (Schuster & Nakajima 2012,
+    ``operators/wordpiece.py``); all three emit the same
+    ``(word, subwords)`` contract so the corpus encode path — and its
+    oracle replay — is shared."""
     key = (spark.sparkContext.applicationId, sf_dir, algo)
     seg = _BPE_SEG_CACHE.get(key)
     if seg is None:
         docs = _t(spark, sf_dir, "documents")
         if algo == "bpe":
             _, seg = BP.bpe_train(docs, num_merges=80)
+        elif algo == "wordpiece":
+            _, seg = WP.wordpiece_train(docs, vocab_size=120)
         else:
             _, seg = UG.unigram_train(docs, vocab_size=60)
         seg = seg.localCheckpoint()
@@ -3786,10 +3791,15 @@ def q_bpe_subword_tokens(spark, sf_dir):
     (``operators/unigram.py`` — EM-fit, Viterbi-segmented), so both
     tokenizer families of the training-data story are value-hash
     oracled through one shared replay shape (the oracle joins each
-    algo's persisted segmentation table)."""
+    algo's persisted segmentation table).
+
+    Round-6 third mode: ``algo='wordpiece'`` — likelihood-scored
+    merges + MaxMatch encode (``operators/wordpiece.py``), same
+    contract, so all THREE subword families of the training-data story
+    ride one entry and one DuckDB replay."""
     docs = _t(spark, sf_dir, "documents")
     parts = []
-    for algo in ("bpe", "unigram"):
+    for algo in ("bpe", "unigram", "wordpiece"):
         seg = _seg_table(spark, sf_dir, algo)
         enc = BP.bpe_apply(docs, seg)
         fert = BP.bpe_fertility(docs, seg, by=("source",))
@@ -3803,7 +3813,10 @@ def q_bpe_subword_tokens(spark, sf_dir):
                 "fertility", "chars_per_subword",
             )
         )
-    return parts[0].unionByName(parts[1]).orderBy("algo", "doc_id")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("algo", "doc_id")
 
 
 def _sql_seg_apply(seg_dir: str) -> str:
@@ -3859,7 +3872,7 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 # tokenizer family off its own persisted segmentation artifact)
 def _sql_bpe_merged() -> str:
     branches = []
-    for algo in ("bpe", "unigram"):
+    for algo in ("bpe", "unigram", "wordpiece"):
         apply_sql = _sql_seg_apply(f"{ORACLE_ART_DIR}/{algo}/seg")
         branches.append(f"""
 SELECT '{algo}' AS algo, e.doc_id, e.n_words, e.n_subwords, e.subword_text,

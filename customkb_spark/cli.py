@@ -709,10 +709,13 @@ def cmd_substr_dedup(args) -> int:
 
 
 def cmd_bpe(args) -> int:
-    """BPE tokenizer verbs (operators/bpe.py): ``train`` learns merges
-    and writes the merges + segmentation tables; ``encode`` applies a
-    trained segmentation to a corpus (pure-JVM join); ``fertility``
-    prints the per-slice subwords/word report."""
+    """Subword tokenizer verbs: ``train`` learns a vocabulary with the
+    selected family — greedy-merge BPE (operators/bpe.py), the EM-fit
+    unigram LM (operators/unigram.py), or likelihood-scored WordPiece
+    (operators/wordpiece.py) — and writes the family's aux table plus
+    the shared segmentation table; ``encode`` applies a trained
+    segmentation to a corpus (the pure-JVM join all three families
+    share); ``fertility`` prints the per-slice subwords/word report."""
     import json as _json
 
     from customkb_spark.operators import bpe as BP
@@ -721,16 +724,35 @@ def cmd_bpe(args) -> int:
     docs = spark.read.parquet(args.docs_parquet)
     seg_path = os.path.join(args.model, "seg")
     if args.action == "train":
-        merges, seg = BP.bpe_train(
-            docs, args.text_col, num_merges=args.merges, max_vocab=args.max_vocab
-        )
-        merges.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(args.model, "merges")
+        if args.algo == "bpe":
+            aux_name, (aux, seg) = "merges", BP.bpe_train(
+                docs, args.text_col, num_merges=args.merges, max_vocab=args.max_vocab
+            )
+        elif args.algo == "unigram":
+            from customkb_spark.operators import unigram as UG
+
+            aux_name, (aux, seg) = "pieces", UG.unigram_train(
+                docs,
+                args.text_col,
+                vocab_size=args.vocab_size,
+                max_vocab=args.max_vocab,
+            )
+        else:
+            from customkb_spark.operators import wordpiece as WP
+
+            aux_name, (aux, seg) = "vocab", WP.wordpiece_train(
+                docs,
+                args.text_col,
+                vocab_size=args.vocab_size,
+                max_vocab=args.max_vocab,
+            )
+        aux.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.model, aux_name)
         )
         seg.coalesce(1).write.mode("overwrite").parquet(seg_path)
         print(
             _json.dumps(
-                {"merges": merges.count(), "vocab_words": seg.count()}
+                {"algo": args.algo, aux_name: aux.count(), "vocab_words": seg.count()}
             )
         )
         return 0
@@ -1103,17 +1125,26 @@ def build_parser() -> argparse.ArgumentParser:
     pk.set_defaults(fn=cmd_pack)
 
     bp = sub.add_parser(
-        "bpe", help="train a BPE tokenizer / encode a corpus with one"
+        "bpe", help="train a subword tokenizer / encode a corpus with one"
     )
     bp.add_argument("action", choices=["train", "encode", "fertility"])
     bp.add_argument("docs_parquet")
     bp.add_argument(
         "--model",
         required=True,
-        help="model directory (train writes merges/ + seg/; encode/fertility read seg/)",
+        help="model directory (train writes the family aux table + seg/; encode/fertility read seg/)",
     )
     bp.add_argument("--out", default=None, help="encode: write the encoded parquet here")
+    bp.add_argument(
+        "--algo",
+        choices=["bpe", "unigram", "wordpiece"],
+        default="bpe",
+        help="train: tokenizer family (encode/fertility are family-agnostic)",
+    )
     bp.add_argument("--merges", type=int, default=200)
+    bp.add_argument(
+        "--vocab-size", type=int, default=1000, help="unigram/wordpiece vocab budget"
+    )
     bp.add_argument("--max-vocab", type=int, default=100_000)
     bp.add_argument("--by", default="source", help="fertility: slice column")
     bp.add_argument("--id-col", default="doc_id")

@@ -215,10 +215,16 @@ def domain_frequency_cap(
     unbiased w.r.t. corpus order).
 
     Scale shape: the in-domain rank is TWO-PHASE — row_number within
-    (domain, md5-bucket) + broadcast per-bucket offsets — the same
-    discipline as ``curation.token_budget_sample``, so a 10⁹-page
-    mega-domain never lands in one window partition. Returns the input
-    columns + ``domain, dom_rank, kept``.
+    (domain, md5-bucket) + per-bucket offsets — the same discipline as
+    ``curation.token_budget_sample``, so a 10⁹-page mega-domain never
+    lands in one window partition. Unlike token_budget_sample's
+    strata, the domain key space is UNBOUNDED (10⁷–10⁸ registered
+    domains on a real crawl), so the offsets table is deliberately NOT
+    hint-broadcast: it joins back on the same (domain, bucket) keys
+    the window already shuffled on, AQE picks broadcast when the
+    corpus is small enough and a co-partitioned join when it isn't
+    (the citations-hint lesson). Returns the input columns +
+    ``domain, dom_rank, kept``.
     """
     u = F.col(url_col)
     dom = registered_domain(url_host(u))
@@ -247,7 +253,7 @@ def domain_frequency_cap(
         "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
     ).select("domain", "_b", "_off")
     return (
-        in_bucket.join(F.broadcast(offsets), ["domain", "_b"])
+        in_bucket.join(offsets, ["domain", "_b"])
         .withColumn("dom_rank", (F.col("_r") + F.col("_off")).cast("long"))
         .withColumn("kept", F.col("dom_rank") <= cap)
         .drop("_hk", "_b", "_r", "_off")

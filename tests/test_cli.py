@@ -635,6 +635,29 @@ def test_cli_bpe_train_encode_fertility(spark, tmp_path, capsys):
     assert cli.main(["bpe", "encode", docs, "--model", str(tmp_path / "nope")]) == 2
 
 
+def test_cli_bpe_algo_wordpiece(spark, tmp_path, capsys):
+    """--algo wordpiece trains the third family; encode is
+    family-agnostic off the shared seg/ table."""
+    import json as _json
+
+    model = str(tmp_path / "wp_model")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    assert (
+        cli.main(
+            ["bpe", "train", docs, "--model", model,
+             "--algo", "wordpiece", "--vocab-size", "150"]
+        )
+        == 0
+    )
+    trained = _json.loads(capsys.readouterr().out)
+    assert trained["algo"] == "wordpiece"
+    assert trained["vocab"] <= 150 and trained["vocab_words"] > 0
+
+    assert cli.main(["bpe", "encode", docs, "--model", model]) == 0
+    enc = _json.loads(capsys.readouterr().out)
+    assert enc["subwords"] >= enc["words"] > 0
+
+
 def test_cli_mix_budgets(spark, tmp_path, capsys):
     import json as _json
 
