@@ -3356,8 +3356,13 @@ def q_doc_text_signals(spark, sf_dir):
     per-doc queries — same expressions, one contract entry. r6: the
     map-side fingerprint families (SimHash 16-bit + winnowing rolling
     fingerprint — formerly the doc_fingerprints entry) join on as two
-    more per-doc columns."""
+    more per-doc columns. Late-r6: exact corpus_rank + 4-bin
+    curriculum_stage over the quality signal (operators/ranking.py —
+    the TeraSort-shape global rank: one range shuffle + Arrow running
+    counter + partition-offset broadcast, no single-partition window;
+    the oracle's plain row_number window is the semantic twin)."""
     from customkb_spark.operators.citations import extract_citations
+    from customkb_spark.operators.ranking import curriculum_stages
 
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.col("text"), F.lit("[^ \\t\\n\\x0B\\f\\r]+"), 0)
@@ -3378,7 +3383,8 @@ def q_doc_text_signals(spark, sf_dir):
         )
     )
     fps = q_doc_fingerprints_all(spark, sf_dir).withColumnRenamed("id", "doc_id")
-    return signals.join(extract_citations(docs), "doc_id").join(fps, "doc_id")
+    joined = signals.join(extract_citations(docs), "doc_id").join(fps, "doc_id")
+    return curriculum_stages(joined, "quality", n_stages=4)
 
 
 def _sql_doc_text_signals() -> str:
@@ -3396,7 +3402,7 @@ FROM (
          greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS sy
   FROM documents)
 """
-    return f"""
+    base = f"""
 SELECT a.doc_id, a.lang_pred, b.word_count, b.quality,
        c.n_ws_tokens, c.n_bpe_approx, d.doc_length, d.n_tokens,
        e.flesch_ease, e.fk_grade,
@@ -3409,6 +3415,21 @@ JOIN ({SQL_TOKEN_STATS}) d USING (doc_id)
 JOIN ({readability}) e USING (doc_id)
 JOIN ({sql_extract_citations()}) f USING (doc_id)
 JOIN ({_sql_fingerprints_all()}) g ON g.id = a.doc_id
+"""
+    # curriculum columns: the stage formula 1 + floor((rank-1)*n/total)
+    # mirrors ranking.curriculum_stages textually (chosen over NTILE's
+    # remainder-first-groups rule precisely so both engines compute the
+    # identical closed form)
+    return f"""
+SELECT * EXCLUDE (_rn, _total),
+       CAST(_rn AS BIGINT) AS corpus_rank,
+       CAST(1 + floor((_rn - 1) * 4.0 / _total) AS BIGINT) AS curriculum_stage
+FROM (
+  SELECT *,
+         row_number() OVER (ORDER BY quality ASC NULLS LAST, doc_id) AS _rn,
+         count(*) OVER () AS _total
+  FROM ({base})
+)
 """
 
 
