@@ -366,6 +366,22 @@ def _ann_build_search(spark, sf_dir: str) -> dict[str, float]:
     out["bpe_encode"] = round(best, 3)
     seg.unpersist()
 
+    # sibling tokenizer families: train-only legs (encode is the SAME
+    # pure-JVM join as bpe_encode by construction — timing it again
+    # would measure the identical plan; the train costs differ: EM vs
+    # likelihood-scored merges vs frequency merges)
+    from customkb_spark.operators import unigram as UGM
+    from customkb_spark.operators import wordpiece as WPM
+
+    t0 = time.time()
+    _, useg = UGM.unigram_train(docs, vocab_size=60)
+    useg.count()
+    out["unigram_train"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _, wseg = WPM.wordpiece_train(docs, vocab_size=120)
+    wseg.count()
+    out["wordpiece_train"] = round(time.time() - t0, 3)
+
     for name, t in out.items():
         print(f"# {name}: {t}s", file=sys.stderr)
     return out
