@@ -795,6 +795,76 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """End-to-end curation pipeline (plans/pipeline.curate_pipeline):
+    run the enabled stages in canonical order over a documents parquet,
+    write the kept corpus (+ the per-stage attrition report) and print
+    the report as JSON — the data-card numbers."""
+    import json as _json
+
+    from customkb_spark.plans.pipeline import PipelineConfig, curate_pipeline
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs_parquet)
+    budgets = None
+    if args.budgets:
+        budgets = {}
+        for part in args.budgets.split(","):
+            name, eq, val = part.partition("=")
+            try:
+                if not eq or not name.strip():
+                    raise ValueError
+                budgets[name.strip()] = int(val)
+            except ValueError:
+                print(
+                    f"pipeline: bad --budgets segment {part!r} (expected name=tokens)",
+                    file=sys.stderr,
+                )
+                return 2
+    splits = None
+    if args.splits:
+        splits = {}
+        for part in args.splits.split(","):
+            name, eq, val = part.partition("=")
+            try:
+                if not eq or not name.strip():
+                    raise ValueError
+                splits[name.strip()] = float(val)
+            except ValueError:
+                print(
+                    f"pipeline: bad --splits segment {part!r} (expected name=weight)",
+                    file=sys.stderr,
+                )
+                return 2
+    cfg = PipelineConfig(
+        c4_clean=not args.no_c4,
+        refinedweb_clean=not args.no_refinedweb,
+        line_dedup=not args.no_line_dedup,
+        exact_dedup=not args.no_exact_dedup,
+        substring_dedup=args.substr_dedup,
+        substring_k=args.substr_k,
+        minhash_dedup=not args.no_minhash,
+        minhash_threshold=args.minhash_threshold,
+        gopher_filter=not args.no_gopher,
+        gopher_min_words=args.gopher_min_words,
+        gopher_min_stop_hits=args.gopher_min_stop_hits,
+        token_budgets=budgets,
+        strata_col=args.strata_col,
+        split_weights=splits,
+    )
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    kept, report = curate_pipeline(
+        docs, cfg, embeddings=emb, benchmark=bench,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    report.coalesce(1).write.mode("overwrite").parquet(args.out + "_report")
+    stages = [r.asDict() for r in report.orderBy("stage_no").collect()]
+    print(_json.dumps({"stages": stages, "kept_docs": stages[-1]["docs_out"] if stages else docs.count()}))
+    return 0
+
+
 def cmd_mix(args) -> int:
     """Token-budget mixing (curation.token_budget_sample): parse
     ``--budgets src0=4000,src1=2500``, select per-source hash-order
@@ -1165,6 +1235,32 @@ def build_parser() -> argparse.ArgumentParser:
     mx.add_argument("--id-col", default="doc_id")
     mx.add_argument("--text-col", default="text")
     mx.set_defaults(fn=cmd_mix)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="end-to-end curation pipeline with a per-stage attrition report",
+    )
+    pl.add_argument("docs_parquet")
+    pl.add_argument("--out", required=True, help="kept corpus parquet (report at <out>_report)")
+    pl.add_argument("--embeddings", default=None, help="(id, vector) parquet enabling semantic dedup")
+    pl.add_argument("--benchmark", default=None, help="benchmark corpus parquet enabling decontamination")
+    pl.add_argument("--no-c4", action="store_true")
+    pl.add_argument("--no-refinedweb", action="store_true")
+    pl.add_argument("--no-line-dedup", action="store_true")
+    pl.add_argument("--no-exact-dedup", action="store_true")
+    pl.add_argument("--substr-dedup", action="store_true", help="enable ExactSubstr span cutting")
+    pl.add_argument("--substr-k", type=int, default=50)
+    pl.add_argument("--no-minhash", action="store_true")
+    pl.add_argument("--minhash-threshold", type=float, default=0.5)
+    pl.add_argument("--no-gopher", action="store_true")
+    pl.add_argument("--gopher-min-words", type=int, default=50)
+    pl.add_argument("--gopher-min-stop-hits", type=int, default=2)
+    pl.add_argument("--budgets", default=None, help="token-budget mix, e.g. src0=4000,src1=2500")
+    pl.add_argument("--splits", default=None, help="split weights, e.g. train=0.9,val=0.05,test=0.05")
+    pl.add_argument("--strata-col", default="source")
+    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--text-col", default="text")
+    pl.set_defaults(fn=cmd_pipeline)
     return p
 
 

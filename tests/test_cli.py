@@ -658,6 +658,32 @@ def test_cli_bpe_algo_wordpiece(spark, tmp_path, capsys):
     assert enc["subwords"] >= enc["words"] > 0
 
 
+def test_cli_pipeline_attrition(spark, tmp_path, capsys):
+    """pipeline verb: runs the enabled stages, writes kept + report,
+    prints the data-card JSON with chained stage boundaries."""
+    import json as _json
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "kept")
+    rc = cli.main([
+        "pipeline", docs, "--out", out,
+        "--no-c4", "--no-refinedweb", "--no-minhash",
+        "--gopher-min-words", "5", "--gopher-min-stop-hits", "0",
+        "--splits", "train=0.9,val=0.1",
+    ])
+    assert rc == 0
+    card = _json.loads(capsys.readouterr().out)
+    stages = [s["stage"] for s in card["stages"]]
+    assert stages == ["line_dedup", "exact_dedup", "gopher_filter"]
+    for a, b in zip(card["stages"], card["stages"][1:]):
+        assert a["docs_out"] == b["docs_in"]
+    kept = spark.read.parquet(out)
+    assert kept.count() == card["kept_docs"] > 0
+    assert "split" in kept.columns
+    report = spark.read.parquet(out + "_report")
+    assert report.count() == 3
+
+
 def test_cli_mix_budgets(spark, tmp_path, capsys):
     import json as _json
 
