@@ -854,9 +854,16 @@ def cmd_pipeline(args) -> int:
     )
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    materialize = None
+    if args.stage_dir:
+        def materialize(name: str, df):
+            path = os.path.join(args.stage_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
     kept, report = curate_pipeline(
         docs, cfg, embeddings=emb, benchmark=bench,
         id_col=args.id_col, text_col=args.text_col,
+        materialize=materialize,
     )
     kept.write.mode("overwrite").parquet(args.out)
     report.coalesce(1).write.mode("overwrite").parquet(args.out + "_report")
@@ -1258,6 +1265,12 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--budgets", default=None, help="token-budget mix, e.g. src0=4000,src1=2500")
     pl.add_argument("--splits", default=None, help="split weights, e.g. train=0.9,val=0.05,test=0.05")
     pl.add_argument("--strata-col", default="source")
+    pl.add_argument(
+        "--stage-dir",
+        default=None,
+        help="persist each stage's output parquet here (durable, resumable) "
+        "instead of executor-local checkpoints",
+    )
     pl.add_argument("--id-col", default="doc_id")
     pl.add_argument("--text-col", default="text")
     pl.set_defaults(fn=cmd_pipeline)

@@ -26,16 +26,17 @@ Scale notes:
 - ``checkpoint=True`` (default) localCheckpoints each stage's output:
   every stage's stats action and every later stage would otherwise
   recompute the whole upstream chain per action — an O(stages²) blowup
-  at 10 stages. At 100 TB, replace localCheckpoint with a parquet
-  write per stage (the knob is ``materialize``, a callable hook) —
-  real pipelines persist stage outputs anyway for resumability;
+  at 10 stages. At 100 TB, pass ``materialize`` (a
+  write-parquet-then-read hook; CLI ``--stage-dir``) instead — durable
+  stage outputs and resumability, which real pipelines want anyway;
 - attrition semantics: ``docs_in/out`` and ``tokens_in/out`` bracket
   each ENABLED stage; disabled stages don't appear in the report.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,7 +75,6 @@ class PipelineConfig:
     strata_col: str = "source"
     split_weights: dict[str, float] | None = None
     checkpoint: bool = True
-    extra: dict = field(default_factory=dict)
 
 
 def _replace_text(
@@ -97,6 +97,7 @@ def curate_pipeline(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: Callable[[str, DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the enabled stages in canonical order. Returns
     ``(kept_docs, report)`` — ``kept_docs`` has the input schema (text
@@ -110,6 +111,12 @@ def curate_pipeline(
     decontamination. Embeddings are keyed by the ORIGINAL ids — the
     semantic stage therefore runs on whatever documents survive the
     text stages (embeddings of dropped docs are ignored via semi-join).
+
+    ``materialize(stage_name, df) -> df`` replaces the localCheckpoint
+    between stages when given — pass a write-parquet-then-read hook to
+    get durable per-stage outputs and resumability (what a real 100 TB
+    run wants; localCheckpoint is executor-local and dies with the
+    job). The CLI's ``--stage-dir`` wires exactly that.
     """
     from customkb_spark.operators import curation as CU
     from customkb_spark.operators import dedup as D
@@ -132,7 +139,9 @@ def curate_pipeline(
         nonlocal cur, cur_stats
         d_in, t_in = cur_stats
         out = fn(cur)
-        if cfg.checkpoint:
+        if materialize is not None:
+            out = materialize(name, out)
+        elif cfg.checkpoint:
             out = out.localCheckpoint()
         d_out, t_out = stats(out)
         report_rows.append(

@@ -683,6 +683,24 @@ def test_cli_pipeline_attrition(spark, tmp_path, capsys):
     report = spark.read.parquet(out + "_report")
     assert report.count() == 3
 
+    # --stage-dir: durable per-stage parquet, same result
+    out2 = str(tmp_path / "kept2")
+    stage_dir = str(tmp_path / "stages")
+    rc = cli.main([
+        "pipeline", docs, "--out", out2, "--stage-dir", stage_dir,
+        "--no-c4", "--no-refinedweb", "--no-minhash",
+        "--gopher-min-words", "5", "--gopher-min-stop-hits", "0",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    import os as _os
+
+    assert sorted(_os.listdir(stage_dir)) == [
+        "exact_dedup", "gopher_filter", "line_dedup",
+    ]
+    kept2 = spark.read.parquet(out2)
+    assert kept2.count() == kept.count()
+
 
 def test_cli_mix_budgets(spark, tmp_path, capsys):
     import json as _json
