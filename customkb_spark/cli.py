@@ -837,6 +837,8 @@ def cmd_pipeline(args) -> int:
                 )
                 return 2
     cfg = PipelineConfig(
+        lang_filter=args.lang,
+        pii_scrub=args.pii,
         c4_clean=not args.no_c4,
         refinedweb_clean=not args.no_refinedweb,
         line_dedup=not args.no_line_dedup,
@@ -1251,6 +1253,8 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--out", required=True, help="kept corpus parquet (report at <out>_report)")
     pl.add_argument("--embeddings", default=None, help="(id, vector) parquet enabling semantic dedup")
     pl.add_argument("--benchmark", default=None, help="benchmark corpus parquet enabling decontamination")
+    pl.add_argument("--lang", default=None, help="keep only docs whose heuristic lang-ID matches (e.g. en)")
+    pl.add_argument("--pii", action="store_true", help="redact PII spans to <KIND> markers")
     pl.add_argument("--no-c4", action="store_true")
     pl.add_argument("--no-refinedweb", action="store_true")
     pl.add_argument("--no-line-dedup", action="store_true")

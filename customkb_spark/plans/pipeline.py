@@ -7,7 +7,8 @@ RefinedWeb figure 2 is exactly this table; Gopher A1.1 likewise). This
 module composes the package's existing batch operators in the
 canonical order a web-scale pipeline runs them —
 
-    web page/line cleaning (C4 → RefinedWeb)
+    language filter (CCNet's first gate)
+    → web page/line cleaning (C4 → RefinedWeb) → PII scrub
     → corpus line dedup (CCNet)
     → exact dedup → exact-substring dedup (ExactSubstr)
     → MinHash-LSH near-dup → semantic dedup (SemDeDup)
@@ -50,9 +51,11 @@ class PipelineConfig:
     text-only stages; embedding- and benchmark-dependent stages engage
     when their inputs are passed to :func:`curate_pipeline`."""
 
+    lang_filter: str | None = None  # keep docs whose heuristic lang-ID matches
     c4_clean: bool = True
     c4_min_words_per_line: int = 5
     c4_min_sentences: int = 3
+    pii_scrub: bool = False  # rewrite PII spans to <KIND> markers
     refinedweb_clean: bool = True
     line_dedup: bool = True
     exact_dedup: bool = True
@@ -104,7 +107,8 @@ def curate_pipeline(
     rewritten by the cleaning stages, plus a ``split`` column when
     ``split_weights`` is set); ``report`` is one row per executed
     stage: ``(stage_no, stage, docs_in, docs_out, tokens_in,
-    tokens_out, doc_removed_frac, token_removed_frac)``.
+    tokens_out, doc_removed_frac, token_removed_frac,
+    stage_seconds)``.
 
     ``embeddings`` (id → vector, ids matching ``docs``) enables the
     SemDeDup stage; ``benchmark`` (a text corpus) enables n-gram
@@ -137,7 +141,10 @@ def curate_pipeline(
 
     def run_stage(name: str, fn) -> None:
         nonlocal cur, cur_stats
+        import time
+
         d_in, t_in = cur_stats
+        t0 = time.time()
         out = fn(cur)
         if materialize is not None:
             out = materialize(name, out)
@@ -154,9 +161,20 @@ def curate_pipeline(
                 t_out,
                 round(1 - d_out / d_in, 6) if d_in else 0.0,
                 round(1 - t_out / t_in, 6) if t_in else 0.0,
+                # wall seconds incl. the materialization and the stats
+                # action — the operational number a run log wants
+                round(time.time() - t0, 3),
             )
         )
         cur, cur_stats = out, (d_out, t_out)
+
+    if cfg.lang_filter:
+        def _lf(df):
+            return df.filter(
+                X.detect_language_heuristic(text_col) == cfg.lang_filter
+            )
+
+        run_stage("lang_filter", _lf)
 
     if cfg.c4_clean:
         def _c4(df):
@@ -177,6 +195,17 @@ def curate_pipeline(
             return _replace_text(df, out.filter("keep"), id_col, text_col)
 
         run_stage("refinedweb_clean", _rw)
+
+    if cfg.pii_scrub:
+        def _pii(df):
+            out = CU.pii_scrub(df, text_col, out_col="_redacted")
+            # drop exactly the count columns the scrubber added (the
+            # input may legitimately carry its own n_* columns)
+            return out.drop(
+                text_col, *[f"n_{kind}" for kind in CU.PII_ORDER]
+            ).withColumnRenamed("_redacted", text_col)
+
+        run_stage("pii_scrub", _pii)
 
     if cfg.line_dedup:
         def _ld(df):
@@ -287,6 +316,7 @@ def curate_pipeline(
         report_rows,
         "stage_no long, stage string, docs_in long, docs_out long, "
         "tokens_in long, tokens_out long, "
-        "doc_removed_frac double, token_removed_frac double",
+        "doc_removed_frac double, token_removed_frac double, "
+        "stage_seconds double",
     )
     return cur, report

@@ -90,6 +90,38 @@ def test_pipeline_stage_toggles_and_splits(spark, corpus):
     assert kept.filter(F.col("split").isNull()).count() == 0
 
 
+def test_pipeline_lang_and_pii_stages(spark, corpus):
+    rows = corpus.collect()
+    extra = [(6, "el gato y el perro en la casa con una mesa y una silla "
+                 "que los vecinos en el pueblo usan cada noche para la cena",
+              "src1"),
+             (7, "Contact me at jane.doe@example.com for the files today "
+                 + GOOD, "src0")]
+    docs = spark.createDataFrame(
+        [tuple(r) for r in rows] + extra,
+        "doc_id long, text string, source string",
+    )
+    cfg = PipelineConfig(
+        lang_filter="en",
+        pii_scrub=True,
+        c4_clean=False,
+        refinedweb_clean=False,
+        line_dedup=False,
+        exact_dedup=False,
+        minhash_dedup=False,
+        gopher_filter=False,
+    )
+    kept, report = curate_pipeline(docs, cfg)
+    stages = [r["stage"] for r in report.orderBy("stage_no").collect()]
+    assert stages == ["lang_filter", "pii_scrub"]
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 6 not in ids and 7 in ids
+    red = kept.filter("doc_id = 7").first()["text"]
+    assert "<EMAIL>" in red and "jane.doe@example.com" not in red
+    # input's own n_chars-style columns survive; stage_seconds recorded
+    assert all(r["stage_seconds"] >= 0 for r in report.collect())
+
+
 def test_pipeline_semantic_and_decontaminate_engage(spark, corpus):
     import numpy as np
 
