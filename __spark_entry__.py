@@ -4008,7 +4008,11 @@ def q_corpus_sampling(spark, sf_dir):
     mode carries the assigned split) + (r6) the token-budget mix
     (formerly the token_budget_mix entry — per-source hash-order
     prefix up to a token budget; sample_rank carries cum_tokens, the
-    prefix position that admitted the doc)."""
+    prefix position that admitted the doc) + (late r6) the
+    quality-ordered corpus-wide token budget (FineWeb-Edu selection —
+    curation.quality_budget_sample over ranking.ordered_prefix_sum,
+    the TeraSort-shape exact prefix sum; the oracle's plain
+    sum-over-ordered window is the semantic twin)."""
     w = q_weighted_sample_per_source(spark, sf_dir).select(
         F.lit("weighted").alias("mode"), "source", "doc_id", "sample_rank"
     )
@@ -4033,7 +4037,17 @@ def q_corpus_sampling(spark, sf_dir):
         "doc_id",
         F.col("cum_tokens").cast("long").alias("sample_rank"),
     )
-    return w.unionByName(m).unionByName(s).unionByName(tb)
+    qb = (
+        CU.quality_budget_sample(docs, token_budget=3000)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            F.lit("quality_budget").alias("mode"),
+            "source",
+            "doc_id",
+            F.col("cum_tokens").cast("long").alias("sample_rank"),
+        )
+    )
+    return w.unionByName(m).unionByName(s).unionByName(tb).unionByName(qb)
 
 
 def _sql_corpus_sampling() -> str:
@@ -4052,6 +4066,16 @@ UNION ALL
 SELECT 'budget' AS mode, source, doc_id,
        CAST(cum_tokens AS BIGINT) AS sample_rank
 FROM ({SQL_TOKEN_BUDGET})
+UNION ALL
+SELECT 'quality_budget' AS mode, d.source, c.doc_id,
+       CAST(c.cum AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, quality,
+         sum(word_count) OVER (ORDER BY quality DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ({_sql_quality()})
+) c JOIN documents d USING (doc_id)
+WHERE c.cum <= 3000
 """
 
 

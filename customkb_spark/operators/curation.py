@@ -2114,6 +2114,58 @@ def token_budget_sample(
     )
 
 
+def quality_budget_sample(
+    df: DataFrame,
+    token_budget: int,
+    signal: Column | str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ordered token budget — the FineWeb-Edu selection shape
+    (Penedo et al. 2024): rank the whole corpus by a quality signal,
+    keep the BEST documents until a corpus-wide token budget is
+    reached (strict prefix: the first overflowing doc is excluded,
+    same convention as ``token_budget_sample``). Where
+    ``token_budget_sample`` fills per-source quotas in unbiased hash
+    order, this one spends the whole budget on the highest-signal
+    tail — the two ends of the mixing-policy spectrum.
+
+    ``signal`` defaults to the engine's heuristic ``quality_score``;
+    pass a classifier probability column for the learned variant.
+    Descending order with ties broken by id, implemented as
+    ``(-signal, id)`` ascending through
+    :func:`ranking.ordered_prefix_sum` — the TeraSort-shape exact
+    prefix sum (one range shuffle, no single-partition window; a plain
+    ``sum OVER (ORDER BY ...)`` is the oracle's semantic twin).
+
+    Returns ``(id_col, n_tokens, signal, cum_tokens)`` for the
+    selected rows, where ``cum_tokens`` is the running total in
+    selection order.
+    """
+    from customkb_spark.functions import text as X
+    from customkb_spark.operators.ranking import ordered_prefix_sum
+
+    sig = (
+        X.quality_score(text_col)
+        if signal is None
+        else (F.col(signal) if isinstance(signal, str) else signal)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(X.tokens(text_col)).cast("long").alias("n_tokens"),
+        F.round(sig, 6).alias("signal"),
+    )
+    cum = ordered_prefix_sum(
+        base,
+        [(-F.col("signal")), F.col(id_col)],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") <= token_budget).select(
+        id_col, "n_tokens", "signal", "cum_tokens"
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     target_pred: Column,

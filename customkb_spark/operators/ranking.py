@@ -116,6 +116,69 @@ def global_rank(
     )
 
 
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column | str],
+    weight_col: str,
+    out_col: str = "cum_weight",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE prefix sum of ``weight_col`` under the global
+    ``order_by`` total order — ``sum(w) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)`` without the single-partition window, same
+    TeraSort shape (and the same explicit-partition-count AQE guard)
+    as :func:`global_rank`. Descending keys: pass a negated column
+    (``-F.col("sig")``) — sort direction can't be attached to a bare
+    Column portably, and negation is exact for numerics.
+
+    Integral weights accumulate in int64, fractional in float64 (a
+    float prefix sum IS order-dependent in the last ulps; the total
+    order makes it deterministic, and the oracle convention rounds).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    cols = [c.asc_nulls_last() for c in cols]
+    integral = isinstance(
+        df.schema[weight_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    np_t, sql_t = ("int64", T.LongType()) if integral else ("float64", T.DoubleType())
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    out_schema = T.StructType(
+        list(ranged.schema.fields) + [T.StructField("_cw", sql_t)]
+    )
+
+    def add_local_cumsum(batches):
+        run = np.zeros(1, dtype=np_t)[0]
+        for pdf in batches:
+            w = pdf[weight_col].to_numpy(dtype=np_t, na_value=0)
+            c = np.cumsum(w, dtype=np_t) + run
+            run = c[-1] if len(c) else run
+            yield pdf.assign(_cw=c)
+
+    local = ranged.mapInPandas(add_local_cumsum, out_schema)
+    totals = local.groupBy("_pid").agg(F.sum(weight_col).cast(sql_t).alias("_t"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(woff), F.lit(0).cast(sql_t)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_cw") + F.col("_off")).cast(sql_t))
+        .drop("_pid", "_cw", "_off")
+    )
+
+
 def curriculum_stages(
     df: DataFrame,
     signal_col: str,

@@ -81,6 +81,53 @@ def test_curriculum_stage_sizes_and_monotonicity(spark, scored):
         assert a["hi"] <= b["lo"] + 1e-9
 
 
+def test_ordered_prefix_sum_equals_window(spark, scored):
+    from customkb_spark.operators.ranking import ordered_prefix_sum
+
+    df = scored.withColumn("w", (F.col("doc_id") % 13 + 1).cast("long"))
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in ordered_prefix_sum(df, ["sig", "doc_id"], "w", out_col="cum").collect()
+    }
+    w = (
+        Window.orderBy(F.col("sig").asc_nulls_last(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("w").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_quality_budget_sample_prefix_semantics(spark):
+    from customkb_spark.operators.curation import quality_budget_sample
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("good clean prose with the and of it was " * (i + 1))[:400])
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    out = quality_budget_sample(docs, token_budget=300).orderBy("cum_tokens")
+    rows = out.collect()
+    assert rows, "budget admits at least one doc"
+    assert rows[-1]["cum_tokens"] <= 300
+    # selection order is signal-descending (ties by id): cum_tokens is
+    # the running sum in that order, and every selected doc's signal >=
+    # every rejected doc's signal (prefix property)
+    sel = {r["doc_id"] for r in rows}
+    sig = {
+        r["doc_id"]: r["signal"]
+        for r in quality_budget_sample(docs, token_budget=10**9).collect()
+    }
+    worst_sel = min((sig[i], -i) for i in sel)
+    best_rej = max(((sig[i], -i) for i in sig if i not in sel), default=None)
+    if best_rej is not None:
+        assert best_rej <= worst_sel
+
+
 def test_curriculum_single_stage_and_empty(spark, scored):
     one = curriculum_stages(scored, "sig", n_stages=1)
     assert one.filter(F.col("curriculum_stage") != 1).count() == 0
