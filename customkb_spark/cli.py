@@ -851,7 +851,9 @@ def cmd_pipeline(args) -> int:
         gopher_min_words=args.gopher_min_words,
         gopher_min_stop_hits=args.gopher_min_stop_hits,
         token_budgets=budgets,
+        quality_token_budget=args.quality_budget,
         strata_col=args.strata_col,
+        curriculum_stages=args.curriculum,
         split_weights=splits,
     )
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
@@ -1267,6 +1269,8 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--gopher-min-words", type=int, default=50)
     pl.add_argument("--gopher-min-stop-hits", type=int, default=2)
     pl.add_argument("--budgets", default=None, help="token-budget mix, e.g. src0=4000,src1=2500")
+    pl.add_argument("--quality-budget", type=int, default=None, help="corpus-wide best-first token budget (FineWeb-Edu selection)")
+    pl.add_argument("--curriculum", type=int, default=None, help="annotate an n-stage quality curriculum column")
     pl.add_argument("--splits", default=None, help="split weights, e.g. train=0.9,val=0.05,test=0.05")
     pl.add_argument("--strata-col", default="source")
     pl.add_argument(

@@ -75,7 +75,9 @@ class PipelineConfig:
     decontaminate: bool = True  # engages only when benchmark given
     decontaminate_n: int = 8
     token_budgets: dict[str, int] | None = None
+    quality_token_budget: int | None = None  # corpus-wide, best-first
     strata_col: str = "source"
+    curriculum_stages: int | None = None  # adds a stage column, no attrition
     split_weights: dict[str, float] | None = None
     checkpoint: bool = True
 
@@ -306,6 +308,27 @@ def curate_pipeline(
             return df.join(sel.select(id_col), id_col, "semi")
 
         run_stage("token_budget_mix", _tb)
+
+    if cfg.quality_token_budget:
+        def _qb(df):
+            sel = CU.quality_budget_sample(
+                df, cfg.quality_token_budget, text_col=text_col, id_col=id_col
+            )
+            return df.join(sel.select(id_col), id_col, "semi")
+
+        run_stage("quality_budget", _qb)
+
+    # annotation steps (no attrition, so outside the stage accounting)
+    if cfg.curriculum_stages:
+        from customkb_spark.functions import text as XT
+        from customkb_spark.operators.ranking import curriculum_stages
+
+        cur = curriculum_stages(
+            cur.withColumn("_q", F.round(XT.quality_score(text_col), 6)),
+            "_q",
+            n_stages=cfg.curriculum_stages,
+            id_col=id_col,
+        ).drop("_q")
 
     if cfg.split_weights:
         from customkb_spark.operators.packing import assign_splits

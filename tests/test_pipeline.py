@@ -122,6 +122,29 @@ def test_pipeline_lang_and_pii_stages(spark, corpus):
     assert all(r["stage_seconds"] >= 0 for r in report.collect())
 
 
+def test_pipeline_quality_budget_and_curriculum(spark, corpus):
+    cfg = PipelineConfig(
+        c4_clean=False,
+        refinedweb_clean=False,
+        line_dedup=False,
+        exact_dedup=False,
+        minhash_dedup=False,
+        gopher_filter=False,
+        quality_token_budget=250,
+        curriculum_stages=2,
+    )
+    kept, report = curate_pipeline(corpus, cfg)
+    assert [r["stage"] for r in report.collect()] == ["quality_budget"]
+    assert "curriculum_stage" in kept.columns and "corpus_rank" in kept.columns
+    stages = {r["curriculum_stage"] for r in kept.collect()}
+    assert stages <= {1, 2}
+    # budget respected: total kept tokens <= budget
+    from customkb_spark.functions import text as XT
+
+    total = kept.agg(F.sum(F.size(XT.tokens("text")))).collect()[0][0]
+    assert total <= 250
+
+
 def test_pipeline_semantic_and_decontaminate_engage(spark, corpus):
     import numpy as np
 
