@@ -101,7 +101,11 @@ def global_rank(
             yield pdf
 
     local = ranged.mapInPandas(add_local_index, out_schema)
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # counts come from `ranged`, NOT `local`: the per-pid row count
+    # doesn't need the local index, and aggregating the pre-Python
+    # frame means the offsets job re-reads the shuffle files without a
+    # second Arrow round-trip through the mapInPandas stage
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     # the offsets window IS partitionless — over ≤ num_partitions rows
     # (cluster parallelism, not data size), the same bounded-window
@@ -167,7 +171,8 @@ def ordered_prefix_sum(
             yield pdf.assign(_cw=c)
 
     local = ranged.mapInPandas(add_local_cumsum, out_schema)
-    totals = local.groupBy("_pid").agg(F.sum(weight_col).cast(sql_t).alias("_t"))
+    # per-pid totals off the pre-Python frame (see global_rank)
+    totals = ranged.groupBy("_pid").agg(F.sum(weight_col).cast(sql_t).alias("_t"))
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid", F.coalesce(F.sum("_t").over(woff), F.lit(0).cast(sql_t)).alias("_off")
