@@ -81,6 +81,45 @@ def test_curriculum_stage_sizes_and_monotonicity(spark, scored):
         assert a["hi"] <= b["lo"] + 1e-9
 
 
+def test_rank_and_prefix_survive_multiple_arrow_batches(spark):
+    """The per-partition running counter/cumsum must carry across
+    Arrow batches — invisible at default 10k-row batches, so force
+    17-row batches over 2000 rows."""
+    from customkb_spark.operators.ranking import global_rank, ordered_prefix_sum
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    spark.conf.set(key, "17")
+    try:
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5).cast("double").alias("sig"),
+            (F.col("id") % 3 + 1).cast("long").alias("w"),
+        )
+        got = {
+            r["doc_id"]: (r["rank"], r["cum"])
+            for r in ordered_prefix_sum(
+                global_rank(df, ["sig", "doc_id"]),
+                ["sig", "doc_id"],
+                "w",
+                out_col="cum",
+            ).collect()
+        }
+        w = Window.orderBy(F.col("sig").asc_nulls_last(), "doc_id")
+        want = {
+            r["doc_id"]: (r["rn"], r["cum"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "cum",
+                F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_ordered_prefix_sum_equals_window(spark, scored):
     from customkb_spark.operators.ranking import ordered_prefix_sum
 
