@@ -16,6 +16,7 @@ config/config_manager.py:17-22): pass ``--config path.cfg`` or set
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -858,16 +859,23 @@ def cmd_pipeline(args) -> int:
     )
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-    materialize = None
+    materialize = resume = None
     if args.stage_dir:
         def materialize(name: str, df):
             path = os.path.join(args.stage_dir, name)
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
+        if args.resume:
+            def resume(name: str):
+                path = os.path.join(args.stage_dir, name)
+                if os.path.isdir(path) and glob.glob(os.path.join(path, "_SUCCESS")):
+                    print(f"# pipeline: resuming {name} from {path}", file=sys.stderr)
+                    return spark.read.parquet(path)
+                return None
     kept, report = curate_pipeline(
         docs, cfg, embeddings=emb, benchmark=bench,
         id_col=args.id_col, text_col=args.text_col,
-        materialize=materialize,
+        materialize=materialize, resume=resume,
     )
     kept.write.mode("overwrite").parquet(args.out)
     report.coalesce(1).write.mode("overwrite").parquet(args.out + "_report")
@@ -1278,6 +1286,11 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="persist each stage's output parquet here (durable, resumable) "
         "instead of executor-local checkpoints",
+    )
+    pl.add_argument(
+        "--resume",
+        action="store_true",
+        help="with --stage-dir: skip stages whose output parquet already exists",
     )
     pl.add_argument("--id-col", default="doc_id")
     pl.add_argument("--text-col", default="text")

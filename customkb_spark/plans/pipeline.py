@@ -103,6 +103,7 @@ def curate_pipeline(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: Callable[[str, DataFrame], DataFrame] | None = None,
+    resume: Callable[[str], DataFrame | None] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the enabled stages in canonical order. Returns
     ``(kept_docs, report)`` — ``kept_docs`` has the input schema (text
@@ -123,6 +124,15 @@ def curate_pipeline(
     get durable per-stage outputs and resumability (what a real 100 TB
     run wants; localCheckpoint is executor-local and dies with the
     job). The CLI's ``--stage-dir`` wires exactly that.
+
+    ``resume(stage_name) -> df | None`` is consulted BEFORE each
+    stage runs: a non-None return becomes the stage's output directly,
+    skipping both the stage function and materialization. The
+    before-fn ordering matters — several stages do eager driver-side
+    work while building their result (connected-components label
+    rounds, k-means training), so a skip decided after the fn call
+    would have paid most of the stage's cost already. The CLI's
+    ``--resume`` wires this to "stage parquet already exists".
     """
     from customkb_spark.operators import curation as CU
     from customkb_spark.operators import dedup as D
@@ -147,11 +157,13 @@ def curate_pipeline(
 
         d_in, t_in = cur_stats
         t0 = time.time()
-        out = fn(cur)
-        if materialize is not None:
-            out = materialize(name, out)
-        elif cfg.checkpoint:
-            out = out.localCheckpoint()
+        out = resume(name) if resume is not None else None
+        if out is None:
+            out = fn(cur)
+            if materialize is not None:
+                out = materialize(name, out)
+            elif cfg.checkpoint:
+                out = out.localCheckpoint()
         d_out, t_out = stats(out)
         report_rows.append(
             (

@@ -701,6 +701,20 @@ def test_cli_pipeline_attrition(spark, tmp_path, capsys):
     kept2 = spark.read.parquet(out2)
     assert kept2.count() == kept.count()
 
+    # --resume: stages with existing parquet are skipped (the stderr
+    # marker proves the short-circuit), result unchanged
+    out3 = str(tmp_path / "kept3")
+    rc = cli.main([
+        "pipeline", docs, "--out", out3, "--stage-dir", stage_dir,
+        "--resume",
+        "--no-c4", "--no-refinedweb", "--no-minhash",
+        "--gopher-min-words", "5", "--gopher-min-stop-hits", "0",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert err.count("# pipeline: resuming") == 3
+    assert spark.read.parquet(out3).count() == kept.count()
+
 
 def test_cli_mix_budgets(spark, tmp_path, capsys):
     import json as _json
