@@ -1056,11 +1056,29 @@ def q_knn_join(spark, sf_dir):
     HARDEST POSITIVE = least-similar same-label row, plus the margin
     flags) over every 25th vector as the anchor batch. Same one-scan
     broadcast geometry as the knn branch; the pos_* /margin columns are
-    NULL on the knn branch."""
+    NULL on the knn branch.
+
+    Third mode (late r6): ``mode='eval'`` — per-query IR metrics
+    (``operators/evalmetrics.retrieval_metrics``: recall@10,
+    precision@10, MRR, nDCG@10, AP@10) for the same 5 queries against
+    label-match relevance (self excluded) — the reference's
+    vector-db-evaluation numbers as a first-class distributed
+    operator; one metrics row per qid, retrieval columns NULL."""
+    from customkb_spark.operators import evalmetrics as EV
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    metric_nulls = [
+        F.lit(None).cast("long").alias("n_rel"),
+        F.lit(None).cast("long").alias("n_hit_rel"),
+        F.lit(None).cast("double").alias("recall_k"),
+        F.lit(None).cast("double").alias("precision_k"),
+        F.lit(None).cast("double").alias("mrr"),
+        F.lit(None).cast("double").alias("ndcg_k"),
+        F.lit(None).cast("double").alias("ap_k"),
+    ]
     knn = _longs(
         TK.knn_join(queries, emb, 5, "qid", "qvec", "vec_id", "embedding")
     ).select(
@@ -1073,6 +1091,7 @@ def q_knn_join(spark, sf_dir):
         F.lit(None).cast("double").alias("pos_score"),
         F.lit(None).cast("boolean").alias("violates_margin"),
         F.lit(None).cast("boolean").alias("semi_hard"),
+        *metric_nulls,
     )
     anchors = emb.filter(F.col("vec_id") % 25 == 0)
     trip = MI.triplet_mine(anchors, emb, k=5, margin=0.05).select(
@@ -1085,8 +1104,62 @@ def q_knn_join(spark, sf_dir):
         "pos_score",
         "violates_margin",
         "semi_hard",
+        *metric_nulls,
     )
-    return knn.unionByName(trip).orderBy("mode", "qid", "rank")
+    # eval mode: label-match relevance, self excluded, rounded-score
+    # ranking (the triplet branch's convention)
+    from customkb_spark.operators.topk import _metric_score
+
+    ql = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = (
+        emb.crossJoin(ql)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("id"),
+            F.round(
+                _metric_score(F.col("embedding"), F.col("qvec"), "cosine"), 6
+            ).alias("score"),
+        )
+    )
+    wnd = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    ehits = (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "id", "rank")
+    )
+    eqrels = (
+        emb.crossJoin(ql)
+        .filter(
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid"))
+        )
+        .select("qid", F.col("vec_id").alias("id"))
+    )
+    ev = EV.retrieval_metrics(ehits, eqrels, k=10).select(
+        F.lit("eval").alias("mode"),
+        F.col("qid").cast("long").alias("qid"),
+        F.lit(None).cast("long").alias("id"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("long").alias("pos_id"),
+        F.lit(None).cast("double").alias("pos_score"),
+        F.lit(None).cast("boolean").alias("violates_margin"),
+        F.lit(None).cast("boolean").alias("semi_hard"),
+        "n_rel",
+        "n_hit_rel",
+        "recall_k",
+        "precision_k",
+        "mrr",
+        "ndcg_k",
+        "ap_k",
+    )
+    return knn.unionByName(trip).unionByName(ev).orderBy("mode", "qid", "rank")
 
 
 SQL_KNN = f"""
@@ -1121,18 +1194,74 @@ pscored AS (
 pos AS (
   SELECT qid, pid, pscore,
          row_number() OVER (PARTITION BY qid ORDER BY pscore, pid) AS pr
-  FROM pscored)
+  FROM pscored),
+-- eval branch: IR metrics (recall/precision@10, MRR, nDCG@10, AP@10)
+-- for the same 5 queries against label-match relevance, self excluded
+-- (operators/evalmetrics.retrieval_metrics's semantic twin)
+eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+       FROM embeddings WHERE vec_id < 5),
+escored AS (
+  SELECT eq.qid, e.vec_id AS id,
+         round({SQL_COS.format(a='CAST(e.embedding AS DOUBLE[])', b='eq.qv')}, 6) AS score,
+         CAST(e.label = eq.qlabel AS INT) AS rel
+  FROM embeddings e, eq WHERE e.vec_id <> eq.qid),
+eranked AS (
+  SELECT qid, id, rel,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+  FROM escored),
+eh AS (
+  SELECT qid, rank, rel,
+         sum(rel) OVER (PARTITION BY qid ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel
+  FROM eranked WHERE rank <= 10),
+enrel AS (
+  SELECT eq.qid, CAST(count(*) AS BIGINT) AS n_rel
+  FROM embeddings e, eq WHERE e.label = eq.qlabel AND e.vec_id <> eq.qid
+  GROUP BY eq.qid),
+eper AS (
+  SELECT qid,
+         CAST(sum(rel) AS BIGINT) AS n_hit_rel,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) END) AS dcg,
+         sum(CASE WHEN rel = 1 THEN CAST(cumrel AS DOUBLE) / rank END) AS psum
+  FROM eh GROUP BY qid),
+emetrics AS (
+  SELECT n.qid, n.n_rel,
+         coalesce(p.n_hit_rel, 0) AS n_hit_rel,
+         round(coalesce(p.n_hit_rel, 0) / CAST(n.n_rel AS DOUBLE), 6) AS recall_k,
+         round(coalesce(p.n_hit_rel, 0) / 10.0, 6) AS precision_k,
+         round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+         round(coalesce(p.dcg / list_aggregate(
+                 list_transform(generate_series(1, least(10, n.n_rel)),
+                                i -> 1.0 / log2(i + 1)), 'sum'), 0.0), 6) AS ndcg_k,
+         round(coalesce(p.psum / least(n.n_rel, 10), 0.0), 6) AS ap_k
+  FROM enrel n LEFT JOIN eper p USING (qid))
 SELECT 'knn' AS mode, qid, id, score, rank,
        CAST(NULL AS BIGINT) AS pos_id, CAST(NULL AS DOUBLE) AS pos_score,
-       CAST(NULL AS BOOLEAN) AS violates_margin, CAST(NULL AS BOOLEAN) AS semi_hard
+       CAST(NULL AS BOOLEAN) AS violates_margin, CAST(NULL AS BOOLEAN) AS semi_hard,
+       CAST(NULL AS BIGINT) AS n_rel, CAST(NULL AS BIGINT) AS n_hit_rel,
+       CAST(NULL AS DOUBLE) AS recall_k, CAST(NULL AS DOUBLE) AS precision_k,
+       CAST(NULL AS DOUBLE) AS mrr, CAST(NULL AS DOUBLE) AS ndcg_k,
+       CAST(NULL AS DOUBLE) AS ap_k
 FROM ranked WHERE rank <= 5
 UNION ALL
 SELECT 'triplet' AS mode, n.qid, n.id, n.score, n.rank,
        p.pid AS pos_id, p.pscore AS pos_score,
        n.score + 0.05 > p.pscore AS violates_margin,
-       (n.score + 0.05 > p.pscore) AND n.score < p.pscore AS semi_hard
+       (n.score + 0.05 > p.pscore) AND n.score < p.pscore AS semi_hard,
+       CAST(NULL AS BIGINT) AS n_rel, CAST(NULL AS BIGINT) AS n_hit_rel,
+       CAST(NULL AS DOUBLE) AS recall_k, CAST(NULL AS DOUBLE) AS precision_k,
+       CAST(NULL AS DOUBLE) AS mrr, CAST(NULL AS DOUBLE) AS ndcg_k,
+       CAST(NULL AS DOUBLE) AS ap_k
 FROM nranked n JOIN pos p ON n.qid = p.qid AND p.pr = 1
 WHERE n.rank <= 5
+UNION ALL
+SELECT 'eval' AS mode, qid, CAST(NULL AS BIGINT) AS id,
+       CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BIGINT) AS rank,
+       CAST(NULL AS BIGINT) AS pos_id, CAST(NULL AS DOUBLE) AS pos_score,
+       CAST(NULL AS BOOLEAN) AS violates_margin, CAST(NULL AS BOOLEAN) AS semi_hard,
+       n_rel, n_hit_rel, recall_k, precision_k, mrr, ndcg_k, ap_k
+FROM emetrics
 ORDER BY mode, qid, rank
 """
 

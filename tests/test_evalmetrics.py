@@ -1,0 +1,106 @@
+"""IR evaluation metrics — hand-computed fixture, pure-python
+randomized reference, and the judged/unjudged/empty-run edges."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from customkb_spark.operators.evalmetrics import macro_average, retrieval_metrics
+
+
+def _py_metrics(run, rels, k):
+    """Reference implementation over plain dicts: run[qid] = ordered id
+    list, rels[qid] = relevant id set."""
+    out = {}
+    for qid in set(run) | set(rels):
+        if qid not in rels:
+            out[qid] = None
+            continue
+        R = rels[qid]
+        ids = run.get(qid, [])[:k]
+        hit_rel = [i + 1 for i, d in enumerate(ids) if d in R]
+        dcg = sum(1.0 / math.log2(r + 1) for r in hit_rel)
+        idcg = sum(1.0 / math.log2(i + 1) for i in range(1, min(k, len(R)) + 1))
+        cum = 0
+        psum = 0.0
+        for i, d in enumerate(ids):
+            if d in R:
+                cum += 1
+                psum += cum / (i + 1)
+        out[qid] = {
+            "recall_k": len(hit_rel) / len(R),
+            "precision_k": len(hit_rel) / k,
+            "mrr": 1.0 / hit_rel[0] if hit_rel else 0.0,
+            "ndcg_k": dcg / idcg if idcg else 0.0,
+            "ap_k": psum / min(len(R), k),
+        }
+    return out
+
+
+def _dfs(spark, run, rels):
+    hits = spark.createDataFrame(
+        [(q, d, i + 1) for q, ids in run.items() for i, d in enumerate(ids)],
+        "qid long, id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(q, d) for q, R in rels.items() for d in sorted(R)],
+        "qid long, id long",
+    )
+    return hits, qrels
+
+
+def test_hand_computed_fixture(spark):
+    run = {1: [9, 1, 8, 3, 7]}
+    rels = {1: {1, 2, 3}}
+    hits, qrels = _dfs(spark, run, rels)
+    row = retrieval_metrics(hits, qrels, k=5).collect()[0]
+    assert row["n_rel"] == 3 and row["n_hit_rel"] == 2
+    assert row["recall_k"] == round(2 / 3, 6)
+    assert row["precision_k"] == 0.4
+    assert row["mrr"] == 0.5
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = 1 + 1 / math.log2(3) + 1 / math.log2(4)
+    assert row["ndcg_k"] == round(dcg / idcg, 6)
+    assert row["ap_k"] == round((1 / 2 + 2 / 4) / 3, 6)
+
+
+def test_randomized_matches_python_reference(spark):
+    rng = random.Random(11)
+    run = {
+        q: rng.sample(range(50), k=10) for q in range(12)
+    }
+    rels = {
+        q: set(rng.sample(range(50), k=rng.randint(1, 20)))
+        for q in range(10)  # queries 10, 11 unjudged
+    }
+    hits, qrels = _dfs(spark, run, rels)
+    got = {r["qid"]: r for r in retrieval_metrics(hits, qrels, k=10).collect()}
+    want = _py_metrics(run, rels, 10)
+    assert set(got) == set(want)
+    for q, m in want.items():
+        if m is None:
+            assert got[q]["recall_k"] is None and got[q]["ap_k"] is None
+        else:
+            for key, v in m.items():
+                assert got[q][key] == pytest.approx(round(v, 6), abs=2e-6), (q, key)
+
+
+def test_relevant_query_with_empty_run_scores_zero(spark):
+    hits, qrels = _dfs(spark, {1: [5, 6]}, {1: {5}, 2: {7, 8}})
+    got = {r["qid"]: r for r in retrieval_metrics(hits, qrels, k=5).collect()}
+    assert got[2]["recall_k"] == 0.0 and got[2]["mrr"] == 0.0
+    assert got[2]["ndcg_k"] == 0.0 and got[2]["n_rel"] == 2
+    assert got[1]["recall_k"] == 1.0
+
+
+def test_macro_average_skips_unjudged(spark):
+    run = {1: [1], 2: [9]}
+    rels = {1: {1}}
+    hits, qrels = _dfs(spark, run, rels)
+    m = retrieval_metrics(hits, qrels, k=1)
+    row = macro_average(m).collect()[0]
+    assert row["n_queries"] == 2
+    # only the judged query contributes: perfect scores
+    assert row["recall_k"] == 1.0 and row["mrr"] == 1.0
