@@ -884,6 +884,32 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Score a retrieval run against a relevance set
+    (operators/evalmetrics): per-query parquet + the macro line as
+    JSON."""
+    import json as _json
+
+    from customkb_spark.operators.evalmetrics import (
+        macro_average,
+        retrieval_metrics,
+    )
+
+    spark = _spark()
+    run = spark.read.parquet(args.run_parquet)
+    qrels = spark.read.parquet(args.qrels_parquet)
+    per = retrieval_metrics(
+        run, qrels, k=args.k, qid_col=args.qid_col,
+        id_col=args.id_col, rank_col=args.rank_col,
+    )
+    if args.out:
+        per.write.mode("overwrite").parquet(args.out)
+        per = spark.read.parquet(args.out)
+    row = macro_average(per).collect()[0]
+    print(_json.dumps({k: row[k] for k in row.asDict()}, sort_keys=True))
+    return 0
+
+
 def cmd_mix(args) -> int:
     """Token-budget mixing (curation.token_budget_sample): parse
     ``--budgets src0=4000,src1=2500``, select per-source hash-order
@@ -1295,6 +1321,18 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--id-col", default="doc_id")
     pl.add_argument("--text-col", default="text")
     pl.set_defaults(fn=cmd_pipeline)
+
+    ev = sub.add_parser(
+        "eval", help="score a retrieval run (qid,id,rank) against qrels (qid,id)"
+    )
+    ev.add_argument("run_parquet")
+    ev.add_argument("qrels_parquet")
+    ev.add_argument("--k", type=int, default=10)
+    ev.add_argument("--out", default=None, help="write per-query metrics parquet here")
+    ev.add_argument("--qid-col", default="qid")
+    ev.add_argument("--id-col", default="id")
+    ev.add_argument("--rank-col", default="rank")
+    ev.set_defaults(fn=cmd_eval)
     return p
 
 

@@ -95,6 +95,23 @@ def test_relevant_query_with_empty_run_scores_zero(spark):
     assert got[1]["recall_k"] == 1.0
 
 
+def test_cli_eval_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from customkb_spark import cli
+
+    hits, qrels = _dfs(spark, {1: [1, 7], 2: [9, 2]}, {1: {1}, 2: {2}})
+    rp, qp = str(tmp_path / "run"), str(tmp_path / "qrels")
+    hits.write.parquet(rp)
+    qrels.write.parquet(qp)
+    out = str(tmp_path / "per")
+    assert cli.main(["eval", rp, qp, "--k", "2", "--out", out]) == 0
+    macro = _json.loads(capsys.readouterr().out)
+    # q1: hit at rank 1 (mrr 1.0); q2: hit at rank 2 (mrr 0.5)
+    assert macro["n_queries"] == 2 and macro["mrr"] == 0.75
+    assert spark.read.parquet(out).count() == 2
+
+
 def test_macro_average_skips_unjudged(spark):
     run = {1: [1], 2: [9]}
     rels = {1: {1}}
