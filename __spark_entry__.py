@@ -1054,9 +1054,14 @@ def q_knn_join(spark, sf_dir):
     (``operators/mining.py`` — FaceNet/ANCE shape: per anchor the top-5
     HARD NEGATIVES = most-similar different-label rows, joined with the
     HARDEST POSITIVE = least-similar same-label row, plus the margin
-    flags) over every 25th vector as the anchor batch. Same one-scan
-    broadcast geometry as the knn branch; the pos_* /margin columns are
-    NULL on the knn branch.
+    flags) over every 25th vector UNDER id 2500 as the anchor batch —
+    BOUNDED (≤100 anchors at any sf), because the operator's scale
+    contract is "anchors are a training batch"; an anchor set growing
+    with the corpus would make the entry quadratic (n²/25 pair
+    evaluations — measured minutes at sf1's 20k embeddings). At
+    sf0.01/sf0.1 every %25 anchor is already under the cap, so the
+    oracle rows are unchanged. Same one-scan broadcast geometry as the
+    knn branch; the pos_*/margin columns are NULL on the knn branch.
 
     Third mode (late r6): ``mode='eval'`` — per-query IR metrics
     (``operators/evalmetrics.retrieval_metrics``: recall@10,
@@ -1093,7 +1098,9 @@ def q_knn_join(spark, sf_dir):
         F.lit(None).cast("boolean").alias("semi_hard"),
         *metric_nulls,
     )
-    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    anchors = emb.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
+    )
     trip = MI.triplet_mine(anchors, emb, k=5, margin=0.05).select(
         F.lit("triplet").alias("mode"),
         F.col("qid").cast("long").alias("qid"),
@@ -1107,7 +1114,11 @@ def q_knn_join(spark, sf_dir):
         *metric_nulls,
     )
     # eval mode: label-match relevance, self excluded, rounded-score
-    # ranking (the triplet branch's convention)
+    # ranking (the triplet branch's convention). ONE corpus scan
+    # serves both the run and the qrels (the relevance flag rides the
+    # scored projection), localCheckpoint-ed so the metrics subtree —
+    # and the final orderBy's range-sampling double-eval — operate on
+    # the materialized Q×corpus-row slice, never re-scanning vectors.
     from customkb_spark.operators.topk import _metric_score
 
     ql = F.broadcast(
@@ -1117,7 +1128,7 @@ def q_knn_join(spark, sf_dir):
             F.col("label").alias("qlabel"),
         )
     )
-    scored = (
+    esc = (
         emb.crossJoin(ql)
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -1126,21 +1137,17 @@ def q_knn_join(spark, sf_dir):
             F.round(
                 _metric_score(F.col("embedding"), F.col("qvec"), "cosine"), 6
             ).alias("score"),
+            (F.col("label") == F.col("qlabel")).alias("_rel"),
         )
+        .localCheckpoint()
     )
     wnd = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     ehits = (
-        scored.withColumn("rank", F.row_number().over(wnd))
+        esc.withColumn("rank", F.row_number().over(wnd))
         .filter(F.col("rank") <= 10)
         .select("qid", "id", "rank")
     )
-    eqrels = (
-        emb.crossJoin(ql)
-        .filter(
-            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid"))
-        )
-        .select("qid", F.col("vec_id").alias("id"))
-    )
+    eqrels = esc.filter("_rel").select("qid", "id")
     ev = EV.retrieval_metrics(ehits, eqrels, k=10).select(
         F.lit("eval").alias("mode"),
         F.col("qid").cast("long").alias("qid"),
@@ -1178,7 +1185,7 @@ ranked AS (
 -- least-similar same-label row (self excluded); margin flags mirror
 -- operators/mining.triplet_mine
 a AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
-      FROM embeddings WHERE vec_id % 25 = 0),
+      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500),
 nscored AS (
   SELECT a.qid, e.vec_id AS id,
          round({SQL_COS.format(a='CAST(e.embedding AS DOUBLE[])', b='a.qv')}, 6) AS score
