@@ -112,6 +112,41 @@ def test_cli_eval_verb(spark, tmp_path, capsys):
     assert spark.read.parquet(out).count() == 2
 
 
+def test_metrics_score_hybrid_retrieval_end_to_end(spark):
+    """Integration: hybrid_search_batch hits → retrieval_metrics. The
+    planted relevant chunk contains the query's exact rare terms, so it
+    must surface and MRR/recall reflect it — evaluation composes with
+    the engine's own retrieval surface, not just synthetic runs."""
+    from pyspark.sql import Window
+
+    from customkb_spark.embedding.embedder import embed_texts
+    from customkb_spark.plans.hybrid import HybridIndex, hybrid_search_batch
+
+    rows = [
+        (1, "zygomatic arch anatomy overview", "a.md"),
+        (2, "unrelated cooking recipe with butter", "b.md"),
+        (3, "zygomatic arch fracture treatment notes", "a.md"),
+        (4, "spark shuffle partitions tuning guide", "c.md"),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "id long, originaltext string, sourcedoc string"
+    ).withColumn("embedtext", F.col("originaltext"))
+    vectors = embed_texts(chunks)
+    idx = HybridIndex.build(chunks, vectors)
+    queries = spark.createDataFrame(
+        [(100, "zygomatic arch")], "qid long, query_text string"
+    )
+    hits = hybrid_search_batch(idx, queries)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    run = hits.withColumn("rank", F.row_number().over(w)).select(
+        "qid", "id", "rank"
+    )
+    qrels = spark.createDataFrame([(100, 1), (100, 3)], "qid long, id long")
+    m = retrieval_metrics(run, qrels, k=4).collect()[0]
+    assert m["n_rel"] == 2 and m["n_hit_rel"] == 2
+    assert m["recall_k"] == 1.0 and m["mrr"] == 1.0
+
+
 def test_macro_average_skips_unjudged(spark):
     run = {1: [1], 2: [9]}
     rels = {1: {1}}
