@@ -16,7 +16,6 @@ config/config_manager.py:17-22): pass ``--config path.cfg`` or set
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -805,6 +804,15 @@ def cmd_pipeline(args) -> int:
 
     from customkb_spark.plans.pipeline import PipelineConfig, curate_pipeline
 
+    if args.resume and not args.stage_dir:
+        # silently re-running every stage is the worst failure mode of
+        # a resume flag (ADVICE r6) — refuse loudly instead
+        print(
+            "pipeline: --resume requires --stage-dir (there is nothing "
+            "durable to resume from without one)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.docs_parquet)
     budgets = None
@@ -862,13 +870,19 @@ def cmd_pipeline(args) -> int:
     materialize = resume = None
     if args.stage_dir:
         def materialize(name: str, df):
-            path = os.path.join(args.stage_dir, name)
+            path = args.stage_dir.rstrip("/") + "/" + name
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
         if args.resume:
             def resume(name: str):
-                path = os.path.join(args.stage_dir, name)
-                if os.path.isdir(path) and glob.glob(os.path.join(path, "_SUCCESS")):
+                path = args.stage_dir.rstrip("/") + "/" + name
+                # probe through the Hadoop FileSystem API so resume
+                # works for hdfs:// / s3a:// stage dirs, not just the
+                # local FS (ADVICE r6)
+                jvm = spark._jvm
+                succ = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+                fs = succ.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(succ):
                     print(f"# pipeline: resuming {name} from {path}", file=sys.stderr)
                     return spark.read.parquet(path)
                 return None
@@ -1316,7 +1330,9 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument(
         "--resume",
         action="store_true",
-        help="with --stage-dir: skip stages whose output parquet already exists",
+        help="with --stage-dir (required): skip stages whose output parquet "
+        "already exists (probed via the Hadoop FileSystem API, so any "
+        "fs the session can read — local, hdfs://, s3a:// — works)",
     )
     pl.add_argument("--id-col", default="doc_id")
     pl.add_argument("--text-col", default="text")

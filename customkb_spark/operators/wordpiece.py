@@ -109,6 +109,7 @@ def learn_wordpiece(
 
     alphabet = sorted(sym_counts)
     vocab: list[str] = list(alphabet)
+    vset: set[str] = set(vocab)
     while len(vocab) < vocab_size and pair_counts:
         # exact argmax of n/(ca*cb): integer cross-multiplied compare
         best_p: tuple[str, str] | None = None
@@ -123,7 +124,15 @@ def learn_wordpiece(
                 best_p, best_n, best_d = p, n, d
         assert best_p is not None
         new_sym = _merge_symbol(*best_p)
-        vocab.append(new_sym)
+        # distinct pairs can merge to the same string (('a','##bc') and
+        # ('ab','##c') both yield '##abc'): apply the merge (so the
+        # pair's bookkeeping drains) but never append a duplicate piece
+        # — a double append would double-spend the vocab_size budget
+        # and emit duplicate vocab rows with different piece_ids
+        # (ADVICE r6; HF WordPiece skips the append the same way)
+        if new_sym not in vset:
+            vocab.append(new_sym)
+            vset.add(new_sym)
         for w in list(pair_words.get(best_p, ())):
             seq, c = seqs[w], freqs[w]
             for s in seq:

@@ -715,6 +715,12 @@ def test_cli_pipeline_attrition(spark, tmp_path, capsys):
     assert err.count("# pipeline: resuming") == 3
     assert spark.read.parquet(out3).count() == kept.count()
 
+    # --resume without --stage-dir is a usage error, not a silent
+    # full re-run (ADVICE r6)
+    rc = cli.main(["pipeline", docs, "--out", str(tmp_path / "kept4"), "--resume"])
+    assert rc == 2
+    assert "--resume requires --stage-dir" in capsys.readouterr().err
+
 
 def test_cli_mix_budgets(spark, tmp_path, capsys):
     import json as _json

@@ -16,8 +16,7 @@ def _py_metrics(run, rels, k):
     out = {}
     for qid in set(run) | set(rels):
         if qid not in rels:
-            out[qid] = None
-            continue
+            continue  # unjudged: dropped (trec_eval convention)
         R = rels[qid]
         ids = run.get(qid, [])[:k]
         hit_rel = [i + 1 for i, d in enumerate(ids) if d in R]
@@ -78,13 +77,10 @@ def test_randomized_matches_python_reference(spark):
     hits, qrels = _dfs(spark, run, rels)
     got = {r["qid"]: r for r in retrieval_metrics(hits, qrels, k=10).collect()}
     want = _py_metrics(run, rels, 10)
-    assert set(got) == set(want)
+    assert set(got) == set(want)  # unjudged queries 10, 11 dropped
     for q, m in want.items():
-        if m is None:
-            assert got[q]["recall_k"] is None and got[q]["ap_k"] is None
-        else:
-            for key, v in m.items():
-                assert got[q][key] == pytest.approx(round(v, 6), abs=2e-6), (q, key)
+        for key, v in m.items():
+            assert got[q][key] == pytest.approx(round(v, 6), abs=2e-6), (q, key)
 
 
 def test_relevant_query_with_empty_run_scores_zero(spark):
@@ -148,11 +144,69 @@ def test_metrics_score_hybrid_retrieval_end_to_end(spark):
 
 
 def test_macro_average_skips_unjudged(spark):
+    """Unjudged qids are dropped from the per-query output (trec_eval;
+    ADVICE r6), so n_queries IS the denominator of every reported mean."""
     run = {1: [1], 2: [9]}
     rels = {1: {1}}
     hits, qrels = _dfs(spark, run, rels)
     m = retrieval_metrics(hits, qrels, k=1)
+    assert [r["qid"] for r in m.collect()] == [1]
     row = macro_average(m).collect()[0]
-    assert row["n_queries"] == 2
+    assert row["n_queries"] == 1
     # only the judged query contributes: perfect scores
     assert row["recall_k"] == 1.0 and row["mrr"] == 1.0
+
+
+def _graded_dfs(spark, run, grels):
+    hits = spark.createDataFrame(
+        [(q, d, i + 1) for q, ids in run.items() for i, d in enumerate(ids)],
+        "qid long, id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(q, d, g) for q, R in grels.items() for d, g in sorted(R.items())],
+        "qid long, id long, rel int",
+    )
+    return hits, qrels
+
+
+def test_graded_ndcg_hand_computed(spark):
+    """gain_col path: gains 2^rel − 1, ideal ranking = gains desc."""
+    run = {1: [9, 1, 8, 3, 7]}
+    grels = {1: {1: 3, 2: 2, 3: 1, 8: 0}}  # id 8 judged non-relevant
+    hits, qrels = _graded_dfs(spark, run, grels)
+    row = retrieval_metrics(hits, qrels, k=5, gain_col="rel").collect()[0]
+    # grade-0 judgment is non-relevant: n_rel counts positives only
+    assert row["n_rel"] == 3 and row["n_hit_rel"] == 2
+    dcg = 7 / math.log2(3) + 1 / math.log2(5)  # id1 (g3) rank2, id3 (g1) rank4
+    idcg = 7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4)
+    assert row["ndcg_k"] == pytest.approx(round(dcg / idcg, 6), abs=2e-6)
+    # binary metrics unchanged by grades (rel = grade > 0)
+    assert row["recall_k"] == round(2 / 3, 6)
+    assert row["mrr"] == 0.5
+    assert row["ap_k"] == round((1 / 2 + 2 / 4) / 3, 6)
+
+
+def test_graded_all_ones_equals_binary(spark):
+    """grade ≡ 1 must reproduce the binary path exactly (same gains,
+    same fold order) — pins the two IDCG formulations together."""
+    rng = random.Random(7)
+    run = {q: rng.sample(range(40), k=8) for q in range(8)}
+    rels = {q: set(rng.sample(range(40), k=rng.randint(1, 12))) for q in range(8)}
+    hits, qrels = _dfs(spark, run, rels)
+    binary = {r["qid"]: r.asDict() for r in retrieval_metrics(hits, qrels, k=8).collect()}
+    g_hits, g_qrels = _graded_dfs(spark, run, {q: {d: 1 for d in R} for q, R in rels.items()})
+    graded = {
+        r["qid"]: r.asDict()
+        for r in retrieval_metrics(g_hits, g_qrels, k=8, gain_col="rel").collect()
+    }
+    assert binary == graded
+
+
+def test_graded_zero_relevant_query_dropped(spark):
+    """A qid judged only with grade 0 has num_rel = 0 → dropped, like
+    trec_eval and the DuckDB oracle twin (ADVICE r6)."""
+    run = {1: [1], 2: [2]}
+    grels = {1: {1: 2}, 2: {2: 0}}
+    hits, qrels = _graded_dfs(spark, run, grels)
+    rows = retrieval_metrics(hits, qrels, k=1, gain_col="rel").collect()
+    assert [r["qid"] for r in rows] == [1]

@@ -53,7 +53,8 @@ def naive_learn(word_counts, vocab_size):
         new = best_p[0] + (
             best_p[1][len(CONT):] if best_p[1].startswith(CONT) else best_p[1]
         )
-        vocab.append(new)
+        if new not in vocab:  # distinct pairs can collide on one string
+            vocab.append(new)
         for w, seq in seqs.items():
             out, i = [], 0
             while i < len(seq):
@@ -96,6 +97,28 @@ def test_incremental_matches_naive_recount():
             v2, s2 = naive_learn(wc, size)
             assert v1 == v2, f"vocab diverged trial={trial} size={size}"
             assert s1 == s2
+
+
+def test_vocab_never_holds_duplicate_pieces():
+    """ADVICE r6: two distinct pairs can merge to the same string
+    (('a','##bc') and ('ab','##c') both yield 'abc'); the learner must
+    never double-spend the vocab budget on a collided piece. Property
+    over random corpora + the HF fixture at every budget."""
+    rng = random.Random(13)
+    cases = [HF_WORDS]
+    alpha = "abc"  # tiny alphabet maximizes collision pressure
+    for _ in range(8):
+        words = sorted(
+            {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                for _ in range(25)
+            }
+        )
+        cases.append([(w, rng.randint(1, 9)) for w in words])
+    for wc in cases:
+        for size in (8, 20, 60):
+            vocab, _ = learn_wordpiece(wc, size)
+            assert len(vocab) == len(set(vocab)), (wc, size)
 
 
 def test_learn_deterministic():
