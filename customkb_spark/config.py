@@ -55,6 +55,16 @@ class KBConfig:
     ann_index: str = "auto"
     small_dataset_threshold: int = 1000
     medium_dataset_threshold: int = 100_000
+    # Large-tier memory budget for the RESIDENT code table (MB, cluster
+    # aggregate — the codes are partitioned across executors, never
+    # replicated). SQ8 codes cost dims bytes/vector and, measured on
+    # the clustered 100k benchmark (BASELINE.md), beat IVFPQ on query
+    # latency at near-equal recall (0.975 refine-free vs refine-pass
+    # PQ) — so auto prefers ivfsq whenever n·dims bytes fit here and
+    # falls back to ivfpq (pq_m bytes/vector, 8-32× smaller) when they
+    # don't. 1 GiB default suits local[32]; on a real cluster set to
+    # executors × the cache slice you can spare.
+    index_memory_budget_mb: int = 1024
     ivf_centroid_multiplier: int = 4
     max_centroids: int = 256
     pq_m: int = 8

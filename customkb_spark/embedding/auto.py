@@ -1,13 +1,17 @@
 """Index-tier auto-selection — reference get_optimal_faiss_index
 (embed_manager.py:163-213): Flat for small corpora, IVF-Flat for
 medium, IVF-PQ for large; high-dimensional vectors stay Flat because
-training cost/quality degrades.
+training cost/quality degrades. This repo adds a measured SQ8 rung
+between them (select_index_kind docstring; VERDICT r6 #6).
 
 The Spark translation: the "index" is a derived table —
 
     flat   → the vectors table itself (exact TakeOrdered scan)
     ivf    → vectors + cluster_id (nprobe scan prunes clusters;
              partition pruning when written PARTITIONED BY cluster_id)
+    ivfsq  → int8 scalar-quantized codes (dims bytes/row), exact
+             dequantized scoring, no refine — taken when the code
+             table fits cfg.index_memory_budget_mb
     ivfpq  → residual PQ codes (m×2 bytes/row instead of dim×4) +
              ADC scoring with exact refine against the raw vectors
 
@@ -92,13 +96,29 @@ class VectorIndexTier:
 
 
 def select_index_kind(n: int, dims: int, cfg: KBConfig) -> str:
-    """The reference's size/dimension policy (embed_manager.py:177-213)."""
+    """The reference's size/dimension ladder (embed_manager.py:177-213)
+    extended with the measured SQ8 rung (VERDICT r6 #6):
+
+        flat   — n < small_dataset_threshold, or dims > 1536 (training
+                 cost/quality degrades; reference behavior)
+        ivf    — small ≤ n < medium: float32 vectors + cluster pruning
+        ivfsq  — n ≥ medium AND the SQ8 code table (n·dims bytes) fits
+                 cfg.index_memory_budget_mb: dequantized-exact scoring,
+                 NO refine scan. Measured frontier (BASELINE.md
+                 clustered 100k×256 table): recall@10 0.975 refine-free
+                 at 4× smaller-than-float storage and lower query
+                 latency than ivfpq's ADC+refine at near-equal recall.
+        ivfpq  — n ≥ medium and SQ8 codes exceed the budget: pq_m
+                 bytes/vector (8-32× smaller than SQ8) + exact refine.
+    """
     if cfg.ann_index != "auto":
         return cfg.ann_index
     if dims > HIGH_DIM_THRESHOLD or n < cfg.small_dataset_threshold:
         return "flat"
     if n < cfg.medium_dataset_threshold:
         return "ivf"
+    if n * dims <= cfg.index_memory_budget_mb * (1 << 20):
+        return "ivfsq"
     return "ivfpq"
 
 
@@ -162,10 +182,11 @@ def build_vector_index(
             indexed=assign_clusters(vectors, cents, vec_col).cache(),
         )
     if kind == "ivfsq":
-        # opt-in tier (cfg.ann_index="ivfsq", never auto — the auto
-        # policy mirrors the reference's Flat/IVF/IVFPQ ladder): SQ8
-        # codes at dim bytes/vector, exact dequantized scoring, no
-        # refine scan. FAISS IndexIVFScalarQuantizer's slot.
+        # SQ8 codes at dim bytes/vector, exact dequantized scoring, no
+        # refine scan — FAISS IndexIVFScalarQuantizer's slot. Auto
+        # selects it for large corpora whose code table fits
+        # cfg.index_memory_budget_mb (select_index_kind); also
+        # reachable explicitly via cfg.ann_index="ivfsq".
         from customkb_spark.embedding.index import sample_vectors
         from customkb_spark.embedding.sq import encode_sq, train_sq
         from customkb_spark.functions.vector import l2_normalize

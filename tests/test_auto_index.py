@@ -20,11 +20,22 @@ def test_size_policy_matches_reference():
     cfg = KBConfig()
     assert select_index_kind(500, 64, cfg) == "flat"       # < small threshold
     assert select_index_kind(50_000, 64, cfg) == "ivf"     # medium
-    assert select_index_kind(500_000, 64, cfg) == "ivfpq"  # large
+    # large + SQ8 codes fit the budget (500k·64 B = 32 MB ≤ 1 GiB
+    # default) → the measured-frontier ivfsq rung (VERDICT r6 #6)
+    assert select_index_kind(500_000, 64, cfg) == "ivfsq"
+    # large + codes exceed the budget → ivfpq (32 MB > 16 MB)
+    assert (
+        select_index_kind(500_000, 64, KBConfig(index_memory_budget_mb=16))
+        == "ivfpq"
+    )
+    # ...and at honest web scale the default budget forces ivfpq too
+    # (500M × 768 B = 384 GB ≫ 1 GiB)
+    assert select_index_kind(500_000_000, 768, cfg) == "ivfpq"
     # high-dim stays flat regardless of size (embed_manager.py:179-182)
     assert select_index_kind(500_000, 2048, cfg) == "flat"
     # explicit override wins
     assert select_index_kind(10, 64, KBConfig(ann_index="ivfpq")) == "ivfpq"
+    assert select_index_kind(10, 64, KBConfig(ann_index="ivfsq")) == "ivfsq"
 
 
 def test_centroid_and_pq_params():
@@ -122,18 +133,27 @@ def test_auto_tier_clustered_recall_at_scale(spark):
     )
     emb = spark.createDataFrame(pdf).repartition(16).cache()
 
+    # default budget (1 GiB ≫ 100k·64 B): auto lands on the SQ8 rung
     cfg = KBConfig()
-    tier = build_vector_index(emb, cfg, n=n)
-    # ≥100k → the large (IVF-family, PQ-coded) tier, never flat
-    assert tier.kind == "ivfpq"
-    assert len(tier.centroids) == 512  # min(4·√100k, 2×cap) = cap binds
+    tier_sq = build_vector_index(emb, cfg, n=n)
+    assert tier_sq.kind == "ivfsq"
+    # a 1 MB budget can't hold the 6.4 MB SQ8 table → PQ codes
+    cfg_pq = KBConfig(index_memory_budget_mb=1)
+    tier_pq = build_vector_index(emb, cfg_pq, n=n)
+    assert tier_pq.kind == "ivfpq"
+    assert len(tier_pq.centroids) == 512  # min(4·√100k, 2×cap) = cap binds
 
-    hits = total = 0
+    # both large-tier rungs must hold the recall bar on the SAME
+    # corpus/queries (exact sets computed once per query)
+    hits = {"ivfsq": 0, "ivfpq": 0}
+    total = 0
     for i in range(len(qs)):
         q = qs[i].tolist()
-        exact = [r["id"] for r in brute_force_topk(emb, q, 10).collect()]
-        got = [r["id"] for r in tier.topk(q, 10, cfg.faiss_nprobe).collect()]
-        hits += len(set(got) & set(exact))
+        exact = set(r["id"] for r in brute_force_topk(emb, q, 10).collect())
+        for tier in (tier_sq, tier_pq):
+            got = [r["id"] for r in tier.topk(q, 10, cfg.faiss_nprobe).collect()]
+            hits[tier.kind] += len(set(got) & exact)
         total += 10
-    assert hits / total >= 0.9
+    assert hits["ivfsq"] / total >= 0.9
+    assert hits["ivfpq"] / total >= 0.9
     emb.unpersist()
