@@ -1068,7 +1068,16 @@ def q_knn_join(spark, sf_dir):
     precision@10, MRR, nDCG@10, AP@10) for the same 5 queries against
     label-match relevance (self excluded) — the reference's
     vector-db-evaluation numbers as a first-class distributed
-    operator; one metrics row per qid, retrieval columns NULL."""
+    operator; one metrics row per qid, retrieval columns NULL.
+
+    Fourth mode (r7): ``mode='geval'`` — GRADED-relevance metrics
+    (``gain_col`` path, VERDICT r6 #7) on the same run with grades
+    derived deterministically from the data (label-match rows graded
+    1 + id % 3 → gains 2^g − 1 ∈ {1,3,7}); only nDCG differs from the
+    binary branch (binary metrics use the grade > 0 indicator), which
+    pins BOTH facts: the graded DCG/IDCG math against the
+    DuckDB-mirrored twin AND the graded/binary agreement on
+    recall/precision/MRR/AP."""
     from customkb_spark.operators import evalmetrics as EV
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1166,7 +1175,36 @@ def q_knn_join(spark, sf_dir):
         "ndcg_k",
         "ap_k",
     )
-    return knn.unionByName(trip).unionByName(ev).orderBy("mode", "qid", "rank")
+    # geval: the SAME run scored against graded qrels (grade 1 + id%3
+    # on the label-match rows) through the gain_col path — reuses the
+    # checkpointed esc slice, so the extra mode costs one ≤k-row join
+    geqrels = esc.filter("_rel").select(
+        "qid", "id", (F.lit(1) + F.col("id") % 3).cast("int").alias("rel")
+    )
+    gev = EV.retrieval_metrics(ehits, geqrels, k=10, gain_col="rel").select(
+        F.lit("geval").alias("mode"),
+        F.col("qid").cast("long").alias("qid"),
+        F.lit(None).cast("long").alias("id"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("long").alias("pos_id"),
+        F.lit(None).cast("double").alias("pos_score"),
+        F.lit(None).cast("boolean").alias("violates_margin"),
+        F.lit(None).cast("boolean").alias("semi_hard"),
+        "n_rel",
+        "n_hit_rel",
+        "recall_k",
+        "precision_k",
+        "mrr",
+        "ndcg_k",
+        "ap_k",
+    )
+    return (
+        knn.unionByName(trip)
+        .unionByName(ev)
+        .unionByName(gev)
+        .orderBy("mode", "qid", "rank")
+    )
 
 
 SQL_KNN = f"""
@@ -1242,7 +1280,33 @@ emetrics AS (
                  list_transform(generate_series(1, least(10, n.n_rel)),
                                 i -> 1.0 / log2(i + 1)), 'sum'), 0.0), 6) AS ndcg_k,
          round(coalesce(p.psum / least(n.n_rel, 10), 0.0), 6) AS ap_k
-  FROM enrel n LEFT JOIN eper p USING (qid))
+  FROM enrel n LEFT JOIN eper p USING (qid)),
+-- geval branch: graded-relevance nDCG (gain_col path, r7) — grades
+-- 1 + id % 3 on the label-match rows, gains 2^g − 1; the ideal
+-- ranking is the judged gains sorted descending, cut at k=10. The
+-- binary metrics are emetrics' own (grade > 0 ≡ label match here).
+gper AS (
+  SELECT qid,
+         sum(CASE WHEN rel = 1
+             THEN (pow(2, 1 + id % 3) - 1) / log2(rank + 1) END) AS gdcg
+  FROM eranked WHERE rank <= 10 GROUP BY qid),
+ggains AS (
+  SELECT eq.qid,
+         (list_sort(list(pow(2, 1 + e.vec_id % 3) - 1), 'DESC'))[1:10] AS gains
+  FROM embeddings e, eq WHERE e.label = eq.qlabel AND e.vec_id <> eq.qid
+  GROUP BY eq.qid),
+gidcg AS (
+  SELECT qid, sum(g / log2(i + 1)) AS idcg
+  FROM (SELECT qid, unnest(gains) AS g,
+               unnest(range(1, len(gains) + 1)) AS i
+        FROM ggains)
+  GROUP BY qid),
+gmetrics AS (
+  SELECT m.qid, m.n_rel, m.n_hit_rel, m.recall_k, m.precision_k, m.mrr,
+         round(coalesce(gp.gdcg / gi.idcg, 0.0), 6) AS ndcg_k, m.ap_k
+  FROM emetrics m
+  LEFT JOIN gper gp USING (qid)
+  JOIN gidcg gi USING (qid))
 SELECT 'knn' AS mode, qid, id, score, rank,
        CAST(NULL AS BIGINT) AS pos_id, CAST(NULL AS DOUBLE) AS pos_score,
        CAST(NULL AS BOOLEAN) AS violates_margin, CAST(NULL AS BOOLEAN) AS semi_hard,
@@ -1269,6 +1333,13 @@ SELECT 'eval' AS mode, qid, CAST(NULL AS BIGINT) AS id,
        CAST(NULL AS BOOLEAN) AS violates_margin, CAST(NULL AS BOOLEAN) AS semi_hard,
        n_rel, n_hit_rel, recall_k, precision_k, mrr, ndcg_k, ap_k
 FROM emetrics
+UNION ALL
+SELECT 'geval' AS mode, qid, CAST(NULL AS BIGINT) AS id,
+       CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BIGINT) AS rank,
+       CAST(NULL AS BIGINT) AS pos_id, CAST(NULL AS DOUBLE) AS pos_score,
+       CAST(NULL AS BOOLEAN) AS violates_margin, CAST(NULL AS BOOLEAN) AS semi_hard,
+       n_rel, n_hit_rel, recall_k, precision_k, mrr, ndcg_k, ap_k
+FROM gmetrics
 ORDER BY mode, qid, rank
 """
 
