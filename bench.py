@@ -486,6 +486,115 @@ def _dedup_stage_split(spark, d: str) -> dict[str, float]:
     return out
 
 
+def _kb100k(spark) -> dict:
+    """VERDICT r6 #5: KnowledgeBase.query END-TO-END on a corpus where
+    the AUTO index policy engages a compressed tier (100k chunks × 64
+    dims → ivfsq under the r6 policy) — every other bench entry runs
+    the exact tier, so per-query latency through the persisted-index
+    load path was unmeasured at auto-tier scale.
+
+    The KB (ingest → hash-provider embed → trained+persisted index) is
+    built once and cached in SPARK_GRAFT_KB100K_DIR, like the sf dirs;
+    per-round cost is the load + warm-query leg only. Build timings are
+    recorded on the round that builds."""
+    from customkb_spark.config import KBConfig
+    from customkb_spark.kb import KnowledgeBase
+
+    kb_dir = os.environ.get("SPARK_GRAFT_KB100K_DIR", "/tmp/spark_graft_kb100k")
+    d = _sf10_dir()
+    if not d:
+        return {}
+    out: dict = {}
+    cfg = KBConfig(query_top_k=10)
+    if not os.path.isdir(os.path.join(kb_dir, "chunks")):
+        docs = (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .orderBy("doc_id")
+            .limit(100_000)
+        )
+        kb0 = KnowledgeBase(spark, kb_dir, cfg)
+        t0 = time.time()
+        kb0.database(docs)
+        out["ingest"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        out["n_embedded"] = kb0.embed()
+        out["embed"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        kb0._build_index()  # trains + persists the vindex artifact
+        out["index_build"] = round(time.time() - t0, 3)
+    # fresh facade: the per-round number is load-persisted + warm query
+    kb = KnowledgeBase(spark, kb_dir, cfg)
+    t0 = time.time()
+    idx = kb._build_index()
+    out["index_load"] = round(time.time() - t0, 3)
+    out["index_kind"] = getattr(idx.vindex, "kind", None)
+    queries = [
+        "spark hash join order window",
+        "vector scan filter query table",
+        "customer stream group agg value",
+        "batch sort column line part",
+        "slow key data scan spark",
+    ]
+    kb.query(queries[0], log=False)  # warm (codegen/JIT, not counted)
+    times = []
+    for q in queries:
+        t0 = time.time()
+        kb.query(q, log=False)
+        times.append(time.time() - t0)
+    times.sort()
+    out["query_min"] = round(times[0], 3)
+    out["query_med"] = round(statistics.median(times), 3)
+    out["query_max"] = round(times[-1], 3)
+    for k, v in out.items():
+        print(f"# kb100k {k}: {v}", file=sys.stderr)
+    return out
+
+
+def _pipeline_durable(spark, d: str, tag: str) -> dict:
+    """VERDICT r6 #3: the composed curation pipeline in its 100 TB
+    posture — every stage boundary a DURABLE parquet write (the CLI's
+    ``--stage-dir`` mode) instead of executor-local checkpoints, so the
+    measured number is the one a resumable production run would pay.
+    Config matches the BASELINE.md sf0.1 attrition run (web-clean
+    stages off — the synthetic corpus has no sentence punctuation, so
+    C4's terminal-punctuation rule would correctly keep nothing)."""
+    import shutil
+    import tempfile
+
+    from customkb_spark.plans.pipeline import PipelineConfig, curate_pipeline
+
+    stage_dir = tempfile.mkdtemp(prefix=f"spark_graft_pipe_{tag}_")
+    cfg = PipelineConfig(
+        c4_clean=False, refinedweb_clean=False, pii_scrub=True,
+        line_dedup=True, exact_dedup=True,
+        substring_dedup=True, substring_k=20,
+        minhash_dedup=True,
+        gopher_filter=True, gopher_min_stop_hits=0,
+    )
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+
+    def materialize(name: str, df):
+        p = f"{stage_dir}/{name}"
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    t0 = time.time()
+    _, report = curate_pipeline(docs, cfg, materialize=materialize)
+    rows = report.orderBy("stage_no").collect()
+    total = round(time.time() - t0, 3)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    out = {
+        "total": total,
+        "stages": {r["stage"]: r["stage_seconds"] for r in rows},
+    }
+    if rows:
+        out["docs_out"] = rows[-1]["docs_out"]
+    for name, t in out["stages"].items():
+        print(f"# pipeline[{tag}] {name}: {t}s", file=sys.stderr)
+    print(f"# pipeline[{tag}] total: {total}s", file=sys.stderr)
+    return out
+
+
 def _vs_prev(out: dict, prev_path: str) -> dict:
     """VERDICT r5 #3: per-query verdict against the previous round's
     committed artifact, decided from PLAN FINGERPRINTS + min/med:
@@ -624,6 +733,9 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()  # warm
             print(json.dumps(_ann_build_search(spark, sf_dir)))
             return
+        if leg == "kb100k":
+            print(json.dumps(_kb100k(spark)))
+            return
         d = _sf1_dir() if leg == "sf1" else _sf10_dir()
         if not d:
             print(json.dumps({}))
@@ -644,6 +756,14 @@ def main() -> None:
                 out["stages"] = _dedup_stage_split(spark, d)
             except Exception as e:  # stage probe must not kill the leg
                 print(f"# stage split failed: {e}", file=sys.stderr)
+        # VERDICT r6 #3: durable-stage pipeline rows at both scale
+        # points (the expensive sf10 leg is opt-in:
+        # SPARK_GRAFT_PIPELINE_SF10=1 — BASELINE.md carries its number)
+        if leg == "sf1" or os.environ.get("SPARK_GRAFT_PIPELINE_SF10"):
+            try:
+                out["pipeline"] = _pipeline_durable(spark, d, leg)
+            except Exception as e:
+                print(f"# pipeline leg failed: {e}", file=sys.stderr)
         print(json.dumps(out))
         return
 
@@ -676,6 +796,13 @@ def main() -> None:
     if ann:
         out["ann"] = ann
 
+    # VERDICT r6 #5: KnowledgeBase.query at auto-tier scale (cached
+    # 100k-chunk KB; needs the sf10 documents dir)
+    if not os.environ.get("SPARK_GRAFT_SKIP_KB100K"):
+        kb100k = _leg("kb100k")
+        if kb100k:
+            out["kb100k"] = kb100k
+
     if _sf1_dir():
         sf1_timings = _leg("sf1")
         if sf1_timings:
@@ -684,6 +811,8 @@ def main() -> None:
             out["sf1_plan_fp"] = sf1_timings.get("fp", {})
             out["sf1_total"] = round(sum(out["sf1_queries"].values()), 3)
             out["sf1"] = 1.0
+            if sf1_timings.get("pipeline"):
+                out["sf1_pipeline"] = sf1_timings["pipeline"]
 
     if _sf10_dir():
         sf10_timings = _leg("sf10")
@@ -694,11 +823,13 @@ def main() -> None:
             out["sf10_total"] = round(sum(out["sf10_queries"].values()), 3)
             if sf10_timings.get("stages"):
                 out["sf10_stages"] = sf10_timings["stages"]
+            if sf10_timings.get("pipeline"):
+                out["sf10_pipeline"] = sf10_timings["pipeline"]
 
     prev_path = os.environ.get(
         "SPARK_GRAFT_BENCH_PREV",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r05.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r06.json"
         ),
     )
     vs = _vs_prev(out, prev_path)

@@ -813,6 +813,13 @@ def cmd_pipeline(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.streaming and not args.work_dir:
+        print(
+            "pipeline: --streaming requires --work-dir (the gates' "
+            "standing outputs and checkpoints live there)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.docs_parquet)
     budgets = None
@@ -867,6 +874,58 @@ def cmd_pipeline(args) -> int:
     )
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    if args.streaming:
+        # streaming twin: drain the source's CURRENT content through the
+        # gate chain; standing state under --work-dir persists across
+        # invocations, so re-running on a grown source dedups new docs
+        # against everything already processed
+        import os as _os
+
+        import numpy as _np
+
+        from customkb_spark.streaming.pipeline import (
+            streaming_curate_pipeline,
+            streaming_pipeline_final,
+            streaming_pipeline_report,
+        )
+
+        centroids = None
+        if emb is not None and cfg.semantic_dedup:
+            # the gate needs FROZEN cells across invocations: train once
+            # on the first run, persist, reload forever after
+            cpath = _os.path.join(args.work_dir, "centroids.npy")
+            if _os.path.exists(cpath):
+                centroids = _np.load(cpath)
+            else:
+                from customkb_spark.embedding.index import train_centroids
+
+                centroids = train_centroids(
+                    emb, emb.columns[1], nlist=cfg.semantic_nlist
+                )
+                _os.makedirs(args.work_dir, exist_ok=True)
+                _np.save(cpath, _np.asarray(centroids))
+        runs = streaming_curate_pipeline(
+            spark, args.docs_parquet, args.work_dir, cfg,
+            embeddings=emb, centroids=centroids, benchmark=bench,
+            id_col=args.id_col, text_col=args.text_col,
+            strata_col=args.strata_col,
+        )
+        final = streaming_pipeline_final(
+            spark, args.docs_parquet, args.work_dir, cfg,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        final.write.mode("overwrite").parquet(args.out)
+        report = streaming_pipeline_report(
+            spark, args.docs_parquet, args.work_dir, runs,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        report.coalesce(1).write.mode("overwrite").parquet(args.out + "_report")
+        stages = [r.asDict() for r in report.orderBy("stage_no").collect()]
+        print(_json.dumps({
+            "stages": stages,
+            "kept_docs": spark.read.parquet(args.out).count(),
+        }))
+        return 0
     materialize = resume = None
     if args.stage_dir:
         def materialize(name: str, df):
@@ -1333,6 +1392,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --stage-dir (required): skip stages whose output parquet "
         "already exists (probed via the Hadoop FileSystem API, so any "
         "fs the session can read — local, hdfs://, s3a:// — works)",
+    )
+    pl.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run the streaming twin (streaming/pipeline.py): drain the "
+        "source's current content through the composed gates; standing "
+        "state under --work-dir persists, so re-running on a grown "
+        "source dedups only the new documents",
+    )
+    pl.add_argument(
+        "--work-dir",
+        default=None,
+        help="with --streaming (required): gate standing outputs + "
+        "checkpoints (+ the frozen semantic centroids artifact)",
     )
     pl.add_argument("--id-col", default="doc_id")
     pl.add_argument("--text-col", default="text")

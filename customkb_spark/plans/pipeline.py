@@ -104,6 +104,7 @@ def curate_pipeline(
     vec_col: str = "embedding",
     materialize: Callable[[str, DataFrame], DataFrame] | None = None,
     resume: Callable[[str], DataFrame | None] | None = None,
+    centroids=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the enabled stages in canonical order. Returns
     ``(kept_docs, report)`` — ``kept_docs`` has the input schema (text
@@ -124,6 +125,13 @@ def curate_pipeline(
     get durable per-stage outputs and resumability (what a real 100 TB
     run wants; localCheckpoint is executor-local and dies with the
     job). The CLI's ``--stage-dir`` wires exactly that.
+
+    ``centroids`` (optional) freezes the semantic-dedup cells to a
+    pre-trained artifact instead of training on the stage's survivors —
+    pass the SAME artifact to the streaming twin
+    (``streaming.pipeline.streaming_curate_pipeline``) for exact
+    batch/stream parity, or reuse a standing index's centroids so
+    repeated pipeline runs dedup in a stable cell geometry.
 
     ``resume(stage_name) -> df | None`` is consulted BEFORE each
     stage runs: a non-None return becomes the stage's output directly,
@@ -276,7 +284,11 @@ def curate_pipeline(
             surv = embeddings.join(
                 df.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "semi"
             )
-            cents = train_centroids(surv, vec_col, nlist=cfg.semantic_nlist)
+            cents = (
+                centroids
+                if centroids is not None
+                else train_centroids(surv, vec_col, nlist=cfg.semantic_nlist)
+            )
             applied = D.semdedup_apply(
                 surv, cents, vec_id_col, vec_col, threshold=cfg.semantic_threshold
             )

@@ -722,6 +722,44 @@ def test_cli_pipeline_attrition(spark, tmp_path, capsys):
     assert "--resume requires --stage-dir" in capsys.readouterr().err
 
 
+def test_cli_pipeline_streaming_twin(spark, tmp_path, capsys):
+    """pipeline --streaming: the composed gate chain over the same
+    corpus produces the batch verb's corpus (single wave, ascending
+    ids → the gates' first-wins == the batch min-id rule)."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    flags = [
+        "--no-c4", "--no-refinedweb", "--no-minhash",
+        "--gopher-min-words", "5", "--gopher-min-stop-hits", "0",
+    ]
+    out_b = str(tmp_path / "kept_batch")
+    assert cli.main(["pipeline", docs, "--out", out_b] + flags) == 0
+    capsys.readouterr()
+
+    # --streaming without --work-dir: usage error
+    rc = cli.main(["pipeline", docs, "--out", str(tmp_path / "x"), "--streaming"])
+    assert rc == 2
+    assert "--streaming requires --work-dir" in capsys.readouterr().err
+
+    out_s = str(tmp_path / "kept_stream")
+    rc = cli.main([
+        "pipeline", docs, "--out", out_s,
+        "--streaming", "--work-dir", str(tmp_path / "work"),
+    ] + flags)
+    assert rc == 0
+    card = json.loads(capsys.readouterr().out)
+    assert [s["stage"] for s in card["stages"]] == ["line", "exact", "quality"]
+    b = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_b).select("doc_id", "text").collect()
+    )
+    s = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_s).select("doc_id", "text").collect()
+    )
+    assert s == b == sorted(set(b))
+    assert card["kept_docs"] == len(s)
+
+
 def test_cli_mix_budgets(spark, tmp_path, capsys):
     import json as _json
 

@@ -35,6 +35,27 @@ OFFSETS = {
 }
 DIMS = ["region", "nation", "supplier", "part"]
 
+# every scaled file should carry at least this many row groups: a
+# parquet reader (Spark included) cannot split a file finer than its
+# row groups, whatever maxPartitionBytes says — a split only does work
+# if a row-group midpoint lands in its byte range. DuckDB's 122,880-row
+# default wrote sf10 documents as 5 × 50 MB groups, silently capping
+# every downstream scan at 5 of 32 local cores (the minhash signatures
+# stage measured 33.4 s; the identical plan over a 64-way-splittable
+# copy of the same rows runs in ~2 s). 64 ≥ 2× the bench parallelism.
+TARGET_ROW_GROUPS = 64
+
+
+def _row_group_size(total_rows: int) -> int:
+    """Rows per parquet row group for a ``total_rows`` file: small
+    enough that the file splits TARGET_ROW_GROUPS ways, capped at
+    DuckDB's own default. DuckDB quietly rounds the option to a
+    multiple of its 2048-row vector, so the formula speaks in those
+    units — asking for 512 writes 2048-row groups anyway."""
+    ideal = total_rows // TARGET_ROW_GROUPS + 1
+    rounded = ((ideal + 2047) // 2048) * 2048
+    return max(2048, min(122_880, rounded))
+
 
 def make_sf(src: str, dst: str, factor: int, tables: list[str] | None = None) -> None:
     """``tables`` restricts the output (e.g. only ``documents`` for a
@@ -86,7 +107,14 @@ def make_sf(src: str, dst: str, factor: int, tables: list[str] | None = None) ->
             )
             selects.append(f"SELECT {exprs} FROM '{src}/{t}.parquet'")
         union = " UNION ALL ".join(selects)
-        con.execute(f"COPY ({union}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        src_rows = con.execute(
+            f"SELECT count(*) FROM '{src}/{t}.parquet'"
+        ).fetchone()[0]
+        rg = _row_group_size(src_rows * factor)
+        con.execute(
+            f"COPY ({union}) TO '{dst}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
+        )
 
 
 def main() -> int:
