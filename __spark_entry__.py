@@ -3379,7 +3379,7 @@ def q_hybrid_context_flagship(spark, sf_dir):
     ]
     if _persist_oracle_artifacts():
         art = f"{ORACLE_ART_DIR}/flagship"
-        chunks.select("id", "sid", "sourcedoc", "originaltext").write.mode(
+        chunks.select("id", "doc_id", "sid", "sourcedoc", "originaltext").write.mode(
             "overwrite"
         ).parquet(f"{art}/chunks")
         vectors.select("id", "vector").write.mode("overwrite").parquet(
@@ -3397,10 +3397,12 @@ def q_hybrid_context_flagship(spark, sf_dir):
 # score desc/id, contrib 1/(60+rank), round 6, top 10) →
 # retrieve_context's hit→chunk join → context_range_join (scope 4 ⇒
 # half=2, shrunk to max(ceil(2·0.5),1)=1 below the 0.6 similarity
-# threshold, lo clamped at 0). Chunk table / vectors / query vector are
+# threshold, lo clamped at 0, and context scoped to the hit's DOCUMENT
+# — (sourcedoc, doc_id) — since sids restart per doc and several docs
+# can share one source path). Chunk table / vectors / query vector are
 # the persisted artifacts the Spark run itself indexed.
 SQL_FLAGSHIP = f"""
-WITH ch AS (SELECT id, sid, sourcedoc, originaltext
+WITH ch AS (SELECT id, doc_id, sid, sourcedoc, originaltext
             FROM read_parquet('{ORACLE_ART_DIR}/flagship/chunks/*.parquet')),
 q AS (SELECT qv FROM read_parquet('{ORACLE_ART_DIR}/flagship/query/*.parquet')),
 v AS (SELECT id, CAST(vector AS DOUBLE[]) AS vec
@@ -3429,16 +3431,18 @@ fused AS (
                + CASE WHEN bt.rnk IS NOT NULL THEN 1.0 / (60.0 + bt.rnk) ELSE 0.0 END, 6) AS score
   FROM vec_top vt FULL OUTER JOIN bm_top bt USING (id)
   ORDER BY score DESC, id LIMIT 10),
-hits AS (SELECT ch.sourcedoc, ch.sid, f.score FROM fused f JOIN ch USING (id)),
+hits AS (SELECT ch.sourcedoc, ch.doc_id, ch.sid, f.score FROM fused f JOIN ch USING (id)),
 bounds AS (
-  SELECT sourcedoc, sid AS hit_sid,
+  SELECT sourcedoc, doc_id, sid AS hit_sid,
          greatest(sid - (CASE WHEN score < 0.6 THEN greatest(CAST(ceil(2 * 0.5) AS INT), 1) ELSE 2 END), 0) AS lo,
          sid + (CASE WHEN score < 0.6 THEN greatest(CAST(ceil(2 * 0.5) AS INT), 1) ELSE 2 END) AS hi
   FROM hits)
-SELECT c2.sourcedoc, CAST(b.hit_sid AS BIGINT) AS hit_sid,
+SELECT c2.sourcedoc, CAST(c2.doc_id AS BIGINT) AS doc_id,
+       CAST(b.hit_sid AS BIGINT) AS hit_sid,
        CAST(c2.sid AS BIGINT) AS sid, c2.originaltext AS text
 FROM ch c2 JOIN bounds b
-  ON c2.sourcedoc = b.sourcedoc AND c2.sid BETWEEN b.lo AND b.hi
+  ON c2.sourcedoc = b.sourcedoc AND c2.doc_id = b.doc_id
+ AND c2.sid BETWEEN b.lo AND b.hi
 """
 
 

@@ -507,10 +507,19 @@ def _kb100k(spark) -> dict:
     out: dict = {}
     cfg = KBConfig(query_top_k=10)
     if not os.path.isdir(os.path.join(kb_dir, "chunks")):
+        from pyspark.sql import functions as F
+
         docs = (
             spark.read.parquet(f"{d}/documents.parquet")
             .orderBy("doc_id")
             .limit(100_000)
+            # compact the make_sf replica offsets (r * 2^41) into small
+            # unique ids: the chunk-id formula (doc_id * 2^22 + sid)
+            # overflows int64 past replica 0 otherwise
+            .withColumn(
+                "doc_id",
+                F.expr("(doc_id >> 41) * 100000 + (doc_id & ((1 << 41) - 1))"),
+            )
         )
         kb0 = KnowledgeBase(spark, kb_dir, cfg)
         t0 = time.time()

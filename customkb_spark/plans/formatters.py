@@ -16,12 +16,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _doc_keys(context_rows: DataFrame) -> list[str]:
+    """The document identity of a context-rows frame: sids restart per
+    ingested document, so when the retrieval path carries ``doc_id``
+    (several documents can share one source path) sections must
+    dedupe/merge per (sourcedoc, doc_id), never per sourcedoc alone —
+    two documents' unrelated sid-3 chunks are not the same section."""
+    return [c for c in ("sourcedoc", "doc_id") if c in context_rows.columns]
+
+
 def group_consecutive_sections(context_rows: DataFrame) -> DataFrame:
-    """(sourcedoc, group_id, sids, texts): merge rows where sid is
-    consecutive within a document (reference formatters.py:414-519).
-    Overlapping hit windows are first deduplicated per (doc, sid)."""
-    rows = context_rows.dropDuplicates(["sourcedoc", "sid"])
-    w = Window.partitionBy("sourcedoc").orderBy("sid")
+    """(sourcedoc[, doc_id], group_id, sids, texts): merge rows where
+    sid is consecutive within a document (reference
+    formatters.py:414-519). Overlapping hit windows are first
+    deduplicated per (doc, sid)."""
+    keys = _doc_keys(context_rows)
+    rows = context_rows.dropDuplicates([*keys, "sid"])
+    w = Window.partitionBy(*keys).orderBy("sid")
     is_new = F.when(
         F.lag("sid").over(w).isNull() | (F.lag("sid").over(w) != F.col("sid") - 1), 1
     ).otherwise(0)
@@ -36,13 +47,13 @@ def group_consecutive_sections(context_rows: DataFrame) -> DataFrame:
         lambda s: s["text"],
     )
     return (
-        grouped.groupBy("sourcedoc", "group_id")
+        grouped.groupBy(*keys, "group_id")
         .agg(
             F.min("sid").alias("start_sid"),
             F.max("sid").alias("end_sid"),
             F.array_join(ordered_texts, "\n").alias("section_text"),
         )
-        .orderBy("sourcedoc", "start_sid")
+        .orderBy(*keys, "start_sid")
     )
 
 
@@ -66,8 +77,9 @@ def format_references_batch(
     fields as the driver formatter's indented output — parse-equal, not
     byte-equal.
     """
-    rows = context_rows.dropDuplicates([qid_col, "sourcedoc", "sid"])
-    w = Window.partitionBy(qid_col, "sourcedoc").orderBy("sid")
+    keys = _doc_keys(context_rows)
+    rows = context_rows.dropDuplicates([qid_col, *keys, "sid"])
+    w = Window.partitionBy(qid_col, *keys).orderBy("sid")
     is_new = F.when(
         F.lag("sid").over(w).isNull() | (F.lag("sid").over(w) != F.col("sid") - 1), 1
     ).otherwise(0)
@@ -78,7 +90,7 @@ def format_references_batch(
         F.array_sort(F.collect_list(F.struct(F.col("sid"), F.col("text")))),
         lambda s: s["text"],
     )
-    sections = grouped.groupBy(qid_col, "sourcedoc", "group_id").agg(
+    sections = grouped.groupBy(qid_col, *keys, "group_id").agg(
         F.min("sid").alias("start_sid"),
         F.max("sid").alias("end_sid"),
         F.array_join(ordered_texts, "\n").alias("section_text"),
@@ -110,7 +122,9 @@ def format_references_batch(
         sep, prefix, suffix = "\n\n", "", ""
     ordered_sections = F.transform(
         F.array_sort(
-            F.collect_list(F.struct(F.col("sourcedoc"), F.col("start_sid"), rendered.alias("r")))
+            F.collect_list(
+                F.struct(*[F.col(k) for k in keys], F.col("start_sid"), rendered.alias("r"))
+            )
         ),
         lambda x: x["r"],
     )

@@ -160,12 +160,17 @@ def retrieve_context(
     """Hits → context rows (category filter → range join → ordered)."""
     cfg = cfg or KBConfig()
     has_cat = "primary_category" in index.chunks.columns
-    hit_rows = fused_hits.join(
-        index.chunks.select("id", "sourcedoc", "sid", "primary_category")
-        if has_cat
-        else index.chunks.select("id", "sourcedoc", "sid"),
-        "id",
+    # context is scoped to the DOCUMENT the hit lives in: sids restart
+    # per doc, so when several docs share one source path the sourcedoc
+    # key alone would join every same-sid-range chunk of every doc in
+    # the file (see context_range_join's key_cols note)
+    keys = (
+        ("sourcedoc", "doc_id")
+        if "doc_id" in index.chunks.columns
+        else ("sourcedoc",)
     )
+    lookup_cols = ["id", *keys, "sid"] + (["primary_category"] if has_cat else [])
+    hit_rows = fused_hits.join(index.chunks.select(*lookup_cols), "id")
     if categories and has_cat:
         hit_rows = hit_rows.filter(F.col("primary_category").isin(categories))
     elif categories:
@@ -174,11 +179,12 @@ def retrieve_context(
             "primary_category column — run categorize/import first"
         )
     return context_range_join(
-        hit_rows.select("sourcedoc", "sid", "score"),
+        hit_rows.select(*keys, "sid", "score"),
         index.chunks,
         cfg.query_context_scope,
         cfg.similarity_threshold,
         cfg.low_similarity_scope_factor,
+        key_cols=keys,
     )
 
 
@@ -308,7 +314,13 @@ def query_batch(
     query's windows in a single chunks scan."""
     cfg = cfg or KBConfig()
     fused = hybrid_search_batch(index, queries, cfg)
-    hit_rows = fused.join(index.chunks.select("id", "sourcedoc", "sid"), "id")
+    # doc-scoped context keys — same rationale as retrieve_context
+    keys = (
+        ["sourcedoc", "doc_id"]
+        if "doc_id" in index.chunks.columns
+        else ["sourcedoc"]
+    )
+    hit_rows = fused.join(index.chunks.select("id", *keys, "sid"), "id")
     from customkb_spark.operators.range_join import context_range
 
     bounds = F.broadcast(
@@ -317,21 +329,20 @@ def query_batch(
             cfg.low_similarity_scope_factor,
         ).select(
             "qid",
-            F.col("sourcedoc").alias("h_sourcedoc"),
+            *[F.col(k).alias(f"h_{k}") for k in keys],
             F.col("sid").alias("hit_sid"),
             "lo",
             "hi",
         )
     )
     chunks = index.chunks
-    joined = chunks.join(
-        bounds,
-        (chunks["sourcedoc"] == bounds["h_sourcedoc"])
-        & chunks["sid"].between(bounds["lo"], bounds["hi"]),
-    )
+    cond = chunks["sid"].between(bounds["lo"], bounds["hi"])
+    for k in keys:
+        cond = (chunks[k] == bounds[f"h_{k}"]) & cond
+    joined = chunks.join(bounds, cond)
     return joined.select(
-        "qid", "sourcedoc", "hit_sid", "sid", F.col("originaltext").alias("text")
-    ).orderBy("qid", "sourcedoc", "hit_sid", "sid")
+        "qid", *keys, "hit_sid", "sid", F.col("originaltext").alias("text")
+    ).orderBy("qid", *keys, "hit_sid", "sid")
 
 
 def rag_batch(

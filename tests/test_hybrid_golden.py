@@ -34,13 +34,16 @@ def _canon(rows) -> list[dict]:
         (
             {
                 "sourcedoc": r.sourcedoc,
+                "doc_id": r.doc_id,
                 "hit_sid": r.hit_sid,
                 "sid": r.sid,
                 "text_md5": hashlib.md5(r.text.encode()).hexdigest(),
             }
             for r in rows
         ),
-        key=lambda d: (d["sourcedoc"], d["hit_sid"], d["sid"], d["text_md5"]),
+        key=lambda d: (
+            d["sourcedoc"], d["doc_id"], d["hit_sid"], d["sid"], d["text_md5"]
+        ),
     )
 
 
@@ -50,7 +53,11 @@ def test_flagship_matches_golden_fixture(spark):
     with open(FIXTURE) as f:
         golden = json.load(f)
     got = _canon(E.entry(spark).collect())
-    assert len(got) == len(golden) == 424
+    # regenerated 2026-08-16: context became DOC-scoped (sourcedoc,
+    # doc_id) — the prior 424-row fixture included windows pulled from
+    # OTHER documents sharing a hit's source path (sids restart per
+    # doc), which was the cross-doc contamination bug, not a contract
+    assert len(got) == len(golden) == 19
     # exact, row-by-row: a readable first-diff beats a giant assert
     for g, w in zip(got, golden):
         assert g == w, f"first diff: got={g} want={w}"
