@@ -531,6 +531,13 @@ def _kb100k(spark) -> dict:
         t0 = time.time()
         kb0._build_index()  # trains + persists the vindex artifact
         out["index_build"] = round(time.time() - t0, 3)
+    if not os.path.isdir(os.path.join(kb_dir, "postings")):
+        # production posture: BM25 postings/stats persisted like the
+        # reference's NPZ index — without them every fresh session pays
+        # a full corpus tokenize (corpus_stats) inside _build_index
+        t0 = time.time()
+        KnowledgeBase(spark, kb_dir, cfg).build_bm25()
+        out["bm25_build"] = round(time.time() - t0, 3)
     # fresh facade: the per-round number is load-persisted + warm query
     kb = KnowledgeBase(spark, kb_dir, cfg)
     t0 = time.time()
