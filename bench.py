@@ -561,6 +561,19 @@ def _kb100k(spark) -> dict:
     out["query_min"] = round(times[0], 3)
     out["query_med"] = round(statistics.median(times), 3)
     out["query_max"] = round(times[-1], 3)
+    # the scale path: 64 queries through ONE distributed batch —
+    # per-query cost amortizes to a broadcast row, not a job round
+    from pyspark.sql import functions as F  # noqa: F811
+
+    qdf = spark.createDataFrame(
+        [(i, f"{queries[i % len(queries)]} variant {i}") for i in range(64)],
+        "qid long, query_text string",
+    )
+    t0 = time.time()
+    n_batch = kb.query_batch(qdf).count()
+    out["query_batch64"] = round(time.time() - t0, 3)
+    out["query_batch64_per_query"] = round((time.time() - t0) / 64, 4)
+    out["query_batch64_rows"] = n_batch
     for k, v in out.items():
         print(f"# kb100k {k}: {v}", file=sys.stderr)
     return out

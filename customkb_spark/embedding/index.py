@@ -349,11 +349,28 @@ def ivf_search_batch(
         # long breaks string/int-typed query ids at createDataFrame or,
         # worse, mismatches the join (ADVICE r2)
         qid_type = queries.schema[query_id_col].dataType.simpleString()
+        # localCheckpoint eagerly (runs NOW, while slots are free): a
+        # Python-parallelized local relation inside the broadcast
+        # exchange thread needs Python workers at broadcast time — if
+        # the main stages already hold every slot, the broadcast job
+        # starves and the query deadlocks (see hybrid_search_batch)
         probe_df = spark.createDataFrame(
             probes, f"{query_id_col} {qid_type}, cluster_id int"
-        )
-        cand = indexed_vectors.join(F.broadcast(probe_df), "cluster_id").join(
-            F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+        ).coalesce(1).localCheckpoint()
+        # STATIC probe filter before the join: the probed set is known
+        # driver-side (≤ Q × nprobe values), so push it as an isin —
+        # on a cluster_id-partitioned table this is plain partition
+        # pruning, the same guarantee the single-query path gets from
+        # its isin; relying on the broadcast join alone leaves the
+        # pruning to DPP, which this join shape doesn't always trigger
+        probed_set = sorted({c for _, c in probes})
+        cand = (
+            indexed_vectors.filter(F.col("cluster_id").isin(probed_set))
+            .join(F.broadcast(probe_df), "cluster_id")
+            .join(
+                F.broadcast(queries.select(query_id_col, query_vec_col)),
+                query_id_col,
+            )
         )
     else:
         raise ValueError(f"ivf_search_batch: unknown probe_mode {probe_mode!r}")

