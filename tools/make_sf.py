@@ -46,6 +46,27 @@ DIMS = ["region", "nation", "supplier", "part"]
 TARGET_ROW_GROUPS = 64
 
 
+def _replica_salt(r: int) -> str:
+    """Letters-only replica salt ('rb', 'rh', 'rbb', …).
+
+    LETTERS, not the replica number itself: CCNet-style line
+    normalization (operators/curation.line_normalize) strips DIGITS, so
+    a digit salt ('datar7') normalizes identically across every replica
+    and the pipeline's line-dedup gate collapses the whole scaled
+    corpus back to one replica — BENCH_full_r07's sf10 pipeline leg
+    measured docs_out == the sf1 leg's 5,208 because of exactly this.
+    Base-26 letters survive every normalizer in the suite, so replicas
+    stay distinct through the dedup gates and an sfN pipeline run
+    actually carries N× mass end-to-end."""
+    s = ""
+    n = r
+    while True:
+        s = chr(97 + n % 26) + s
+        n //= 26
+        if n == 0:
+            return "r" + s
+
+
 def _row_group_size(total_rows: int) -> int:
     """Rows per parquet row group for a ``total_rows`` file: small
     enough that the file splits TARGET_ROW_GROUPS ways, capped at
@@ -92,14 +113,17 @@ def make_sf(src: str, dst: str, factor: int, tables: list[str] | None = None) ->
                     # markers, BM25 query terms) survive for the term-matching
                     # queries to stay data-proportional. Within-replica
                     # structure (lengths, planted near-dups) is unchanged.
-                    # the salt attaches with NO separator ('datar7', not
-                    # 'data~r7'): the tokenizer is [a-z0-9]+ runs, so a
+                    # the salt attaches with NO separator ('datarb', not
+                    # 'data~rb'): the tokenizer is [a-z0-9]+ runs, so a
                     # separator would split the salt into its own token,
                     # inserting a positionally-aligned wildcard that
                     # RAISES cross-doc shingle collisions (measured 30x
-                    # pair inflation at sf10) instead of lowering them
+                    # pair inflation at sf10) instead of lowering them.
+                    # Salt characters are LETTERS ONLY (_replica_salt):
+                    # digit salts vanish under CCNet line normalization
+                    # and the pipeline's dedup gates collapse the corpus.
                     f"regexp_replace({c}, '(\\S+ \\S+ )(\\S+)', "
-                    f"'\\1\\2r{r}', 'g') AS {c}"
+                    f"'\\1\\2{_replica_salt(r)}', 'g') AS {c}"
                     if t == "documents" and c == "text" and r
                     else c
                 )
