@@ -136,6 +136,36 @@ def load_pq(spark: SparkSession, path: str) -> PQModel:
     return PQModel(books, cents, rotation)
 
 
+def dir_fingerprint(path: str | None) -> str | None:
+    """Cheap identity of a parquet table DIRECTORY: sorted (relpath,
+    size, mtime_ns) of its data files, hashed. Parquet data files are
+    immutable once written (every write creates new files), so listing
+    equality ⇒ content equality — a freshness check that costs two
+    ``os.walk``s instead of two full-table scans (VERDICT r7 #4: the
+    kb100k index_load spent its 13.5 s mostly in content_fingerprint
+    corpus scans that re-proved an unchanged directory unchanged).
+
+    Returns None when ``path`` isn't a local directory (object-store
+    URI, absent table) — callers fall back to content_fingerprint.
+    Any mismatch is also just a fallback, never a verdict: a rewrite
+    that produced identical content still passes the content check."""
+    import hashlib
+    import os
+
+    if not path or not os.path.isdir(path):
+        return None
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / .crc markers: not data
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            entries.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return hashlib.md5(repr(entries).encode()).hexdigest()
+
+
 def content_fingerprint(df: DataFrame, id_col: str, vec_col: str) -> str:
     """Order-independent content checksum: sum of ``xxhash64(id, vec)``
     accumulated in DECIMAL(38,0) (overflow-proof, partial-aggregated).
@@ -196,7 +226,7 @@ def incremental_index(
 # ------------------------------------------------- index-tier lifecycle
 
 
-def save_vector_index(tier, path: str) -> None:
+def save_vector_index(tier, path: str, source_dir: str | None = None) -> None:
     """Persist a ``VectorIndexTier`` (embedding/auto.py) — the engine's
     analogue of the reference writing ``<kb>.faiss`` next to the DB
     (embed_manager.py save path). Layout under ``path``:
@@ -206,11 +236,19 @@ def save_vector_index(tier, path: str) -> None:
     - ``indexed``: the derived table, PARTITIONED BY cluster_id.
 
     ``flat`` persists meta only — the raw vectors table IS the index.
+
+    ``source_dir`` (the vectors table's parquet directory, when the
+    caller reads it from one, e.g. KnowledgeBase) also pins the cheap
+    dir_fingerprint next to the content fingerprint, so a later load
+    of the UNCHANGED table skips the freshness corpus scan entirely.
     """
     spark = tier.vectors.sparkSession
     n = tier.indexed.count() if tier.indexed is not None else tier.vectors.count()
     fp = content_fingerprint(tier.vectors, tier.id_col, tier.vec_col)
-    _write_meta(spark, path, tier.kind, int(n), tier.id_col, tier.vec_col, fp)
+    _write_meta(
+        spark, path, tier.kind, int(n), tier.id_col, tier.vec_col, fp,
+        dir_fingerprint(source_dir),
+    )
     if tier.kind == "flat":
         return
     save_centroids(spark, tier.centroids, f"{path}/centroids")
@@ -221,11 +259,12 @@ def save_vector_index(tier, path: str) -> None:
     write_ivf_table(tier.indexed, f"{path}/indexed")
 
 
-def _write_meta(spark, path, kind, n, id_col, vec_col, fp) -> None:
+def _write_meta(spark, path, kind, n, id_col, vec_col, fp, src_fp=None) -> None:
     _write_single_file(
         spark,
-        [(kind, int(n), id_col, vec_col, fp)],
-        "kind string, n long, id_col string, vec_col string, fp string",
+        [(kind, int(n), id_col, vec_col, fp, src_fp)],
+        "kind string, n long, id_col string, vec_col string, fp string, "
+        "src_fp string",
         f"{path}/meta",
     )
 
@@ -266,7 +305,10 @@ def index_freshness(spark: SparkSession, path: str, vectors: DataFrame) -> str:
     return "stale"
 
 
-def load_vector_index(spark: SparkSession, path: str, vectors: DataFrame):
+def load_vector_index(
+    spark: SparkSession, path: str, vectors: DataFrame,
+    source_dir: str | None = None,
+):
     """Rehydrate a saved tier, refreshing it if the vectors table changed.
 
     Freshness is judged by a CONTENT fingerprint (content_fingerprint),
@@ -280,20 +322,29 @@ def load_vector_index(spark: SparkSession, path: str, vectors: DataFrame):
     - any in-place mutation, or ``ivfpq`` with any change → None
       (residual codes should be retrained/re-encoded; caller rebuilds);
     - no saved index / pre-fingerprint meta → None.
+
+    With ``source_dir`` (the directory ``vectors`` was read from) an
+    unchanged file listing PROVES the content unchanged (parquet files
+    are immutable) and the load skips the corpus scan — the warm-path
+    load is then metadata-only. A changed/absent listing only demotes
+    to the content check, never to a stale verdict.
     """
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
     except Exception:
         return None
     try:
-        return _load_tier(spark, path, vectors, meta)
+        return _load_tier(spark, path, vectors, meta, source_dir)
     except Exception:
         # partially-written/corrupt index dir (e.g. a killed save):
         # fall back to a fresh build rather than failing the query
         return None
 
 
-def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
+def _load_tier(
+    spark: SparkSession, path: str, vectors: DataFrame, meta,
+    source_dir: str | None = None,
+):
     from customkb_spark.embedding.auto import VectorIndexTier
 
     if meta.kind == "flat":
@@ -302,7 +353,11 @@ def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
     fp_old = getattr(meta, "fp", None)
     if fp_old is None:
         return None  # pre-fingerprint meta: can't prove freshness → rebuild
-    fp_now = content_fingerprint(vectors, meta.id_col, meta.vec_col)
+    src_fp_old = getattr(meta, "src_fp", None)
+    if src_fp_old is not None and dir_fingerprint(source_dir) == src_fp_old:
+        fp_now = fp_old  # unchanged listing ⇒ unchanged content
+    else:
+        fp_now = content_fingerprint(vectors, meta.id_col, meta.vec_col)
     cents = load_centroids(spark, f"{path}/centroids")
     if fp_now != fp_old:
         if meta.kind not in ("ivf", "ivfsq"):
@@ -337,7 +392,8 @@ def _load_tier(spark: SparkSession, path: str, vectors: DataFrame, meta):
             if appended.limit(1).count():
                 write_ivf_table(appended, f"{path}/indexed", mode="append")
         _write_meta(
-            spark, path, meta.kind, vectors.count(), meta.id_col, meta.vec_col, fp_now
+            spark, path, meta.kind, vectors.count(), meta.id_col, meta.vec_col,
+            fp_now, dir_fingerprint(source_dir),
         )
     indexed = spark.read.parquet(f"{path}/indexed")
     if meta.kind == "ivf":

@@ -237,25 +237,29 @@ class KnowledgeBase:
         ``{n_chunks, avgdl, n_terms, rebuilt}``."""
         from customkb_spark.operators import bm25 as B25
 
-        from customkb_spark.embedding.store import content_fingerprint
+        from customkb_spark.embedding.store import content_fingerprint, dir_fingerprint
 
         chunks = self._read("chunks")
-        n, avgdl = B25.corpus_stats(chunks, "originaltext", language=self.cfg.language)
-        # content fingerprint, not a bare row count: force re-ingest can
-        # rewrite text under unchanged ids and counts (ADVICE r2)
-        fp = content_fingerprint(chunks, "id", "originaltext")
         if not force and self._exists("bm25_meta"):
             meta = self._read("bm25_meta").collect()[0]
             # language is part of freshness: postings tokenized under a
-            # different stopword gate are the wrong index for this cfg
-            if (
-                getattr(meta, "chunks_fp", None) == fp
-                and getattr(meta, "language", "en") == self.cfg.language
+            # different stopword gate are the wrong index for this cfg.
+            # Unchanged chunks-dir listing proves content unchanged
+            # without any corpus scan; otherwise fall to the content
+            # fingerprint (force re-ingest can rewrite text under
+            # unchanged ids and counts, ADVICE r2).
+            src_fp = getattr(meta, "chunks_src_fp", None)
+            if getattr(meta, "language", "en") == self.cfg.language and (
+                (src_fp is not None and dir_fingerprint(self._p("chunks")) == src_fp)
+                or getattr(meta, "chunks_fp", None)
+                == content_fingerprint(chunks, "id", "originaltext")
             ):
                 return {
-                    "n_chunks": n, "avgdl": avgdl,
+                    "n_chunks": int(meta.n_chunks), "avgdl": float(meta.avgdl),
                     "n_terms": self._read("term_stats").count(), "rebuilt": False,
                 }
+        n, avgdl = B25.corpus_stats(chunks, "originaltext", language=self.cfg.language)
+        fp = content_fingerprint(chunks, "id", "originaltext")
         postings = B25.build_postings(chunks, "id", "originaltext", language=self.cfg.language)
         postings.write.mode("overwrite").parquet(self._p("postings"))
         # read back so term_stats aggregates the materialized table
@@ -263,12 +267,14 @@ class KnowledgeBase:
         postings = self._read("postings")
         stats = B25.build_term_stats(postings, n)
         stats.write.mode("overwrite").parquet(self._p("term_stats"))
-        from customkb_spark.embedding.store import _write_single_file
+        from customkb_spark.embedding.store import _write_single_file, dir_fingerprint
 
         _write_single_file(
             self.spark,
-            [(int(n), float(avgdl), fp, self.cfg.language)],
-            "n_chunks long, avgdl double, chunks_fp string, language string",
+            [(int(n), float(avgdl), fp, self.cfg.language,
+              dir_fingerprint(self._p("chunks")))],
+            "n_chunks long, avgdl double, chunks_fp string, language string, "
+            "chunks_src_fp string",
             self._p("bm25_meta"),
         )
         self._invalidate()
@@ -364,15 +370,22 @@ class KnowledgeBase:
             and self._exists("term_stats")
         ):
             return None, None, None
-        from customkb_spark.embedding.store import content_fingerprint
+        from customkb_spark.embedding.store import content_fingerprint, dir_fingerprint
 
         meta = self._read("bm25_meta").collect()[0]
-        if getattr(meta, "chunks_fp", None) != content_fingerprint(
-            chunks, "id", "originaltext"
-        ) or getattr(meta, "language", "en") != self.cfg.language:
-            # stale content OR a different stopword gate than this cfg —
-            # query terms would tokenize against the wrong index
+        if getattr(meta, "language", "en") != self.cfg.language:
+            # a different stopword gate than this cfg — query terms
+            # would tokenize against the wrong index
             return None, None, None
+        # cheap path first: an unchanged chunks-dir listing proves the
+        # content unchanged (parquet files are immutable) without the
+        # corpus scan; mismatch only demotes to the content check
+        src_fp = getattr(meta, "chunks_src_fp", None)
+        if src_fp is None or dir_fingerprint(self._p("chunks")) != src_fp:
+            if getattr(meta, "chunks_fp", None) != content_fingerprint(
+                chunks, "id", "originaltext"
+            ):
+                return None, None, None
         return (
             self._read("postings"),
             self._read("term_stats"),
@@ -422,14 +435,18 @@ class KnowledgeBase:
             # (<kb>.faiss analogue) instead of retraining; an IVF tier
             # absorbs appended vectors via FAISS-add-style incremental
             # assignment inside load_vector_index
-            vindex = IS.load_vector_index(self.spark, vpath, vectors)
+            vindex = IS.load_vector_index(
+                self.spark, vpath, vectors, source_dir=self._p("vectors")
+            )
             postings, term_stats, corpus = self._persisted_bm25(self._cached_chunks)
             self._index = HY.HybridIndex.build(
                 self._cached_chunks, vectors, cfg=self.cfg, vindex=vindex,
                 postings=postings, term_stats=term_stats, corpus=corpus,
             )
             if vindex is None and self._index.vindex is not None:
-                IS.save_vector_index(self._index.vindex, vpath)
+                IS.save_vector_index(
+                    self._index.vindex, vpath, source_dir=self._p("vectors")
+                )
         return self._index
 
     def query(
