@@ -158,6 +158,80 @@ SF1_QUERIES = [
 ]
 
 
+# ----------------------------------------------------------- anchors
+#
+# VERDICT r7 #1: every stall-vs-regression verdict this far has hinged
+# on "the box was degraded", proven only by prose and after-the-fact
+# probes. Each leg now brackets itself with two FROZEN-PLAN anchor
+# probes (min-of-3 each) and the artifact carries the measured
+# ``anchor_ratio`` — how many times slower the box ran than the pinned
+# reference regime. Consumers (bench_diff, _vs_prev) scale their
+# slowdown thresholds by the ratio, so a same-plan row that tracks the
+# anchor is a stall by ARTIFACT, not by argument.
+#
+# Two anchors, chosen to bracket the two resource profiles:
+#   tpch_q1 — scan+agg bound (parquet read, whole-stage codegen)
+#   shuffle — exchange bound (synthetic range → 100k-key hash agg;
+#             data-independent, no disk reads)
+# References are pinned to the best regime each anchor has been
+# measured in: tpch_q1 0.398 s (r6 idle box, BASELINE.md), shuffle
+# 0.667 s (r8 best-of-10 on the same box). Ratios are therefore ≥ ~1;
+# ~1.0-1.5 is a healthy interactive box, ≥3 a degraded one.
+ANCHOR_REF = {"tpch_q1": 0.398, "shuffle": 0.667}
+
+
+def _anchor_probe(spark) -> dict[str, float]:
+    """min-of-3 per anchor; ~3-5 s per call on a healthy box."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        E.q_tpch_q1_pricing_summary(spark, "/root/testdata/sf0.1").count()
+        best = min(best, time.time() - t0)
+    out["tpch_q1"] = round(best, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .withColumn("k", F.pmod(F.xxhash64("id"), F.lit(100_000)))
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s"), F.sum("n"))
+            .collect()
+        )
+        best = min(best, time.time() - t0)
+    out["shuffle"] = round(best, 3)
+    return out
+
+
+def _anchor_block(*probes: dict[str, float]) -> dict:
+    """Combine bracket probes into the artifact block: the per-anchor
+    MEAN across probes (start AND end — a leg that degraded midway
+    should show it) vs the pinned reference, geometric-meaned across
+    the two anchors."""
+    import math
+
+    names = (
+        ("start",) if len(probes) == 1
+        else ("start", "end") if len(probes) == 2
+        else ("start", "mid", "end")
+    )
+    block: dict = dict(zip(names, probes))
+    ratios = []
+    for k, ref in ANCHOR_REF.items():
+        vals = [p[k] for p in probes if k in p]
+        if vals:
+            ratios.append((sum(vals) / len(vals)) / ref)
+    if ratios:
+        block["ratio"] = round(
+            math.exp(sum(math.log(max(r, 1e-9)) for r in ratios) / len(ratios)), 3
+        )
+    return block
+
+
 def _plan_fingerprint(df) -> str:
     """Stable hash of the optimized plan (VERDICT r4 #4): lets the
     round artifacts decide stall-vs-regression without a judge re-run —
@@ -486,6 +560,59 @@ def _dedup_stage_split(spark, d: str) -> dict[str, float]:
     return out
 
 
+def _kb_query_stages(kb, queries: list[str]) -> dict[str, float]:
+    """Per-stage walls of the interactive KB query (VERDICT r7 #3c):
+    embed → vector probe → BM25 → fusion → context → format, each
+    stage materialized at its boundary so the timing covers exactly its
+    own plan. The boundaries make the stage SUM exceed the fused
+    end-to-end row (query_min/med, which pipelines them) — these rows
+    are for attribution, not for the headline."""
+    from customkb_spark.embedding.embedder import get_provider
+    from customkb_spark.functions.security import sanitize_query_text
+    from customkb_spark.operators import bm25 as B25
+    from customkb_spark.operators import fusion as FU
+    from customkb_spark.plans import hybrid as HY
+    from customkb_spark.plans.formatters import format_references
+
+    index = kb._build_index()
+    cfg = kb.cfg
+    stages: dict[str, list[float]] = {}
+
+    def mark(name: str, t0: float) -> None:
+        stages.setdefault(name, []).append(time.time() - t0)
+
+    for q in queries:
+        qt = sanitize_query_text(q)
+        t0 = time.time()
+        provider = get_provider(cfg.vector_model, cfg.vector_dimensions)
+        qv = provider.get_embeddings([qt])[0].tolist()
+        mark("embed", t0)
+        t0 = time.time()
+        vec = index.vindex.topk(qv, cfg.query_top_k, cfg.faiss_nprobe).localCheckpoint()
+        vec.count()
+        mark("vector", t0)
+        t0 = time.time()
+        terms = HY.query_terms(qt, cfg.bm25_min_token_length, cfg.language)
+        kw = B25.bm25_score(
+            index.postings, index.term_stats, terms, index.avgdl,
+            cfg.bm25_k1, cfg.bm25_b, cfg.bm25_max_results,
+        ).localCheckpoint()
+        kw.count()
+        mark("bm25", t0)
+        t0 = time.time()
+        fused = FU.rrf_fuse(vec, kw, cfg.rrf_k, cfg.query_top_k).localCheckpoint()
+        fused.count()
+        mark("fusion", t0)
+        t0 = time.time()
+        ctx = HY.retrieve_context(index, fused, cfg).localCheckpoint()
+        ctx.count()
+        mark("context", t0)
+        t0 = time.time()
+        format_references(ctx, "plain")
+        mark("format", t0)
+    return {name: round(min(v), 3) for name, v in stages.items()}
+
+
 def _kb100k(spark) -> dict:
     """VERDICT r6 #5: KnowledgeBase.query END-TO-END on a corpus where
     the AUTO index policy engages a compressed tier (100k chunks × 64
@@ -506,6 +633,18 @@ def _kb100k(spark) -> dict:
         return {}
     out: dict = {}
     cfg = KBConfig(query_top_k=10)
+    # build guard keys on the vindex artifact — the LAST thing the build
+    # phase persists (ADVICE r7: a crash after ingest but before the
+    # index persisted left a half-built KB whose next run silently
+    # folded centroid training into the 'index_load' number)
+    if os.path.isdir(os.path.join(kb_dir, "chunks")) and not os.path.isdir(
+        os.path.join(kb_dir, "vindex")
+    ):
+        import shutil
+
+        print(f"# kb100k: half-built KB at {kb_dir} (no vindex) — rebuilding",
+              file=sys.stderr)
+        shutil.rmtree(kb_dir, ignore_errors=True)
     if not os.path.isdir(os.path.join(kb_dir, "chunks")):
         from pyspark.sql import functions as F
 
@@ -515,26 +654,48 @@ def _kb100k(spark) -> dict:
             .limit(100_000)
             # compact the make_sf replica offsets (r * 2^41) into small
             # unique ids: the chunk-id formula (doc_id * 2^22 + sid)
-            # overflows int64 past replica 0 otherwise
+            # overflows int64 past replica 0 otherwise.
+            # PYTHON-SIDE mask literal, NOT F.expr("1 << 41"): Spark
+            # folds that shift in 32-bit INT (1<<41 ≡ 512), so the r7
+            # mask was 511 — 5,000 docs/replica collapsed onto 512
+            # compacted ids, the chunker's meta join fanned out ~100x,
+            # and the "100k-chunk" KB was really 2.09M rows carrying
+            # ~64 duplicate rows per chunk id. Every r7 kb100k number
+            # (and its quadratic context blowup) was measured on that
+            # corrupted corpus.
             .withColumn(
                 "doc_id",
-                F.expr("(doc_id >> 41) * 100000 + (doc_id & ((1 << 41) - 1))"),
+                F.shiftright("doc_id", 41) * F.lit(100_000)
+                + F.col("doc_id").bitwiseAND(F.lit((1 << 41) - 1)),
             )
         )
         kb0 = KnowledgeBase(spark, kb_dir, cfg)
         t0 = time.time()
         kb0.database(docs)
         out["ingest"] = round(time.time() - t0, 3)
+        # integrity gate: chunk ids must be UNIQUE — duplicate ids
+        # multiply every downstream id-join and the bench silently
+        # measures the corruption instead of the engine (exactly what
+        # the r7 32-bit-shift collision did)
+        chk = kb0._read("chunks")
+        n_rows, n_ids = chk.count(), chk.select("id").distinct().count()
+        if n_rows != n_ids:
+            raise RuntimeError(
+                f"kb100k corpus corrupt: {n_rows} chunk rows, {n_ids} distinct ids"
+            )
+        out["n_chunks"] = n_rows
         t0 = time.time()
         out["n_embedded"] = kb0.embed()
         out["embed"] = round(time.time() - t0, 3)
         t0 = time.time()
         kb0._build_index()  # trains + persists the vindex artifact
         out["index_build"] = round(time.time() - t0, 3)
-    if not os.path.isdir(os.path.join(kb_dir, "postings")):
+    if not os.path.isdir(os.path.join(kb_dir, "bm25_meta")):
         # production posture: BM25 postings/stats persisted like the
         # reference's NPZ index — without them every fresh session pays
-        # a full corpus tokenize (corpus_stats) inside _build_index
+        # a full corpus tokenize (corpus_stats) inside _build_index.
+        # Guard on bm25_meta, the LAST table the build writes, so a
+        # partial build re-runs instead of poisoning the load numbers.
         t0 = time.time()
         KnowledgeBase(spark, kb_dir, cfg).build_bm25()
         out["bm25_build"] = round(time.time() - t0, 3)
@@ -553,14 +714,25 @@ def _kb100k(spark) -> dict:
     ]
     kb.query(queries[0], log=False)  # warm (codegen/JIT, not counted)
     times = []
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("kb100k_queries", "warm interactive queries")
     for q in queries:
         t0 = time.time()
         kb.query(q, log=False)
         times.append(time.time() - t0)
+    # job-round attribution (VERDICT r7 #3): per-query latency at this
+    # scale is fixed scheduling rounds, not data — the count is the
+    # number to drive down
+    out["query_jobs_total"] = len(tracker.getJobIdsForGroup("kb100k_queries"))
+    spark.sparkContext.setJobGroup("", "")
     times.sort()
     out["query_min"] = round(times[0], 3)
     out["query_med"] = round(statistics.median(times), 3)
     out["query_max"] = round(times[-1], 3)
+    try:
+        out["query_stages"] = _kb_query_stages(kb, queries)
+    except Exception as e:  # attribution must not kill the leg
+        print(f"# kb100k stage split failed: {e}", file=sys.stderr)
     # the scale path: 64 queries through ONE distributed batch —
     # per-query cost amortizes to a broadcast row, not a job round
     from pyspark.sql import functions as F  # noqa: F811
@@ -576,6 +748,78 @@ def _kb100k(spark) -> dict:
     out["query_batch64_rows"] = n_batch
     for k, v in out.items():
         print(f"# kb100k {k}: {v}", file=sys.stderr)
+    return out
+
+
+def _streaming_pipeline_leg(spark) -> dict:
+    """VERDICT r7 #7: TIME the streaming pipeline twin (equality with
+    batch is already locked by tests/test_streaming_pipeline.py — this
+    measures what the streaming POSTURE costs on the same corpus).
+
+    The sf1 documents corpus arrives in three ascending-id waves
+    (replicas 0-3, 4-6, 7-9 — ascending arrival keeps the greedy gates
+    twin-exact with batch); each wave is one
+    ``streaming_curate_pipeline`` drain with per-gate walls. Config
+    matches the batch sf1_pipeline leg, so the artifact carries both
+    sides of the streaming-vs-batch ratio on identical data."""
+    import shutil
+    import tempfile
+
+    from customkb_spark.plans.pipeline import PipelineConfig
+    from customkb_spark.streaming.pipeline import (
+        streaming_curate_pipeline,
+        streaming_pipeline_final,
+    )
+
+    d = _sf1_dir()
+    if not d:
+        return {}
+    cfg = PipelineConfig(
+        c4_clean=False, refinedweb_clean=False, pii_scrub=True,
+        line_dedup=True, exact_dedup=True,
+        substring_dedup=True, substring_k=20,
+        minhash_dedup=True,
+        gopher_filter=True, gopher_min_stop_hits=0,
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_streampipe_")
+    src_dir = os.path.join(work, "source")
+    os.makedirs(src_dir)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    replica = F.shiftright("doc_id", 41)  # make_sf offsets replicas by 2^41
+    waves = [(0, 4), (4, 7), (7, 10)]
+    out: dict = {"waves": []}
+    try:
+        for w, (lo, hi) in enumerate(waves):
+            tmp = os.path.join(work, f"_wave{w}")
+            docs.filter((replica >= lo) & (replica < hi)).write.parquet(tmp)
+            n = 0
+            for fn in os.listdir(tmp):
+                if fn.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp, fn), os.path.join(src_dir, f"w{w}_{n}.parquet")
+                    )
+                    n += 1
+            t0 = time.time()
+            runs = streaming_curate_pipeline(
+                spark, src_dir, os.path.join(work, "wk"), cfg
+            )
+            out["waves"].append(
+                {
+                    "total": round(time.time() - t0, 3),
+                    "stages": {r.stage: r.seconds for r in runs},
+                }
+            )
+            print(f"# streampipe wave{w}: {out['waves'][-1]['total']}s", file=sys.stderr)
+        out["total"] = round(sum(wv["total"] for wv in out["waves"]), 3)
+        out["docs_out"] = streaming_pipeline_final(
+            spark, src_dir, os.path.join(work, "wk"), cfg
+        ).count()
+        print(f"# streampipe total: {out['total']}s docs_out={out['docs_out']}",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 
@@ -634,6 +878,13 @@ def _vs_prev(out: dict, prev_path: str) -> dict:
       MEDIAN did not (the container-stall signature);
     - ``regression``    — same plan, min AND med both degraded > 1.3x;
     - ``same``          — same plan, min within 1.3x.
+
+    The 1.3x threshold is ANCHOR-SCALED (VERDICT r7 #1): when this
+    run's leg anchor_ratio exceeds the previous artifact's, the leg ran
+    on a measurably slower box and the threshold stretches by the same
+    factor — a row that merely tracks the anchor is ``same``, decided
+    from the artifact instead of prose. The applied factor is recorded
+    per verdict row as ``anchor_scale``.
     """
     try:
         with open(prev_path) as f:
@@ -649,7 +900,14 @@ def _vs_prev(out: dict, prev_path: str) -> dict:
         ("sf1_plan_fp", "sf1_queries", "sf1_queries_med", "sf1:"),
         ("sf10_plan_fp", "sf10_queries", "sf10_queries_med", "sf10:"),
     ]
+    anchor_keys = {"": "anchor", "sf1:": "sf1_anchor", "sf10:": "sf10_anchor"}
     for fp_key, min_key, med_key, prefix in sections:
+        new_a = (out.get(anchor_keys[prefix]) or {}).get("ratio")
+        old_a = (prev.get(anchor_keys[prefix]) or {}).get("ratio")
+        scale = (
+            max(1.0, round(new_a / old_a, 2)) if new_a and old_a else 1.0
+        )
+        thresh = 1.3 * scale
         # the headline/extras leg follows $SPARK_GRAFT_SF_DIR — timings
         # are only comparable when both artifacts ran the same sf (the
         # sf1/sf10 legs are pinned by construction)
@@ -676,9 +934,9 @@ def _vs_prev(out: dict, prev_path: str) -> dict:
                     if q in new_med and q in old_med
                     else min_ratio
                 )
-                if min_ratio <= 1.3:
+                if min_ratio <= thresh:
                     v = "same"
-                elif med_ratio > 1.3:
+                elif med_ratio > thresh:
                     v = "regression"
                 else:
                     v = "same_plan_stall"
@@ -686,6 +944,8 @@ def _vs_prev(out: dict, prev_path: str) -> dict:
                 "verdict": v,
                 "min_ratio": round(new_min[q] / max(old_min[q], 1e-9), 2),
             }
+            if scale != 1.0:
+                verdicts[prefix + q]["anchor_scale"] = scale
     return verdicts
 
 
@@ -760,10 +1020,26 @@ def main() -> None:
             # and must not carry the accumulated-session old-gen
             # penalty the scale legs were moved out for
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()  # warm
-            print(json.dumps(_ann_build_search(spark, sf_dir)))
+            a0 = _anchor_probe(spark)
+            res = _ann_build_search(spark, sf_dir)
+            res["anchor"] = _anchor_block(a0, _anchor_probe(spark))
+            print(json.dumps(res))
             return
         if leg == "kb100k":
-            print(json.dumps(_kb100k(spark)))
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()  # warm
+            a0 = _anchor_probe(spark)
+            res = _kb100k(spark)
+            if res:
+                res["anchor"] = _anchor_block(a0, _anchor_probe(spark))
+            print(json.dumps(res))
+            return
+        if leg == "streampipe":
+            spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
+            a0 = _anchor_probe(spark)
+            res = _streaming_pipeline_leg(spark)
+            if res:
+                res["anchor"] = _anchor_block(a0, _anchor_probe(spark))
+            print(json.dumps(res))
             return
         d = _sf1_dir() if leg == "sf1" else _sf10_dir()
         if not d:
@@ -771,6 +1047,7 @@ def main() -> None:
             return
         names = SF1_QUERIES if leg == "sf1" else SF10_QUERIES
         spark.read.parquet(f"{d}/documents.parquet").count()  # warm
+        anchors = [_anchor_probe(spark)]
         # min of 2 (sf1) / 3 (sf10 — VERDICT r5 #9): the container shows
         # random multi-second stalls that strike a different query each
         # session; a single run records them as 10-20x per-query
@@ -781,6 +1058,11 @@ def main() -> None:
         mins, meds = _run(qs, spark, names, d, runs=runs, fps=leg_fps)
         out = {"min": mins, "med": meds, "fp": leg_fps}
         if leg == "sf10":
+            # mid-leg probe: the stage split runs after ~27 timed sf10
+            # queries, far enough from the start probe that the box can
+            # have changed regime under it (the r7 93s substr_stage_mark
+            # row was exactly this blind spot)
+            anchors.append(_anchor_probe(spark))
             try:
                 out["stages"] = _dedup_stage_split(spark, d)
             except Exception as e:  # stage probe must not kill the leg
@@ -793,12 +1075,15 @@ def main() -> None:
                 out["pipeline"] = _pipeline_durable(spark, d, leg)
             except Exception as e:
                 print(f"# pipeline leg failed: {e}", file=sys.stderr)
+        out["anchor"] = _anchor_block(*anchors, _anchor_probe(spark))
+        print(f"# {leg} anchor: {out['anchor']}", file=sys.stderr)
         print(json.dumps(out))
         return
 
     spark = get_spark("bench", cpus=cpus)
     # warm the JVM/parquet footer caches once (not counted)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    a0 = _anchor_probe(spark)
 
     # min of 3 for the headline: the container shows intermittent
     # multi-second stalls (an unlucky 2-run min recorded a 10s
@@ -820,6 +1105,8 @@ def main() -> None:
     out["extra_queries"] = extras
     out["extra_queries_med"] = extras_med
     out["plan_fp"] = fps
+    out["anchor"] = _anchor_block(a0, _anchor_probe(spark))
+    print(f"# headline anchor: {out['anchor']}", file=sys.stderr)
 
     ann = _leg("ann")
     if ann:
@@ -832,6 +1119,14 @@ def main() -> None:
         if kb100k:
             out["kb100k"] = kb100k
 
+    # VERDICT r7 #7: the streaming pipeline twin, timed (equality was
+    # already locked by tests; the bench answers "what does the
+    # streaming posture COST vs batch on the same corpus")
+    if not os.environ.get("SPARK_GRAFT_SKIP_STREAMPIPE"):
+        sp = _leg("streampipe")
+        if sp:
+            out["streaming_pipeline"] = sp
+
     if _sf1_dir():
         sf1_timings = _leg("sf1")
         if sf1_timings:
@@ -842,6 +1137,8 @@ def main() -> None:
             out["sf1"] = 1.0
             if sf1_timings.get("pipeline"):
                 out["sf1_pipeline"] = sf1_timings["pipeline"]
+            if sf1_timings.get("anchor"):
+                out["sf1_anchor"] = sf1_timings["anchor"]
 
     if _sf10_dir():
         sf10_timings = _leg("sf10")
@@ -854,6 +1151,8 @@ def main() -> None:
                 out["sf10_stages"] = sf10_timings["stages"]
             if sf10_timings.get("pipeline"):
                 out["sf10_pipeline"] = sf10_timings["pipeline"]
+            if sf10_timings.get("anchor"):
+                out["sf10_anchor"] = sf10_timings["anchor"]
 
     prev_path = os.environ.get(
         "SPARK_GRAFT_BENCH_PREV",

@@ -21,23 +21,54 @@ import json
 import sys
 
 SECTIONS = [
-    # (times-key, fingerprint-key, label)
-    ("queries", "plan_fp", "headline"),
-    ("extra_queries", "plan_fp", "extras"),
-    ("sf1_queries", "sf1_plan_fp", "sf1"),
-    ("sf10_queries", "sf10_plan_fp", "sf10"),
-    ("ann", None, "ann"),
+    # (times-key, fingerprint-key, label, anchor-key)
+    ("queries", "plan_fp", "headline", "anchor"),
+    ("extra_queries", "plan_fp", "extras", "anchor"),
+    ("sf1_queries", "sf1_plan_fp", "sf1", "sf1_anchor"),
+    ("sf10_queries", "sf10_plan_fp", "sf10", "sf10_anchor"),
+    ("ann", None, "ann", None),
 ]
+
+
+def _anchor_scale(old: dict, new: dict, akey: str | None) -> float:
+    """Threshold multiplier from the per-leg anchor blocks (VERDICT r7
+    #1): when the new run's frozen-plan anchors measured the box R×
+    slower than the old run's, a same-plan row R× slower is the BOX,
+    not the code — stretch the slowdown threshold by R. Leniency-only
+    (never < 1): a faster box must not shrink the threshold and start
+    flagging noise. The ``ann``/``kb100k`` dicts carry their anchor
+    inline under the reserved key ``anchor`` (skipped as a row)."""
+    if not akey:
+        akey = "anchor"
+    o = (old.get(akey) or {}).get("ratio")
+    n = (new.get(akey) or {}).get("ratio")
+    if not o or not n:
+        return 1.0
+    return max(1.0, n / o)
 
 
 def diff(old: dict, new: dict, threshold: float) -> list[tuple[str, str, str]]:
     """[(query, verdict, detail)] — verdicts: plan-change, stall,
     faster, steady, added, removed."""
     rows: list[tuple[str, str, str]] = []
-    for tkey, fkey, label in SECTIONS:
+    for tkey, fkey, label, akey in SECTIONS:
         o_t, n_t = old.get(tkey, {}), new.get(tkey, {})
         o_fp = old.get(fkey, {}) if fkey else {}
         n_fp = new.get(fkey, {}) if fkey else {}
+        if tkey == "ann":  # anchors ride inline in the leg dict
+            o_t = {k: v for k, v in o_t.items() if isinstance(v, (int, float))}
+            n_t = {k: v for k, v in n_t.items() if isinstance(v, (int, float))}
+        scale = _anchor_scale(
+            old if tkey != "ann" else old.get("ann", {}),
+            new if tkey != "ann" else new.get("ann", {}),
+            akey,
+        )
+        sec_threshold = threshold * scale
+        if scale != 1.0:
+            rows.append(
+                (f"{label}:(anchor)", "anchor",
+                 f"threshold scaled x{scale:.2f} -> {sec_threshold:.2f}")
+            )
         for q in sorted(set(o_t) | set(n_t)):
             name = f"{label}:{q}"
             if q not in n_t:
@@ -58,7 +89,7 @@ def diff(old: dict, new: dict, threshold: float) -> list[tuple[str, str, str]]:
             detail = f"{o_t[q]}s -> {n_t[q]}s ({ratio:.2f}x)"
             if fp_known and not fp_same:
                 rows.append((name, "plan-change", detail + " [fingerprint differs]"))
-            elif ratio >= threshold:
+            elif ratio >= sec_threshold:
                 verdict = "stall" if fp_same else "slower"
                 rows.append((name, verdict, detail + (" [same plan]" if fp_same else " [no fingerprint]")))
             elif ratio <= 1.0 / threshold:
