@@ -4155,16 +4155,53 @@ FROM s GROUP BY source ORDER BY source
 def q_multimodal_decode_full(spark, sf_dir):
     """Multimodal pipeline: JVM metadata pass ⋈ Arrow-batched decode
     stage (deterministic-fake dims) on media_id — both stages of the
-    binary-column story in one entry."""
+    binary-column story in one entry — ⋈ (r8) the REAL-codec P6
+    roundtrip: synthesize_ppm (dims are integer formulas of the id) →
+    decode_media (REAL header parse → src dims) → resize_images 24×16
+    (REAL decode → nearest-neighbor → re-encode) → decode_media again
+    (out dims) + the resized payload's byte length. The oracle derives
+    every ppm_* column from the generation formulas alone — fully
+    independent of the codec under test (multimodal.py:
+    _ppm_decode/_resize_nn/_ppm_encode)."""
     docs = _t(spark, sf_dir, "documents")
     media = MM.attach_media(docs)
     meta = MM.media_metadata(media)
     dec = _longs(MM.decode_media(media)).drop("kind")
-    return meta.join(dec, "media_id")
+    ppm = MM.synthesize_ppm(docs)
+    src = _longs(MM.decode_media(ppm)).select(
+        "media_id",
+        F.col("width").alias("ppm_src_width"),
+        F.col("height").alias("ppm_src_height"),
+        F.col("n_channels").alias("ppm_channels"),
+    )
+    resized = MM.resize_images(ppm, width=24, height=16).localCheckpoint(eager=False)
+    out_dims = _longs(
+        MM.decode_media(resized.withColumn("kind", F.lit("image")))
+    ).select(
+        "media_id",
+        F.col("width").alias("ppm_out_width"),
+        F.col("height").alias("ppm_out_height"),
+    )
+    out_bytes = resized.select(
+        "media_id", F.octet_length("content").cast("long").alias("ppm_out_bytes")
+    )
+    return (
+        meta.join(dec, "media_id")
+        .join(src, "media_id")
+        .join(out_dims, "media_id")
+        .join(out_bytes, "media_id")
+    )
 
 
 SQL_MM_FULL = f"""
-SELECT m.*, d.width, d.height, d.n_channels, d.duration_ms
+SELECT m.*, d.width, d.height, d.n_channels, d.duration_ms,
+       CAST(8 + m.media_id % 16 AS BIGINT) AS ppm_src_width,
+       CAST(8 + (m.media_id // 16) % 16 AS BIGINT) AS ppm_src_height,
+       CAST(3 AS BIGINT) AS ppm_channels,
+       CAST(24 AS BIGINT) AS ppm_out_width,
+       CAST(16 AS BIGINT) AS ppm_out_height,
+       -- header 'P6\\n24 16\\n255\\n' is 13 bytes + 24*16*3 pixel bytes
+       CAST(13 + 24*16*3 AS BIGINT) AS ppm_out_bytes
 FROM ({SQL_MM_META}) m JOIN ({SQL_MM_DECODE}) d USING (media_id)
 """
 

