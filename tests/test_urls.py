@@ -119,3 +119,46 @@ def test_domain_cap_no_single_partition_window(spark):
     # windows partition by (domain, bucket) — never domain alone on the
     # ranking side (the offsets window runs over the TINY counts table)
     assert "SinglePartition" not in plan
+
+
+def test_psl_snapshot_parses():
+    rules = U.load_public_suffix_rules()
+    assert "co.uk" in rules["exact"][2]
+    assert "com.au" in rules["exact"][2]
+    assert "ck" in rules["wild"][1]
+    assert "www.ck" in rules["exc"][2]
+    # no 1-label exact rules (implicit default covers them)
+    assert 1 not in rules["exact"]
+
+
+def test_registered_domain_psl_cases(spark):
+    """PSL algorithm on the vendored snapshot: multi-label TLDs,
+    wildcard registries, exception carve-outs, hosts that ARE a public
+    suffix (VERDICT r7 #6's done-bar cases)."""
+    cases = [
+        ("www.example.co.uk", "example.co.uk"),
+        ("a.b.example.com.au", "example.com.au"),
+        ("shop.example.gob.mx", "example.gob.mx"),
+        ("x.example.ac.jp", "example.ac.jp"),
+        ("example.com", "example.com"),
+        ("deep.sub.example.com", "example.com"),
+        # wildcard *.ck: anything.ck is itself a public suffix
+        ("www.foo.ck", "www.foo.ck"),          # n = suffix+1 → registrable
+        ("a.www.foo.ck", "www.foo.ck"),
+        # exception !www.ck: www.ck is registrable despite the wildcard
+        ("www.ck", "www.ck"),
+        ("a.www.ck", "www.ck"),
+        # host IS a public suffix → pass through unchanged
+        ("co.uk", "co.uk"),
+        ("com", "com"),
+        # unknown TLD → implicit default rule (1-label suffix)
+        ("example.zz", "example.zz"),
+        ("a.b.example.zz", "example.zz"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r[0]
+        for r in df.select(U.registered_domain(F.col("host"))).collect()
+    ]
+    for (host, want), g in zip(cases, got):
+        assert g == want, f"{host}: got {g!r}, want {want!r}"
