@@ -2,7 +2,8 @@
 
 Streaming forms a training-data pipeline needs beyond batch dedup
 (operators/dedup.py) — one gate per duplicate geometry: exact
-(``streaming_dedup_exact``), lexical near-dup
+(``streaming_exact_dedup`` standing-state / ``streaming_dedup_exact``
+watermark-bounded), lexical near-dup
 (``streaming_minhash_dedup``), semantic (``streaming_semantic_dedup``),
 exact substrings (``streaming_substring_dedup``), normalized lines
 (``streaming_line_dedup``), perceptual media
@@ -43,13 +44,154 @@ def streaming_dedup_exact(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Exact streaming dedup: first occurrence of each whitespace-
-    normalized content hash wins; state expires past the watermark."""
+    normalized content hash wins; state expires past the watermark.
+
+    The bounded-state form: duplicates arriving after the lateness
+    horizon are re-admitted (the documented trade at 100 TB/day).
+    For the PERMANENT guarantee — dedup against everything ever
+    processed, across drains and restarts — use the standing-state
+    ``streaming_exact_dedup`` gate below (ADVICE r7: the pipeline's
+    exact stage promised cross-invocation dedup but decayed with this
+    operator's watermark)."""
     hashed = docs_stream.withColumn("_text_hash", content_hash(F.col(text_col)))
     return (
         hashed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_text_hash"])
         .drop("_text_hash")
     )
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Exact-dedup admission gate with PERMANENT standing state — the
+    line/substring gates' discipline applied to whole-document content
+    hashes: a document is admitted iff its whitespace-normalized hash
+    has never been seen in any prior micro-batch, drain, or process
+    (state is a parquet table, not executor memory — no watermark
+    expiry, restart-safe).
+
+    Standing state under ``kept_dir``:
+      - ``docs``:   the admitted documents (``id_col``, ``text_col``);
+      - ``hashes``: (kp, thash, src_id) — one row per ADMITTED doc
+        (rejected copies share their winner's hash), PARTITIONED BY
+        ``kp`` (md5 prefix) so per-batch probes prune state files.
+
+    Per micro-batch (foreachBatch), the substring/line gates' replay
+    discipline: decisions run over the FULL epoch with state rows from
+    this epoch's own ids excluded (a crash between the hash append and
+    the docs append must not make the replay reject its own batch);
+    only the docs WRITE is pruned to not-yet-finalized ids; hashes
+    append FIRST (a doc present in docs but missing from hashes would
+    silently stop deduping against it).
+
+    Streaming == batch: with ids ascending in arrival order, admitted
+    docs equal batch ``exact_duplicates``-keep-min-id on the
+    concatenated corpus.
+    """
+    doc_path = os.path.join(kept_dir, "docs")
+    hash_path = os.path.join(kept_dir, "hashes")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(F.col(id_col), F.col(text_col))
+            .withColumn("_h", content_hash(F.col(text_col)))
+            .localCheckpoint()
+        )
+        if not batch.limit(1).count():
+            return
+        done_any = False
+        if os.path.isdir(doc_path):
+            finalized = spark.read.parquet(doc_path).select(id_col)
+            done_any = bool(
+                batch.join(finalized, id_col, "left_semi").limit(1).count()
+            )
+            if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+                return  # epoch fully finalized (pure replay)
+
+        # batch-internal winner per hash: first arrival = min id
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+        firsts = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(hash_path):
+            kps = [
+                r["kp"]
+                for r in batch.select(
+                    F.concat(F.lit("k"), F.substring("_h", 1, 2)).alias("kp")
+                ).distinct().collect()
+            ]
+            state = spark.read.parquet(hash_path).filter(F.col("kp").isin(kps))
+            seen = (
+                state.join(
+                    F.broadcast(batch.select(F.col("_h").alias("thash")).distinct()),
+                    "thash",
+                    "left_semi",
+                )
+                .join(
+                    F.broadcast(batch.select(F.col(id_col).alias("src_id"))),
+                    "src_id",
+                    "left_anti",  # self-exclusion: replay of a partial commit
+                )
+                .select("thash")
+                .distinct()
+            )
+            firsts = firsts.join(
+                seen.select(F.col("thash").alias("_h")), "_h", "left_anti"
+            )
+        admitted = firsts.localCheckpoint()
+        if not admitted.limit(1).count():
+            return
+        # hashes FIRST (crash ordering — see docstring). kp carries a
+        # letter prefix ('k3f') so partition-value type inference can
+        # never flip the column to a numeric type when every written
+        # prefix happens to be digits (ANSI cast error on the probe).
+        admitted.select(
+            F.concat(F.lit("k"), F.substring("_h", 1, 2)).alias("kp"),
+            F.col("_h").alias("thash"),
+            F.col(id_col).alias("src_id"),
+        ).write.mode("append").partitionBy("kp").parquet(hash_path)
+        out = admitted.drop("_h")
+        if done_any:
+            finalized = spark.read.parquet(doc_path).select(id_col)
+            out = out.join(finalized, id_col, "left_anti")
+        out.write.mode("append").parquet(doc_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _probe_state(spark: SparkSession, path: str, kps: list) -> DataFrame:
+    """Read a kp-partitioned standing table pruned to the probe's key
+    prefixes, robust to partition-value TYPE INFERENCE: when every
+    standing dir so far happens to be all-digits ('33', '07', …) Spark
+    infers kp as a NUMBER, and a later probe containing a hex prefix
+    like 'd7' would ANSI-cast-error the whole micro-batch (surfaced by
+    the r8 exact-gate test with a single-partition state). A prefix
+    that isn't numeric cannot exist in a numeric keyspace, so it is
+    dropped from the probe rather than cast."""
+    from pyspark.sql import types as T
+
+    state = spark.read.parquet(path)
+    if not isinstance(state.schema["kp"].dataType, T.StringType):
+        vals = [int(k) for k in kps if str(k).lstrip("-").isdigit()]
+        if not vals:
+            return state.filter(F.lit(False))
+        return state.filter(F.col("kp").isin(vals))
+    return state.filter(F.col("kp").isin([str(k) for k in kps]))
 
 
 def _merge_term_stats(spark: SparkSession, batch_stats: DataFrame, stats_path: str) -> None:
@@ -273,7 +415,7 @@ def streaming_minhash_dedup(
             # landed-partition pruning: only standing buckets under the
             # batch's own key prefixes are scanned (≤256 values)
             kps = [r["kp"] for r in bb.select("kp").distinct().collect()]
-            standing = spark.read.parquet(bucket_path).filter(F.col("kp").isin(kps))
+            standing = _probe_state(spark, bucket_path, kps)
             cand = (
                 bb.select("band", "band_key", F.col("id").alias("id_a"))
                 .join(
@@ -587,7 +729,7 @@ def streaming_line_dedup(
                     F.substring("_h", 1, 2).alias("kp")
                 ).distinct().collect()
             ]
-            state = spark.read.parquet(line_path).filter(F.col("kp").isin(kps))
+            state = _probe_state(spark, line_path, kps)
             seen = (
                 state.join(F.broadcast(batch_hashes), "lhash", "left_semi")
                 .join(
@@ -758,9 +900,7 @@ def streaming_phash_dedup(
         admitted = hashed
         if os.path.isdir(bucket_path):
             kps = [r["kp"] for r in bb.select("kp").distinct().collect()]
-            standing = spark.read.parquet(bucket_path).filter(
-                F.col("kp").isin(kps)
-            )
+            standing = _probe_state(spark, bucket_path, kps)
             cand = (
                 bb.select("band", "band_key", F.col("id").alias("id_a"))
                 .join(

@@ -103,6 +103,19 @@ def _dir_source(source_path: str, work_dir: str) -> str:
             import shutil
 
             shutil.copy2(source_path, link)
+    elif not os.path.islink(link):
+        # copy fallback: refresh when the caller overwrote the source
+        # file between drains (ADVICE r7 — a stale copy silently made
+        # later drains process nothing new; copy2 preserves mtime so
+        # the stat pair detects any rewrite). NOTE: overwriting one
+        # file in place is still at-most-once per (size, mtime) under
+        # Spark's file-source dedup-by-path — growing corpora should
+        # ADD files/dirs; this refresh just stops the silent no-op.
+        src_st, dst_st = os.stat(source_path), os.stat(link)
+        if (src_st.st_size, src_st.st_mtime_ns) != (dst_st.st_size, dst_st.st_mtime_ns):
+            import shutil
+
+            shutil.copy2(source_path, link)
     return d
 
 
@@ -117,7 +130,9 @@ def streaming_curate_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_col: str = "source",
-    watermark: str = "24 hours",
+    watermark: str = "24 hours",  # legacy, unused since r8: every gate
+    # keeps PERMANENT parquet state (the exact gate was the last
+    # watermark consumer); kept so existing callers don't break
     await_secs: int = 600,
 ) -> list[StageRun]:
     """Drain the CURRENT content of ``source_path`` through the enabled
@@ -227,7 +242,12 @@ def streaming_curate_pipeline(
         cur_path = os.path.join(work_dir, "line", "docs")
         cur_text = "clean_text"
 
-    # ---- exact dedup (first-arrival per content hash)
+    # ---- exact dedup (first-arrival per content hash, PERMANENT
+    # standing state — ADVICE r7: the watermarked
+    # dropDuplicatesWithinWatermark form re-admitted exact copies of
+    # docs older than the watermark, decaying the CLI's "dedup against
+    # everything already processed" guarantee; the standing-parquet
+    # gate matches the line/substring gates' cross-drain semantics)
     if cfg.exact_dedup:
 
         @gate("exact")
@@ -237,23 +257,9 @@ def streaming_curate_pipeline(
             # streaming line gate finalizes them with empty text, so the
             # drop happens on the NEXT stage's input (same survivors)
             s = s.select(cur_id, cur_text).filter(F.length(cur_text) > 0)
-            # event time: the gates strip ride-along columns, so the
-            # exact gate keys its watermark to processing time — state
-            # for a hash expires `watermark` after its doc was SEEN,
-            # which is the admission-gate semantic (first copy wins)
-            s = s.withColumn("_ts", F.current_timestamp())
-            out = SD.streaming_dedup_exact(
-                s, text_col=cur_text, ts_col="_ts", watermark=watermark
-            ).drop("_ts")
-            q = (
-                out.writeStream.format("parquet")
-                .option("path", os.path.join(out_dir, "docs"))
-                .option("checkpointLocation", ck)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(await_secs)
+            SD.streaming_exact_dedup(
+                s, out_dir, ck, id_col=cur_id, text_col=cur_text
+            ).awaitTermination(await_secs)
 
         cur_path = os.path.join(work_dir, "exact", "docs")
 
@@ -509,6 +515,33 @@ def streaming_pipeline_report(
         if stage == "semantic":
             d_out = spark.read.parquet(base).count()
             t_out = t_in  # id-level verdicts; token accounting follows docs
+        elif stage == "quality" and os.path.isdir(
+            os.path.join(work_dir, "semantic")
+        ):
+            # the quality gate streams from the MINHASH output (it
+            # commutes with semantic, which is intersected only at
+            # final assembly) — but this card chains docs_in from the
+            # semantic row, so count quality ∩ semantic survivors or
+            # the chained attrition goes NEGATIVE whenever semantic
+            # removed more docs than quality (ADVICE r7)
+            df = spark.read.parquet(os.path.join(base, "docs"))
+            tcol = text_col if text_col in df.columns else (
+                "clean_text" if "clean_text" in df.columns else "text"
+            )
+            icol = id_col if id_col in df.columns else "id"
+            sem = spark.read.parquet(os.path.join(work_dir, "semantic")).select(
+                F.col("vec_id").alias(icol)
+            )
+            row = (
+                df.join(sem, icol, "left_semi")
+                .filter(F.length(tcol) > 0)
+                .agg(
+                    F.count("*").alias("d"),
+                    F.coalesce(F.sum(F.size(X.tokens(tcol))), F.lit(0)).alias("t"),
+                )
+                .collect()[0]
+            )
+            d_out, t_out = int(row["d"]), int(row["t"])
         elif stage == "budget":
             adm = spark.read.parquet(os.path.join(base, "admitted"))
             r = adm.agg(

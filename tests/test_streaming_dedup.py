@@ -706,3 +706,73 @@ def test_chained_streaming_gates_equal_batch_pipeline(spark, tmp_path):
     assert {i: stream_texts[i] for i in stream_kept} == {
         i: batch_texts[i] for i in batch_kept
     }
+
+
+def test_streaming_exact_dedup_permanent_across_drains(spark, tmp_path):
+    """The standing-state exact gate (r8, ADVICE r7): a duplicate
+    arriving in a LATER drain — arbitrarily long after the original —
+    is still rejected, because state is a parquet table, not a
+    watermark-bounded store. Also: within-batch first-arrival (min id)
+    wins, and a replayed epoch is idempotent."""
+    src = str(tmp_path / "src")
+    kept = str(tmp_path / "kept")
+    ck = str(tmp_path / "ck")
+
+    def drain(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(src)
+        s = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        SD.streaming_exact_dedup(s, kept, ck).awaitTermination(120)
+
+    # wave 1: 1 wins over its ws-normalized twin 2; 3 unique
+    drain([(1, "alpha beta gamma"), (2, "alpha   beta\tgamma"), (3, "unique one")])
+    kept1 = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{kept}/docs").collect()
+    )
+    assert kept1 == [1, 3]
+    # wave 2 (a separate drain — no watermark clock involved): exact
+    # copy of doc 1 rejected, fresh doc admitted
+    drain([(10, "alpha beta gamma"), (11, "brand new text")])
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{kept}/docs").collect()
+    )
+    assert kept2 == [1, 3, 11]
+    # standing hash state matches the admitted docs
+    hashes = spark.read.parquet(f"{kept}/hashes")
+    assert sorted(r["src_id"] for r in hashes.collect()) == [1, 3, 11]
+
+
+def test_streaming_exact_dedup_partial_commit_replay(spark, tmp_path):
+    """Crash between the hashes append and the docs append: the replay
+    must still admit the batch (self-exclusion on src_id), and must not
+    double-write docs that DID land."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    kept = str(tmp_path / "kept")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    ).write.parquet(src)
+    # simulate the partial commit by hand: hashes row for doc 1 exists,
+    # docs row does not
+    from customkb_spark.operators.dedup import content_hash
+
+    pre = (
+        spark.read.parquet(src)
+        .filter(F.col("doc_id") == 1)
+        .select(
+            F.concat(
+                F.lit("k"), F.substring(content_hash(F.col("text")), 1, 2)
+            ).alias("kp"),
+            content_hash(F.col("text")).alias("thash"),
+            F.col("doc_id").alias("src_id"),
+        )
+    )
+    pre.write.partitionBy("kp").parquet(f"{kept}/hashes")
+    s = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    SD.streaming_exact_dedup(s, kept, str(tmp_path / "ck")).awaitTermination(120)
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{kept}/docs").collect()
+    )
+    assert kept_ids == [1, 2]  # doc 1 NOT rejected by its own orphan hash
