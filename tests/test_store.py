@@ -277,3 +277,49 @@ def test_write_ivf_table_one_file_per_cluster(spark, embeddings, tmp_path):
     dirs = glob.glob(f"{path}/cluster_id=*")
     assert len(dirs) >= 2
     assert len(files) == len(dirs)  # exactly one file per cluster
+
+
+def test_dir_fingerprint_shortcut_skips_content_scan(spark, embeddings, tmp_path, monkeypatch):
+    """r8 (VERDICT r7 #4): with the vectors table saved from a parquet
+    directory, an UNCHANGED listing loads the tier WITHOUT any
+    content-fingerprint corpus scan; a changed listing falls back to
+    the content check (correctly fresh when content is identical)."""
+    from customkb_spark.embedding.auto import VectorIndexTier
+
+    vdir = str(tmp_path / "vectors")
+    embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).write.parquet(vdir)
+    vectors = spark.read.parquet(vdir)
+    cents = train_centroids(vectors, "vector", nlist=4)
+    tier = VectorIndexTier(
+        "ivf", vectors, "id", "vector",
+        centroids=cents, indexed=assign_clusters(vectors, cents, "vector"),
+    )
+    p = str(tmp_path / "vindex")
+    S.save_vector_index(tier, p, source_dir=vdir)
+    meta = spark.read.parquet(f"{p}/meta").collect()[0]
+    assert meta.src_fp == S.dir_fingerprint(vdir)
+
+    # unchanged listing: content_fingerprint must never run
+    def boom(*a, **k):
+        raise AssertionError("content scan on an unchanged directory")
+
+    monkeypatch.setattr(S, "content_fingerprint", boom)
+    loaded = S.load_vector_index(spark, p, vectors, source_dir=vdir)
+    assert loaded is not None and loaded.kind == "ivf"
+    monkeypatch.undo()
+
+    # changed listing (rewrite with identical content): falls back to
+    # the content check and still loads fresh
+    rewritten = str(tmp_path / "vectors2")
+    spark.read.parquet(vdir).repartition(2).write.parquet(rewritten)
+    vectors2 = spark.read.parquet(rewritten)
+    loaded2 = S.load_vector_index(spark, p, vectors2, source_dir=rewritten)
+    assert loaded2 is not None and loaded2.kind == "ivf"
+
+
+def test_dir_fingerprint_none_for_missing_or_uri():
+    assert S.dir_fingerprint(None) is None
+    assert S.dir_fingerprint("/nonexistent/zzz") is None
+    assert S.dir_fingerprint("s3://bucket/table") is None
