@@ -971,7 +971,11 @@ def _leg(leg_name: str) -> dict[str, float] | None:
         text=True, start_new_session=True,
     )
     try:
-        stdout, stderr = proc.communicate(timeout=1800)
+        # 2700s: the sf10 leg now carries min-of-3 queries + the dedup
+        # stage split + (opt-in) the durable pipeline over a corpus
+        # whose replicas REALLY survive dedup (r8 salt fix) — the r7
+        # 1800s cap was sized for the collapsed corpus
+        stdout, stderr = proc.communicate(timeout=2700)
     except subprocess.TimeoutExpired:
         # a stalled leg must not take the whole bench down — the
         # headline/extras/ANN results are already measured and the
