@@ -1158,10 +1158,16 @@ def main() -> None:
             if sf10_timings.get("anchor"):
                 out["sf10_anchor"] = sf10_timings["anchor"]
 
+    # default prev = the DRIVER's r7 final-code artifact (healthy-ish
+    # regime, headline 31.14 s), preserved under its own name because
+    # every bench run overwrites BENCH_full.json. The builder's own r7
+    # snapshot (BENCH_full_r07.json) was taken in a 9.6x-degraded
+    # regime and is useless as a comparison base (VERDICT r7 "What's
+    # wrong" #3).
     prev_path = os.environ.get(
         "SPARK_GRAFT_BENCH_PREV",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r06.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r07_driver.json"
         ),
     )
     vs = _vs_prev(out, prev_path)
