@@ -134,8 +134,51 @@ def format_references_batch(
     return sections.groupBy(qid_col).agg(assembled.alias("reference_string"))
 
 
+class _Section:
+    __slots__ = ("sourcedoc", "start_sid", "end_sid", "section_text")
+
+    def __init__(self, sourcedoc, start_sid, end_sid, section_text):
+        self.sourcedoc = sourcedoc
+        self.start_sid = start_sid
+        self.end_sid = end_sid
+        self.section_text = section_text
+
+
+def _sections_local(context_rows: DataFrame) -> list:
+    """Driver-side twin of :func:`group_consecutive_sections` for the
+    single-query path: the input is bounded by k·(scope+1) rows, and
+    running the dedup + two windows + agg as a Spark plan costs ~7 AQE
+    scheduler rounds (measured as the dominant share of interactive KB
+    latency, VERDICT r7 #3b) to group fewer than a hundred rows. One
+    collect, then pure python with IDENTICAL semantics: dedupe per
+    (doc keys, sid) — text per (doc, sid) is unique, so which duplicate
+    survives is value-irrelevant — merge consecutive sids per document,
+    order sections by (doc keys, start_sid). The batch path keeps the
+    distributed form (format_references_batch)."""
+    keys = _doc_keys(context_rows)
+    rows = context_rows.select(*keys, "sid", "text").collect()
+    dedup: dict = {}
+    for r in rows:
+        kk = tuple(r[k] for k in keys) + (r["sid"],)
+        dedup.setdefault(kk, r["text"])
+    sections: list[_Section] = []
+    prev_doc, prev_sid = None, None
+    texts: list[str] = []
+    for kk in sorted(dedup):
+        doc, sid = kk[:-1], kk[-1]
+        if doc == prev_doc and sid == prev_sid + 1:
+            sections[-1].end_sid = sid
+            texts.append(dedup[kk])
+            sections[-1].section_text = "\n".join(texts)
+        else:
+            texts = [dedup[kk]]
+            sections.append(_Section(doc[0], sid, sid, dedup[kk]))
+        prev_doc, prev_sid = doc, sid
+    return sections
+
+
 def format_references(context_rows: DataFrame, fmt: str = "plain") -> str:
-    sections = group_consecutive_sections(context_rows).collect()
+    sections = _sections_local(context_rows)
     if fmt == "xml":
         parts = ["<references>"]
         for s in sections:
