@@ -252,3 +252,46 @@ def test_streaming_pipeline_rejects_quality_budget(spark, tmp_path):
     cfg = PipelineConfig(quality_token_budget=1000)
     with pytest.raises(ValueError, match="corpus-global"):
         SP.streaming_curate_pipeline(spark, str(tmp_path), str(tmp_path), cfg)
+
+
+def test_report_quality_row_monotone_under_semantic(spark, tmp_path):
+    """ADVICE r7: the attrition card chains the quality row's docs_in
+    from the semantic row, but the quality gate streams from the
+    MINHASH output — when semantic removes more docs than quality, the
+    naive count made docs_out > docs_in (negative attrition). The card
+    must count quality ∩ semantic survivors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    work = str(tmp_path / "wk")
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i} alpha beta") for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    # hand-built standing dirs: minhash kept everything, semantic kept
+    # only ids 1-2, quality (from minhash input) kept 1-5
+    os.makedirs(work)
+    docs.select(F.col("doc_id").alias("id"), "text").write.parquet(
+        f"{work}/minhash/docs"
+    )
+    spark.createDataFrame([(1,), (2,)], "vec_id long").write.parquet(
+        f"{work}/semantic"
+    )
+    docs.filter(F.col("doc_id") <= 5).select(
+        F.col("doc_id").alias("id"), "text"
+    ).write.parquet(f"{work}/quality/docs")
+
+    from customkb_spark.streaming import pipeline as SP
+
+    rows = {r["stage"]: r for r in SP.streaming_pipeline_report(
+        spark, src, work, id_col="doc_id"
+    ).collect()}
+    q = rows["quality"]
+    sem = rows["semantic"]
+    # chained from semantic: docs_in = 2, docs_out = |quality ∩ semantic| = 2
+    assert q["docs_in"] == sem["docs_out"] == 2
+    assert q["docs_out"] <= q["docs_in"]
+    assert q["doc_removed_frac"] >= 0.0
