@@ -181,16 +181,19 @@ ANCHOR_REF = {"tpch_q1": 0.398, "shuffle": 0.667}
 
 
 def _anchor_probe(spark) -> dict[str, float]:
-    """min-of-3 per anchor; ~3-5 s per call on a healthy box."""
+    """min-of-3 per anchor; ~3-5 s per call on a healthy box. A probe
+    must never kill its leg — a missing frozen dataset just drops that
+    anchor from the block (the shuffle anchor is data-independent)."""
     from pyspark.sql import functions as F
 
     out: dict[str, float] = {}
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        E.q_tpch_q1_pricing_summary(spark, "/root/testdata/sf0.1").count()
-        best = min(best, time.time() - t0)
-    out["tpch_q1"] = round(best, 3)
+    if os.path.isdir("/root/testdata/sf0.1"):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            E.q_tpch_q1_pricing_summary(spark, "/root/testdata/sf0.1").count()
+            best = min(best, time.time() - t0)
+        out["tpch_q1"] = round(best, 3)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
