@@ -46,3 +46,23 @@ def test_zero_vs_zero_is_steady():
     new = _mk({"q": 0.0}, {"q": "abc"})
     (row,) = diff(old, new, threshold=1.5)
     assert row[1] == "steady"
+
+
+def test_anchor_scaled_threshold_absorbs_regime_slowdown():
+    """r8: a same-plan row 2.5x slower on a box whose anchors measured
+    2.5x slower is steady, not a stall; without anchors it flags."""
+    old = _mk({"q": 1.0}, {"q": "abc"})
+    new = _mk({"q": 2.5}, {"q": "abc"})
+    (row,) = diff(old, new, threshold=1.5)
+    assert row[1] == "stall"  # no anchors: flagged
+    old["anchor"] = {"ratio": 1.0}
+    new["anchor"] = {"ratio": 2.5}
+    rows = diff(old, new, threshold=1.5)
+    verdicts = {name: v for name, v, _ in rows}
+    assert verdicts["headline:q"] == "steady"
+    assert verdicts["headline:(anchor)"] == "anchor"  # the scaling is visible
+    # leniency-only: a FASTER box must not tighten the gate
+    old["anchor"], new["anchor"] = {"ratio": 2.0}, {"ratio": 1.0}
+    new["queries"]["q"] = 1.4
+    rows = diff(old, new, threshold=1.5)
+    assert {n: v for n, v, _ in rows}["headline:q"] == "steady"
