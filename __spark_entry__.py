@@ -4176,7 +4176,13 @@ def q_multimodal_decode_full(spark, sf_dir):
     )
     resized = MM.resize_images(ppm, width=24, height=16).localCheckpoint(eager=False)
     out_dims = _longs(
-        MM.decode_media(resized.withColumn("kind", F.lit("image")))
+        MM.decode_media(
+            # declared format, not content sniffing (ADVICE r8): the
+            # real-codec gate keys off metadata the caller asserts
+            resized.withColumn("kind", F.lit("image")).withColumn(
+                "format", F.lit("ppm")
+            )
+        )
     ).select(
         "media_id",
         F.col("width").alias("ppm_out_width"),

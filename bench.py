@@ -552,14 +552,22 @@ def _dedup_stage_split(spark, d: str) -> dict[str, float]:
     sig.count()
     out["minhash_stage_signatures"] = round(time.time() - t, 3)
     t = time.time()
-    pairs = D.minhash_candidate_pairs(
-        D.minhash_band_buckets(sig, 16, 4)
-    ).localCheckpoint()
-    pairs.count()
+    bb = D.minhash_band_buckets(sig, 16, 4).localCheckpoint()
+    pairs = D.minhash_candidate_pairs(bb).localCheckpoint()
+    n_cand = pairs.count()
     out["minhash_stage_pairs"] = round(time.time() - t, 3)
     t = time.time()
-    D.jaccard_verify(aug, pairs, shingles_df=sh, threshold=0.5).count()
+    n_ver = D.jaccard_verify(aug, pairs, shingles_df=sh, threshold=0.5).count()
     out["minhash_stage_verify"] = round(time.time() - t, 3)
+    # pair-mass columns (VERDICT r8 #2) — cheap aggs on the frames the
+    # stage split already materialized; same corpus as the standalone
+    # minhash_lsh_dedup row, so its wall swings become attributable too
+    out["minhash_candidate_pairs"] = int(n_cand)
+    out["minhash_verified_pairs"] = int(n_ver)
+    out["minhash_max_bucket"] = int(
+        bb.groupBy("band", "band_key").count().agg(F.max("count")).first()[0]
+        or 0
+    )
     return out
 
 
@@ -648,6 +656,33 @@ def _kb100k(spark) -> dict:
         print(f"# kb100k: half-built KB at {kb_dir} (no vindex) — rebuilding",
               file=sys.stderr)
         shutil.rmtree(kb_dir, ignore_errors=True)
+    # integrity marker (ADVICE r8): the chunk-id-uniqueness gate used to
+    # run only inside the fresh-ingest branch, so a REUSED KB dir built
+    # by corrupted code (the r7 32-bit-shift corpus) was re-measured
+    # unchecked. A marker file written after a passed check makes the
+    # gate effectively run on every leg: marker-less caches (any
+    # pre-marker or foreign build) get the cheap distinct-id check now,
+    # rebuilding on mismatch like the half-built guard.
+    id_marker = os.path.join(kb_dir, "chunk_ids_unique.ok")
+    if os.path.isdir(os.path.join(kb_dir, "chunks")) and not os.path.exists(
+        id_marker
+    ):
+        from customkb_spark.kb import KnowledgeBase as _KB
+
+        chk = _KB(spark, kb_dir, cfg)._read("chunks")
+        n_rows, n_ids = chk.count(), chk.select("id").distinct().count()
+        if n_rows == n_ids:
+            with open(id_marker, "w") as fh:
+                fh.write(f"{n_rows}\n")
+        else:
+            import shutil
+
+            print(
+                f"# kb100k: reused KB corrupt ({n_rows} rows / {n_ids} "
+                "distinct ids) — rebuilding",
+                file=sys.stderr,
+            )
+            shutil.rmtree(kb_dir, ignore_errors=True)
     if not os.path.isdir(os.path.join(kb_dir, "chunks")):
         from pyspark.sql import functions as F
 
@@ -686,6 +721,8 @@ def _kb100k(spark) -> dict:
             raise RuntimeError(
                 f"kb100k corpus corrupt: {n_rows} chunk rows, {n_ids} distinct ids"
             )
+        with open(id_marker, "w") as fh:
+            fh.write(f"{n_rows}\n")
         out["n_chunks"] = n_rows
         t0 = time.time()
         out["n_embedded"] = kb0.embed()
@@ -855,7 +892,10 @@ def _pipeline_durable(spark, d: str, tag: str) -> dict:
         return spark.read.parquet(p)
 
     t0 = time.time()
-    _, report = curate_pipeline(docs, cfg, materialize=materialize)
+    stage_stats: dict = {}
+    _, report = curate_pipeline(
+        docs, cfg, materialize=materialize, stage_stats=stage_stats
+    )
     rows = report.orderBy("stage_no").collect()
     total = round(time.time() - t0, 3)
     shutil.rmtree(stage_dir, ignore_errors=True)
@@ -863,6 +903,14 @@ def _pipeline_durable(spark, d: str, tag: str) -> dict:
         "total": total,
         "stages": {r["stage"]: r["stage_seconds"] for r in rows},
     }
+    # pair-mass columns (VERDICT r8 #2): candidate/verified pairs + max
+    # bucket for the dominant shuffle, so a 2x wall swing on the minhash
+    # stage is decidable from the artifact (same mass → regime; else →
+    # data/plan)
+    if stage_stats.get("minhash_dedup"):
+        out["minhash_mass"] = stage_stats["minhash_dedup"]
+        print(f"# pipeline[{tag}] minhash_mass: {out['minhash_mass']}",
+              file=sys.stderr)
     if rows:
         out["docs_out"] = rows[-1]["docs_out"]
     for name, t in out["stages"].items():
@@ -871,7 +919,7 @@ def _pipeline_durable(spark, d: str, tag: str) -> dict:
     return out
 
 
-def _vs_prev(out: dict, prev_path: str) -> dict:
+def _vs_prev(out: dict, prev_path: str, vs_best: dict | None = None) -> dict:
     """VERDICT r5 #3: per-query verdict against the previous round's
     committed artifact, decided from PLAN FINGERPRINTS + min/med:
 
@@ -943,13 +991,113 @@ def _vs_prev(out: dict, prev_path: str) -> dict:
                     v = "regression"
                 else:
                     v = "same_plan_stall"
+                # BEST-FLOOR override (VERDICT r8 #5): a would-be
+                # regression that sits within threshold of the best time
+                # EVER recorded at this (plan, corpus) means the
+                # previous run was unusually fast weather, not that this
+                # run regressed — verdicts key off the floor, not the
+                # previous run's regime
+                fb = (vs_best or {}).get(prefix + q)
+                if v == "regression" and fb:
+                    fa = fb.get("best_anchor")
+                    fscale = (
+                        max(1.0, round(new_a / fa, 2)) if new_a and fa else 1.0
+                    )
+                    if fb["ratio"] <= 1.3 * fscale:
+                        v = "same_vs_best"
             verdicts[prefix + q] = {
                 "verdict": v,
                 "min_ratio": round(new_min[q] / max(old_min[q], 1e-9), 2),
             }
+            fb = (vs_best or {}).get(prefix + q)
+            if fb:
+                verdicts[prefix + q]["vs_best"] = fb["ratio"]
             if scale != 1.0:
                 verdicts[prefix + q]["anchor_scale"] = scale
     return verdicts
+
+
+def _corpus_fp(d: str | None) -> str:
+    """Metadata fingerprint of a corpus dir: md5 over sorted (relpath,
+    size) of its parquet files. Changes whenever make_sf regenerates a
+    corpus at the same path (the r8 letter-salt fix changed sf10's DATA
+    without moving it), so best-ever floors never compare timings
+    across different corpora."""
+    import hashlib
+
+    if not d or not os.path.isdir(d):
+        return ""
+    items = []
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                items.append((os.path.relpath(p, d), os.path.getsize(p)))
+    return hashlib.md5(json.dumps(sorted(items)).encode()).hexdigest()[:12]
+
+
+def _update_best(out: dict, sf_dir: str, best_path: str) -> dict:
+    """VERDICT r8 #5: rolling BEST-EVER floor per (section:query,
+    plan_fp, corpus_fp), kept in a small committed JSON. The large-
+    shuffle sf10 rows swing 2-5x across same-fingerprint runs — min-of-3
+    within one run cannot bracket that, but the best ever recorded at
+    the same plan AND same corpus is a true floor: ``vs_best`` ratios
+    near 1 mean this run found a healthy regime; far above 1 with a
+    same plan+corpus mean weather, not regression. A plan or corpus
+    change RESETS the floor (old floors are not comparable).
+
+    Mutates ``best_path`` (update-on-improve) and returns the artifact's
+    ``vs_best`` rows: {qualified_query: {best, ratio, best_anchor}}."""
+    try:
+        with open(best_path) as f:
+            best = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        best = {}
+    sections = [
+        ("", "queries", "plan_fp", sf_dir, "anchor"),
+        ("", "extra_queries", "plan_fp", sf_dir, "anchor"),
+        ("sf1:", "sf1_queries", "sf1_plan_fp", _sf1_dir(), "sf1_anchor"),
+        ("sf10:", "sf10_queries", "sf10_plan_fp", _sf10_dir(), "sf10_anchor"),
+    ]
+    vs_best: dict[str, dict] = {}
+    cfps: dict[str, str] = {}
+    for prefix, tkey, fkey, d, akey in sections:
+        times = out.get(tkey) or {}
+        fps = out.get(fkey) or {}
+        if not times:
+            continue
+        cfp = cfps.setdefault(d or "", _corpus_fp(d))
+        aratio = (out.get(akey) or {}).get("ratio")
+        for q, t in times.items():
+            fp = fps.get(q)
+            if fp is None:
+                continue
+            key = prefix + q
+            ent = best.get(key)
+            if (
+                not isinstance(ent, dict)
+                or ent.get("plan_fp") != fp
+                or ent.get("corpus_fp") != cfp
+            ):
+                ent = {"best": t, "plan_fp": fp, "corpus_fp": cfp,
+                       "anchor_ratio": aratio}
+            elif t < ent.get("best", float("inf")):
+                ent = {**ent, "best": t, "anchor_ratio": aratio}
+            best[key] = ent
+            vs_best[key] = {
+                "best": ent["best"],
+                "ratio": round(t / max(ent["best"], 1e-9), 2),
+            }
+            if ent.get("anchor_ratio"):
+                vs_best[key]["best_anchor"] = ent["anchor_ratio"]
+    try:
+        with open(best_path, "w") as f:
+            json.dump(best, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"# best floors: {best_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"# could not write {best_path}: {e}", file=sys.stderr)
+    return vs_best
 
 
 def _leg(leg_name: str) -> dict[str, float] | None:
@@ -1173,7 +1321,16 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r07_driver.json"
         ),
     )
-    vs = _vs_prev(out, prev_path)
+    # best-ever floors first (VERDICT r8 #5): _vs_prev's regression
+    # verdicts key off them, and the artifact carries the vs_best rows
+    best_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_BEST",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BEST.json"),
+    )
+    vb = _update_best(out, sf_dir, best_path)
+    if vb:
+        out["vs_best"] = vb
+    vs = _vs_prev(out, prev_path, vs_best=vb)
     if vs:
         out["vs_prev"] = vs
         out["vs_prev_source"] = os.path.basename(prev_path)

@@ -71,13 +71,18 @@ def probe_query_embedding(
 
     now = time.time() if now is None else now
     key = query_cache_key(query_text, model)
+    if not os.path.isdir(path):
+        # existence check BEFORE the memo (ADVICE r8): a backing table
+        # deleted/pruned by another process must read as a miss, not a
+        # process-memory hit — drop the stale memo rows for this path
+        for k in [k for k in _MEMO if k[0] == path]:
+            _MEMO.pop(k, None)
+        cache_stats.record(cache_stats.QUERY_TTL_CACHE, misses=1)
+        return None
     memo = _MEMO.get((path, key))
     if memo is not None and memo[1] > now - ttl_days * 86400.0:
         cache_stats.record(cache_stats.QUERY_TTL_CACHE, hits=1)
         return list(memo[0])
-    if not os.path.isdir(path):
-        cache_stats.record(cache_stats.QUERY_TTL_CACHE, misses=1)
-        return None
     rows = (
         spark.read.parquet(path)
         .filter(

@@ -285,6 +285,7 @@ def minhash_lsh_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """End-to-end MinHash→LSH→Jaccard-verify near-dup pairs.
 
@@ -292,10 +293,31 @@ def minhash_lsh_duplicates(
     rather than cached: measured, in-memory caching of the wide shingle
     arrays costs more than the recompute because it breaks whole-stage
     codegen fusion with the scan. At 100 TB, write shingle_sets() to a
-    table between the two jobs instead and pass it via ``shingles_df``."""
+    table between the two jobs instead and pass it via ``shingles_df``.
+
+    ``stats`` (VERDICT r8 #2): pass a dict to receive the run's PAIR
+    MASS — ``max_bucket`` (largest (band, band_key) bucket),
+    ``candidate_pairs``, ``verified_pairs`` — so a wall-time swing on
+    the biggest dedup shuffle is decidable from artifacts (pair-mass
+    growth vs box regime). The stats path materializes the narrow
+    bucket/pair frames it counts (localCheckpoint), so the extra aggs
+    never recompute the signature scan."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    cands = minhash_candidate_pairs(minhash_band_buckets(sigs, num_hashes, bands))
-    return jaccard_verify(docs, cands, id_col, text_col, shingle_n, threshold)
+    bb = minhash_band_buckets(sigs, num_hashes, bands)
+    if stats is None:
+        cands = minhash_candidate_pairs(bb)
+        return jaccard_verify(docs, cands, id_col, text_col, shingle_n, threshold)
+    bb = bb.localCheckpoint()
+    stats["max_bucket"] = int(
+        bb.groupBy("band", "band_key").count().agg(F.max("count")).first()[0] or 0
+    )
+    cands = minhash_candidate_pairs(bb).localCheckpoint()
+    stats["candidate_pairs"] = cands.count()
+    verified = jaccard_verify(
+        docs, cands, id_col, text_col, shingle_n, threshold
+    ).localCheckpoint()
+    stats["verified_pairs"] = verified.count()
+    return verified
 
 
 def simhash_fingerprints(

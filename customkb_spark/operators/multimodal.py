@@ -181,6 +181,7 @@ def synthesize_ppm(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("kind", T.StringType(), False),
+            T.StructField("format", T.StringType(), False),
             T.StructField("content", T.BinaryType(), True),
         ]
     )
@@ -200,6 +201,9 @@ def synthesize_ppm(
                 {
                     "media_id": pdf[id_col],
                     "kind": "image",
+                    # declared format — decode_media's real-codec gate
+                    # keys off this, never off content sniffing
+                    "format": "ppm",
                     "content": payloads,
                 }
             )
@@ -220,24 +224,49 @@ def _fake_dims(payload: bytes, kind: str) -> tuple[int, int, int, int]:
     return width, height, channels, duration
 
 
+def _format_col(media: DataFrame):
+    """Declared media format, wherever the frame carries it: a flat
+    ``format`` column, the ``meta.format`` field, or NULL when the
+    frame declares nothing."""
+    if "format" in media.columns:
+        return F.col("format")
+    if "meta" in media.columns:
+        mt = media.schema["meta"].dataType
+        if hasattr(mt, "fields") and any(f.name == "format" for f in mt.fields):
+            return F.col("meta.format")
+    return F.lit(None).cast("string")
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode stage: binary → typed dimensions via mapInPandas.
 
-    Arrow-batched; one output row per input row. P6 PPM payloads decode
-    for REAL (header-parsed width/height, 3 channels); other formats
-    fall to the deterministic ``_fake_dims`` stand-in (PIL/ffmpeg not in
-    this container). Audio/video get duration_ms."""
+    Arrow-batched; one output row per input row. Payloads DECLARED as
+    P6 PPM (``format``/``meta.format`` == 'ppm') decode for REAL
+    (header-parsed width/height, 3 channels); every other declared
+    format falls to the deterministic ``_fake_dims`` stand-in
+    (PIL/ffmpeg not in this container). The real-codec branch is gated
+    on the declared format, NOT content sniffing (ADVICE r8): a text
+    payload that happens to parse as well-formed PPM must not diverge
+    from the format-blind oracle twin. Frames with no format metadata
+    keep the legacy sniff-then-fake behavior. Audio/video get
+    duration_ms."""
 
-    def _dims(payload, kind):
-        img = _ppm_decode(payload)
-        if img is not None:
-            return img.shape[1], img.shape[0], 3, 0
+    def _dims(payload, kind, fmt):
+        if fmt == "ppm" or fmt is None:
+            img = _ppm_decode(payload)
+            if img is not None and (fmt == "ppm" or kind == "image"):
+                return img.shape[1], img.shape[0], 3, 0
         return _fake_dims(payload, kind)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            fmts = [
+                None if f is None or (isinstance(f, float) and pd.isna(f)) else f
+                for f in pdf["_fmt"]
+            ]
             dims = [
-                _dims(c, k) for c, k in zip(pdf["content"], pdf["kind"])
+                _dims(c, k, f)
+                for c, k, f in zip(pdf["content"], pdf["kind"], fmts)
             ]
             yield pd.DataFrame(
                 {
@@ -250,9 +279,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "kind", "content").mapInPandas(
-        batches, DECODED_SCHEMA
-    )
+    return media.select(
+        "media_id", "kind", "content", _format_col(media).alias("_fmt")
+    ).mapInPandas(batches, DECODED_SCHEMA)
 
 
 def media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:

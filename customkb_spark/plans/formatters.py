@@ -164,9 +164,15 @@ def _sections_local(context_rows: DataFrame) -> list:
     sections: list[_Section] = []
     prev_doc, prev_sid = None, None
     texts: list[str] = []
-    for kk in sorted(dedup):
+    # null-safe ordering (ADVICE r8): a NULL sourcedoc/doc_id/sid must
+    # sort first (Spark's asc-nulls-first default) instead of raising
+    # TypeError in Python tuple comparison. Non-null strings compare by
+    # code point, which equals Spark's UTF8-binary collation exactly
+    # (UTF-8 byte order preserves code-point order at every plane).
+    for kk in sorted(dedup, key=lambda kk: tuple((v is not None, v) for v in kk)):
         doc, sid = kk[:-1], kk[-1]
-        if doc == prev_doc and sid == prev_sid + 1:
+        if doc == prev_doc and sid is not None and prev_sid is not None \
+                and sid == prev_sid + 1:
             sections[-1].end_sid = sid
             texts.append(dedup[kk])
             sections[-1].section_text = "\n".join(texts)

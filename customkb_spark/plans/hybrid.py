@@ -267,10 +267,19 @@ def retrieve_context_hits(
         bounds.append(
             tuple(r[k] for k in keys) + (r["sid"], max(r["sid"] - eff, 0), r["sid"] + eff)
         )
-    h_schema = (
-        "h_sourcedoc string"
-        + (", h_doc_id long" if "doc_id" in keys else "")
-        + ", hit_sid long, lo long, hi long"
+    # bounds schema DERIVED from the chunks table (ADVICE r8): key and
+    # sid types follow whatever the caller's table carries (string
+    # doc_ids, int sids, …) instead of hardcoded string/long literals —
+    # the values come from collected chunks rows, so they match by
+    # construction
+    from pyspark.sql import types as T
+
+    h_schema = T.StructType(
+        [
+            T.StructField(f"h_{k}", index.chunks.schema[k].dataType)
+            for k in keys
+        ]
+        + [T.StructField(c, sid_t) for c in ("hit_sid", "lo", "hi")]
     )
     h = F.broadcast(spark.createDataFrame(bounds, h_schema))
     chunks = index.chunks

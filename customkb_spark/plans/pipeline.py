@@ -105,6 +105,7 @@ def curate_pipeline(
     materialize: Callable[[str, DataFrame], DataFrame] | None = None,
     resume: Callable[[str], DataFrame | None] | None = None,
     centroids=None,
+    stage_stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the enabled stages in canonical order. Returns
     ``(kept_docs, report)`` — ``kept_docs`` has the input schema (text
@@ -132,6 +133,13 @@ def curate_pipeline(
     (``streaming.pipeline.streaming_curate_pipeline``) for exact
     batch/stream parity, or reuse a standing index's centroids so
     repeated pipeline runs dedup in a stable cell geometry.
+
+    ``stage_stats`` (optional dict): receives per-stage mass
+    instrumentation — currently the minhash stage's
+    ``{"minhash_dedup": {max_bucket, candidate_pairs,
+    verified_pairs}}`` (see ``minhash_lsh_duplicates``) so bench
+    artifacts can attribute wall-time swings on the dominant shuffle
+    to pair mass vs environment.
 
     ``resume(stage_name) -> df | None`` is consulted BEFORE each
     stage runs: a non-None return becomes the stage's output directly,
@@ -262,6 +270,12 @@ def curate_pipeline(
 
     if cfg.minhash_dedup:
         def _mh(df):
+            # pair-mass instrumentation rides along when the caller
+            # asks (VERDICT r8 #2): candidate/verified pair counts +
+            # max bucket land in stage_stats["minhash_dedup"]
+            mh_stats: dict | None = None
+            if stage_stats is not None:
+                mh_stats = stage_stats.setdefault("minhash_dedup", {})
             pairs = D.minhash_lsh_duplicates(
                 df,
                 id_col,
@@ -270,6 +284,7 @@ def curate_pipeline(
                 bands=cfg.minhash_bands,
                 shingle_n=cfg.minhash_shingle_n,
                 threshold=cfg.minhash_threshold,
+                stats=mh_stats,
             )
             comp = D.connected_components(pairs)
             losers = comp.filter(F.col("id") != F.col("cluster_id"))

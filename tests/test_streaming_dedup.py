@@ -776,3 +776,113 @@ def test_streaming_exact_dedup_partial_commit_replay(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(f"{kept}/docs").collect()
     )
     assert kept_ids == [1, 2]  # doc 1 NOT rejected by its own orphan hash
+
+
+# ------------------------------ r9: commit ledger + pruned doc probes
+
+
+def test_exact_gate_probes_pruned_and_ledger_short_circuits(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 #1 done-gate: (a) every finalized-docs membership
+    probe carries a bounded dp pruning set — never a whole-table scan;
+    (b) a same-checkpoint replay of a committed epoch is detected by
+    the O(1) ledger file probe and performs ZERO finalized-docs reads."""
+    import os as _os
+
+    calls = []
+    real = SD._read_docs_pruned
+
+    def spy(spark_, path, dps):
+        calls.append((path, None if dps is None else list(dps)))
+        return real(spark_, path, dps)
+
+    monkeypatch.setattr(SD, "_read_docs_pruned", spy)
+
+    src = str(tmp_path / "src")
+    kept = str(tmp_path / "kept")
+    ck = str(tmp_path / "ck")
+
+    def drain(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(src)
+        s = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        SD.streaming_exact_dedup(s, kept, ck).awaitTermination(120)
+
+    drain([(1, "alpha"), (2, "beta")])
+    # ids far apart in the keyspace: the probe set stays the BATCH's
+    # own buckets, not wave 1's
+    drain([(1 << 20, "alpha"), ((1 << 20) + 1, "gamma")])
+    assert calls, "second wave must probe the finalized docs"
+    assert all(dps is not None and len(dps) <= 8 for _, dps in calls)
+    assert len(_os.listdir(_os.path.join(kept, "_epochs"))) == 2
+
+    # same-checkpoint crash replay: wipe Spark's own commit record for
+    # the last epoch so the restart re-delivers it; the gate's ledger
+    # short-circuits before any state read
+    commits = sorted(
+        c for c in _os.listdir(_os.path.join(ck, "commits"))
+        if not c.startswith(".")
+    )
+    _os.remove(_os.path.join(ck, "commits", commits[-1]))
+    crc = _os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    before = sorted(
+        r.doc_id for r in spark.read.parquet(f"{kept}/docs").collect()
+    )
+    calls.clear()
+    s = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    SD.streaming_exact_dedup(s, kept, ck).awaitTermination(120)
+    assert calls == []  # ledger hit: zero finalized-docs reads
+    after = sorted(
+        r.doc_id for r in spark.read.parquet(f"{kept}/docs").collect()
+    )
+    assert after == before == [1, 2, (1 << 20) + 1]
+
+
+def test_read_docs_pruned_uses_partition_filters(spark, tmp_path):
+    """The pruned probe must reach the scan as PartitionFilters (files
+    outside the batch's dp buckets are never opened), and dp values
+    must partition contiguous id ranges together."""
+    import contextlib
+    import io
+
+    p = str(tmp_path / "docs")
+    df = spark.range(0, 200000, 1).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    )
+    df = df.withColumn(
+        "dp", SD._doc_part_key(F.col("doc_id"), df.schema["doc_id"].dataType)
+    )
+    df.write.partitionBy("dp").parquet(p)
+    assert sorted(
+        d for d in __import__("os").listdir(p) if d.startswith("dp=")
+    ) == ["dp=r0", "dp=r1", "dp=r2", "dp=r3"]
+
+    pruned = SD._read_docs_pruned(spark, p, ["r1"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "dp" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() == 65536  # exactly one bucket's rows
+
+
+def test_batch_doc_parts_types_and_cap(spark):
+    """dp derivation: integral ids → range buckets (locality), string
+    ids → md5 prefix; a pathological spread past the cap disables
+    pruning instead of shipping a useless thousand-value IN-list."""
+    ints = spark.createDataFrame(
+        [(0,), (65535,), (65536,), (-1,)], "doc_id long"
+    )
+    assert sorted(SD._batch_doc_parts(ints, "doc_id")) == ["r-1", "r0", "r1"]
+    strs = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    dps = SD._batch_doc_parts(strs, "doc_id")
+    assert len(dps) == 2 and all(d.startswith("h") and len(d) == 3 for d in dps)
+    wide = spark.range(0, 600 * 65536, 65536).select(
+        F.col("id").alias("doc_id")
+    )
+    assert SD._batch_doc_parts(wide, "doc_id") is None

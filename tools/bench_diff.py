@@ -87,16 +87,39 @@ def diff(old: dict, new: dict, threshold: float) -> list[tuple[str, str, str]]:
             fp_known = q in o_fp and q in n_fp
             fp_same = fp_known and o_fp[q] == n_fp[q]
             detail = f"{o_t[q]}s -> {n_t[q]}s ({ratio:.2f}x)"
+            # best-ever floor (VERDICT r8 #5): the artifact's vs_best
+            # rows (bench._update_best — same plan AND same corpus
+            # fingerprint) mark how far this run sits above the best
+            # time ever recorded; a same-plan slowdown that is still
+            # within threshold of that FLOOR means the old run was
+            # unusually fast weather, not that the new one regressed
+            fb = _vs_best_row(new, label, q)
+            if fb:
+                detail += f" best={fb['best']}s ({fb['ratio']:.2f}x vs best)"
             if fp_known and not fp_same:
                 rows.append((name, "plan-change", detail + " [fingerprint differs]"))
             elif ratio >= sec_threshold:
-                verdict = "stall" if fp_same else "slower"
-                rows.append((name, verdict, detail + (" [same plan]" if fp_same else " [no fingerprint]")))
+                if fb and fb["ratio"] <= sec_threshold:
+                    rows.append((name, "within-best", detail + " [floor holds]"))
+                else:
+                    verdict = "stall" if fp_same else "slower"
+                    rows.append((name, verdict, detail + (" [same plan]" if fp_same else " [no fingerprint]")))
             elif ratio <= 1.0 / threshold:
                 rows.append((name, "faster", detail))
             else:
                 rows.append((name, "steady", detail))
     return rows
+
+
+def _vs_best_row(new: dict, label: str, q: str) -> dict | None:
+    """The new artifact's vs_best entry for a diff row, if recorded.
+    vs_best keys use bench's section prefixes ('' / 'sf1:' / 'sf10:');
+    the headline and extras sections both map to the bare name."""
+    prefix = {"headline": "", "extras": "", "sf1": "sf1:", "sf10": "sf10:"}.get(label)
+    if prefix is None:
+        return None
+    row = (new.get("vs_best") or {}).get(prefix + q)
+    return row if isinstance(row, dict) and "best" in row and "ratio" in row else None
 
 
 def main() -> int:
