@@ -127,6 +127,16 @@ class LiteLLMEmbeddingProvider(EmbeddingProvider):
         return np.asarray([d["embedding"] for d in resp.data], dtype=np.float32)
 
 
+def capped_slices(texts: list, cap: int):
+    """(offset, slice) pairs at the provider's per-family call cap —
+    the transport batching contract (reference embed_manager.py:649-664:
+    no single provider call ever exceeds the family cap). Extracted
+    from the executor loop so the recorded-fixture transport tests pin
+    it without a worker."""
+    for lo in range(0, len(texts), max(int(cap), 1)):
+        yield lo, texts[lo : lo + max(int(cap), 1)]
+
+
 _PROVIDERS = {"stub-hash-embed": HashEmbeddingProvider}
 _provider_singleton: EmbeddingProvider | None = None  # per-executor
 
@@ -183,8 +193,7 @@ def embed_texts(
         provider = get_provider(model, dimensions)
         for pdf in batches:
             texts = pdf["text_key"].fillna("").tolist()
-            for lo in range(0, len(texts), provider.batch_cap):
-                sub = texts[lo : lo + provider.batch_cap]
+            for lo, sub in capped_slices(texts, provider.batch_cap):
                 vecs = provider.get_embeddings_with_retry(sub)
                 yield pd.DataFrame(
                     {

@@ -266,10 +266,23 @@ def crossencoder_rerank(
 
     @pandas_udf("double")
     def _score(query: pd.Series, text: pd.Series) -> pd.Series:
-        model = _get_crossencoder(model_name)
-        scores = model.predict(
-            list(zip(query.tolist(), text.tolist())), batch_size=batch_size
+        return pd.Series(
+            _crossencoder_score_batch(
+                query.tolist(), text.tolist(), model_name, batch_size
+            )
         )
-        return pd.Series(scores)
 
     return pairs.withColumn("rerank_score", _score(F.col(query_col), F.col(text_col)))
+
+
+def _crossencoder_score_batch(
+    queries: list, texts: list, model_name: str, batch_size: int
+):
+    """One Arrow batch through the cross-encoder — the exact request
+    the model transport receives: (query, text) PAIRS zipped in row
+    order, the caller's batch_size forwarded verbatim. Split out of the
+    pandas UDF so the request shaping is pinned by the recorded-fixture
+    transport tests (tests/test_transports.py) without a worker-side
+    model."""
+    model = _get_crossencoder(model_name)
+    return model.predict(list(zip(queries, texts)), batch_size=batch_size)
