@@ -63,15 +63,35 @@ def build_term_stats(postings: DataFrame, corpus_size: int) -> DataFrame:
     )
 
 
+def corpus_stats_frame(
+    chunks: DataFrame, text_col: str = "text", language: str = "en"
+) -> DataFrame:
+    """ONE-row ``(_n, _avgdl)`` frame — the in-plan form of
+    :func:`corpus_stats`. Passing this to ``bm25_score`` /
+    ``bm25_score_batch`` (``stats_frame=``) keeps the corpus-size /
+    average-doc-length aggregation INSIDE the scoring plan as a
+    broadcast scalar relation instead of a separate driver collect —
+    one fewer job round per query, identical values (the same
+    count/avg aggregation produces the same doubles the collect
+    returned)."""
+    return chunks.select(
+        X.bm25_token_set(text_col, language=language, ordered=False).alias("toks")
+    ).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.avg(F.size("toks")).alias("_avgdl"),
+    )
+
+
 def bm25_score(
     postings: DataFrame,
     term_stats: DataFrame | None,
     query_terms: list[str],
-    avgdl: float,
+    avgdl: float | None,
     k1: float = 1.2,
     b: float = 0.75,
     limit: int = 1000,
     corpus_size: int | None = None,
+    stats_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Score all documents against ``query_terms``; top-``limit`` rows
     (score desc, id asc), positive scores only.
@@ -94,16 +114,18 @@ def bm25_score(
     qt = sorted(set(t.lower() for t in query_terms))
     matched = postings.filter(F.col("term").isin(qt))
     # tf = 1 (dedup semantics) → the classic numerator reduces to (k1+1)
-    # and the denominator to 1 + k1·(1 − b + b·dl/avgdl).
+    # and the denominator to 1 + k1·(1 − b + b·dl/avgdl). With a
+    # stats_frame the avgdl scalar rides the broadcast stats rows
+    # (joined per term below) instead of a driver-collected literal.
+    avgdl_col = F.col("_avgdl") if stats_frame is not None else F.lit(avgdl)
     score_term = (
         F.col("idf")
         * (k1 + 1.0)
-        / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+        / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / avgdl_col))
     )
     if term_stats is None:
-        if corpus_size is None:
+        if corpus_size is None and stats_frame is None:
             raise ValueError("bm25_score: corpus_size required when term_stats is None")
-        n = float(corpus_size)
         # df-stats and scoring are two subtrees over `matched`, so the
         # tokenize+explode lineage runs twice — CONCURRENTLY. The
         # checkpoint that fixes the batch path (bm25_score_batch) was
@@ -112,17 +134,26 @@ def bm25_score(
         # no query set to amortize it), so the single-query form keeps
         # the overlapped scans. Scale users take the persisted
         # term_stats path (one scan, no stats subtree) or the batch API.
+        n_col = (
+            F.col("_n").cast("double") if stats_frame is not None
+            else F.lit(float(corpus_size))
+        )
+        stats = matched.groupBy("term").agg(F.count("*").alias("df"))
+        if stats_frame is not None:
+            # ≤|query| stats rows × 1 stats row — the corpus (n, avgdl)
+            # aggregation evaluates ONCE, inside this tiny subtree
+            stats = stats.crossJoin(F.broadcast(stats_frame))
         stats = F.broadcast(
-            matched.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .withColumn(
-                "idf", F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-            )
-            .drop("df")
+            stats.withColumn(
+                "idf",
+                F.log((n_col - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            ).drop("df", "_n")
         )
         scored_src = matched.join(stats, "term")
     else:
         stats = F.broadcast(term_stats.filter(F.col("term").isin(qt)))
+        if stats_frame is not None:
+            stats = F.broadcast(stats.crossJoin(F.broadcast(stats_frame)).drop("_n"))
         scored_src = matched.join(stats, "term")
     return (
         scored_src.groupBy("id")
@@ -170,6 +201,7 @@ def bm25_score_batch(
     b: float = 0.75,
     limit: int = 1000,
     corpus_size: int | None = None,
+    stats_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Score a whole query SET in one corpus pass.
 
@@ -190,15 +222,15 @@ def bm25_score_batch(
     from pyspark.sql import Window
 
     q = F.broadcast(query_terms.select("qid", F.lower("term").alias("term")).distinct())
+    avgdl_col = F.col("_avgdl") if stats_frame is not None else F.lit(avgdl)
     score_term = (
         F.col("idf")
         * (k1 + 1.0)
-        / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+        / (1.0 + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / avgdl_col))
     )
     if term_stats is None:
-        if corpus_size is None:
+        if corpus_size is None and stats_frame is None:
             raise ValueError("bm25_score_batch: corpus_size required when term_stats is None")
-        n = float(corpus_size)
         # ONE corpus scan: without this checkpoint the df-stats agg and
         # the qid fan-out are two independent subtrees and Spark runs the
         # (dominant) tokenize+explode twice — measured 2×2.5 s of a
@@ -206,24 +238,30 @@ def bm25_score_batch(
         # (the same candidate volume the scoring shuffle carries anyway),
         # so materializing it is shuffle-sized, never corpus-sized.
         matched0 = postings.join(q.select("term").distinct(), "term").localCheckpoint()
+        n_col = (
+            F.col("_n").cast("double") if stats_frame is not None
+            else F.lit(float(corpus_size))
+        )
         # df is per TERM (not per qid): count once over the term-matched
         # postings, then broadcast to every (qid, term) matched row
+        stats = matched0.groupBy("term").agg(F.count("*").alias("df"))
+        if stats_frame is not None:
+            stats = stats.crossJoin(F.broadcast(stats_frame))
         stats = F.broadcast(
-            matched0.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .withColumn(
-                "idf", F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-            )
-            .drop("df")
+            stats.withColumn(
+                "idf",
+                F.log((n_col - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            ).drop("df", "_n")
         )
         scored_src = matched0.join(q, "term").join(stats, "term")
     else:
         matched = postings.join(q, "term")
         # slice term_stats to the query vocabulary (tiny) and broadcast —
         # the corpus-wide stats table must never shuffle for a query batch
-        stats_slice = F.broadcast(
-            term_stats.join(q.select("term").distinct(), "term", "left_semi")
-        )
+        stats_slice = term_stats.join(q.select("term").distinct(), "term", "left_semi")
+        if stats_frame is not None:
+            stats_slice = stats_slice.crossJoin(F.broadcast(stats_frame)).drop("_n")
+        stats_slice = F.broadcast(stats_slice)
         scored_src = matched.join(stats_slice, "term")
     scored = (
         scored_src.groupBy("qid", "id")

@@ -147,8 +147,11 @@ def column_profile(df: DataFrame, approx: bool = False, rsd: float = 0.05) -> Da
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
+    # r9: the row count folds into the SAME single aggregation pass —
+    # the separate df.count() was a second full scan + job per profile
+    aggs.append(F.count(F.lit(1)).alias("__n_rows"))
     row = df.agg(*aggs).collect()[0]
-    n = df.count()
+    n = row["__n_rows"]
     spark = df.sparkSession
     out = [
         (

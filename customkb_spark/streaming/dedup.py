@@ -131,6 +131,21 @@ def _batch_doc_parts(df: DataFrame, id_col: str) -> list | None:
     return None if len(vals) > _DP_PRUNE_CAP else vals
 
 
+def _finalized_probe(batch: DataFrame, finalized: DataFrame, id_col: str) -> tuple[bool, bool]:
+    """(done_any, all_done) for a batch vs the (pruned) finalized-docs
+    ids — ONE left-join aggregation job instead of the former
+    semi-probe + anti-probe pair (r9: two limit(1).count() jobs per
+    gate per epoch collapsed into one; same information, the join is
+    still against the dp-pruned read)."""
+    row = (
+        batch.select(id_col)
+        .join(finalized.withColumn("_fin", F.lit(1)), id_col, "left")
+        .agg(F.count(F.lit(1)).alias("_n"), F.count("_fin").alias("_nf"))
+        .first()
+    )
+    return row["_nf"] > 0, row["_nf"] >= row["_n"]
+
+
 def _read_docs_pruned(spark: SparkSession, doc_path: str, dps: list | None) -> DataFrame:
     """Finalized-docs read, partition-pruned to the batch's own id
     buckets. Tables written before the dp column existed (or
@@ -240,10 +255,8 @@ def streaming_exact_dedup(
             # foreign-checkpoint re-delivery — membership probes pruned
             # to the batch's own id buckets (never a whole-table scan)
             finalized = _read_docs_pruned(spark, doc_path, dps).select(id_col)
-            done_any = bool(
-                batch.join(finalized, id_col, "left_semi").limit(1).count()
-            )
-            if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+            done_any, all_done = _finalized_probe(batch, finalized, id_col)
+            if all_done:
                 _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
                 return  # epoch fully finalized (pure replay)
 
@@ -648,9 +661,15 @@ def streaming_minhash_dedup(
             # would see the docs as kept, skip the append, and those
             # docs' buckets would be missing from the LSH probe forever
             # (their future near-dups silently admitted).
-            _buckets(
-                survivors.select(F.col("id").alias(id_col), F.col("text").alias(text_col))
-            ).write.mode("append").partitionBy("kp").parquet(bucket_path)
+            # r9: the survivors' bucket rows are a subset of the
+            # whole-batch `bb` already checkpointed above — filter it
+            # instead of re-running tokenize+signatures over the
+            # survivor texts (signatures are deterministic, so the
+            # filtered rows are byte-identical to a recompute).
+            (
+                bb.join(survivors.select("id"), "id", "left_semi")
+                .write.mode("append").partitionBy("kp").parquet(bucket_path)
+            )
             _append_docs(
                 survivors.withColumn(
                     "dp", _doc_part_key(F.col("id"), batch.schema["id"].dataType)
@@ -754,10 +773,8 @@ def streaming_substring_dedup(
         done_any = False
         if os.path.isdir(doc_path):
             finalized = _read_docs_pruned(spark, doc_path, dps).select(id_col)
-            done_any = bool(
-                batch.join(finalized, id_col, "left_semi").limit(1).count()
-            )
-            if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+            done_any, all_done = _finalized_probe(batch, finalized, id_col)
+            if all_done:
                 _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
                 return  # epoch fully finalized
 
@@ -897,10 +914,8 @@ def streaming_line_dedup(
         done_any = False
         if os.path.isdir(doc_path):
             finalized = _read_docs_pruned(spark, doc_path, dps).select(id_col)
-            done_any = bool(
-                batch.join(finalized, id_col, "left_semi").limit(1).count()
-            )
-            if not batch.join(finalized, id_col, "left_anti").limit(1).count():
+            done_any, all_done = _finalized_probe(batch, finalized, id_col)
+            if all_done:
                 _commit_epoch(kept_dir, checkpoint_dir, epoch_id)
                 return  # epoch fully finalized
 
@@ -1173,9 +1188,12 @@ def streaming_phash_dedup(
             )
         survivors = survivors.localCheckpoint()
         if survivors.limit(1).count():
-            _buckets(
-                survivors.select(F.col("id").alias("media_id"), "phash")
-            ).write.mode("append").partitionBy("kp").parquet(bucket_path)
+            # r9: survivors' bucket rows ⊂ the checkpointed whole-batch
+            # bb — filter instead of recomputing the band frame
+            (
+                bb.join(survivors.select("id"), "id", "left_semi")
+                .write.mode("append").partitionBy("kp").parquet(bucket_path)
+            )
             _append_docs(
                 survivors.withColumn(
                     "dp",
