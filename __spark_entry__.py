@@ -930,8 +930,13 @@ def q_bm25_score(spark, sf_dir):
     tf ∈ {{0,1}} (reference dedup semantics, text_utils.py:306-314)."""
     docs = _t(spark, sf_dir, "documents")
     postings = B.build_postings(docs, "doc_id", "text")
-    n, avgdl = B.corpus_stats(docs, "text")
-    return B.bm25_score(postings, None, QUERY_TERMS, avgdl, 1.2, 0.75, 20, corpus_size=n)
+    # r9: (n, avgdl) ride the plan as a broadcast scalar relation
+    # (corpus_stats_frame) instead of a driver collect — one job round
+    # saved per query, identical arithmetic
+    return B.bm25_score(
+        postings, None, QUERY_TERMS, None, 1.2, 0.75, 20,
+        stats_frame=B.corpus_stats_frame(docs, "text"),
+    )
 
 
 SQL_BM25 = f"""
@@ -958,12 +963,15 @@ def q_bm25_score_batch(spark, sf_dir):
     window top-20."""
     docs = _t(spark, sf_dir, "documents")
     postings = B.build_postings(docs, "doc_id", "text")
-    n, avgdl = B.corpus_stats(docs, "text")
     qt = spark.createDataFrame(
         [(0, t) for t in QUERY_TERMS] + [(1, t) for t in QUERY2_TERMS],
         ["qid", "term"],
     )
-    return B.bm25_score_batch(postings, None, qt, avgdl, 1.2, 0.75, 20, corpus_size=n)
+    # r9: in-plan (n, avgdl) — see q_bm25_score
+    return B.bm25_score_batch(
+        postings, None, qt, None, 1.2, 0.75, 20,
+        stats_frame=B.corpus_stats_frame(docs, "text"),
+    )
 
 
 SQL_BM25_BATCH = f"""
@@ -1028,11 +1036,14 @@ def _vec_hits(spark, sf_dir, k=50):
 def _bm25_hits(spark, sf_dir, k=50):
     # inline-stats path: df for the query terms comes from the matched
     # postings window, so the plan tokenizes the corpus twice (stats
-    # scalar + matched) instead of three times with a full-vocab shuffle
+    # scalar + matched) instead of three times with a full-vocab shuffle.
+    # r9: the (n, avgdl) scalars ride the plan too (corpus_stats_frame)
     docs = _t(spark, sf_dir, "documents")
     postings = B.build_postings(docs, "doc_id", "text")
-    n, avgdl = B.corpus_stats(docs, "text")
-    return B.bm25_score(postings, None, QUERY_TERMS, avgdl, 1.2, 0.75, k, corpus_size=n)
+    return B.bm25_score(
+        postings, None, QUERY_TERMS, None, 1.2, 0.75, k,
+        stats_frame=B.corpus_stats_frame(docs, "text"),
+    )
 
 
 def q_vector_topk_cosine(spark, sf_dir):
@@ -1081,6 +1092,12 @@ def q_knn_join(spark, sf_dir):
     from customkb_spark.operators import evalmetrics as EV
 
     emb = _t(spark, sf_dir, "embeddings")
+    # r9: probe the fixed embedding width once (a 1-row parquet head
+    # read, ~0.1 s) so every pair score below takes the UNROLLED
+    # codegen path in functions/vector.py instead of the interpreted
+    # zip_with/aggregate fold — the triplet mode alone scores
+    # |anchors|x|corpus| pairs (measured 52.7 s at sf1 interpreted)
+    dims = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -1094,7 +1111,7 @@ def q_knn_join(spark, sf_dir):
         F.lit(None).cast("double").alias("ap_k"),
     ]
     knn = _longs(
-        TK.knn_join(queries, emb, 5, "qid", "qvec", "vec_id", "embedding")
+        TK.knn_join(queries, emb, 5, "qid", "qvec", "vec_id", "embedding", dims=dims)
     ).select(
         F.lit("knn").alias("mode"),
         "qid",
@@ -1110,7 +1127,7 @@ def q_knn_join(spark, sf_dir):
     anchors = emb.filter(
         (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
     )
-    trip = MI.triplet_mine(anchors, emb, k=5, margin=0.05).select(
+    trip = MI.triplet_mine(anchors, emb, k=5, margin=0.05, dims=dims).select(
         F.lit("triplet").alias("mode"),
         F.col("qid").cast("long").alias("qid"),
         F.col("neg_id").cast("long").alias("id"),
@@ -1144,7 +1161,7 @@ def q_knn_join(spark, sf_dir):
             "qid",
             F.col("vec_id").alias("id"),
             F.round(
-                _metric_score(F.col("embedding"), F.col("qvec"), "cosine"), 6
+                _metric_score(F.col("embedding"), F.col("qvec"), "cosine", dims), 6
             ).alias("score"),
             (F.col("label") == F.col("qlabel")).alias("_rel"),
         )
@@ -2051,6 +2068,7 @@ def q_lsh_bucketed_near_dups(spark, sf_dir):
         "embedding",
         threshold=0.35,
         bucket_col="lsh_bucket",
+        dims=64,  # pinned by the hyperplane width above
     )
 
 
@@ -2979,7 +2997,10 @@ def q_vocab_topk(spark, sf_dir):
     frequencies + Zipf rank, top 200 tokens. The rank window runs over
     the vocabulary, never the corpus."""
     docs = _t(spark, sf_dir, "documents")
-    return CU.build_vocab(docs).orderBy("rank").limit(200)
+    # r9: bounded top-k head (TakeOrdered) — rank <= 200 ⇔ top-200 by
+    # (tf desc, token); the global two-phase rank machinery is not
+    # needed for a limited head
+    return CU.build_vocab(docs, top_k=200).orderBy("rank")
 
 
 def q_vocab_topk_full(spark, sf_dir):

@@ -204,6 +204,12 @@ def assign_clusters(
             centroids, with_sim=False, sc=vectors.sparkSession.sparkContext
         )
         return vectors.withColumn("cluster_id", udf(F.col(vec_col)))
+    # NOTE (r9): deliberately NOT dims-unrolled — the argmin tree
+    # evaluates `dists` twice (array_position + array_min), so an
+    # unrolled form is nlist × dims × ~5 expression nodes × 2, which
+    # at nlist=16 × dims=64 already OOMs whole-stage-codegen JIT on a
+    # default-1g driver. The compact HOF fold keeps the plan node
+    # count O(nlist); large-nlist assignment goes matmul anyway.
     dists = F.array(
         *[
             V.l2_distance(F.col(vec_col), F.lit(c.tolist()).cast("array<double>"))
@@ -250,7 +256,11 @@ def assign_with_centroid_sim(
     return assigned.withColumn(
         "centroid_sim",
         F.round(
-            V.cosine(F.col(vec_col), F.element_at(cent_arr, F.col("cluster_id") + 1)),
+            V.cosine(
+                F.col(vec_col),
+                F.element_at(cent_arr, F.col("cluster_id") + 1),
+                int(centroids.shape[1]),
+            ),
             6,
         ),
     )
@@ -374,7 +384,10 @@ def ivf_search_batch(
         )
     else:
         raise ValueError(f"ivf_search_batch: unknown probe_mode {probe_mode!r}")
-    score = _metric_score(F.col(vec_col), F.col(query_vec_col), metric)
+    # centroids pin the embedding width — unrolled codegen scoring
+    score = _metric_score(
+        F.col(vec_col), F.col(query_vec_col), metric, dims=int(centroids.shape[1])
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("id"))
     return (
         cand.select(

@@ -332,12 +332,15 @@ def pq_topk(
         lut_col = F.lit(_adc_lut(model, _lut_query(q), metric))
         bias_col = F.lit(0.0)
         scored_src = encoded
-    contrib = F.zip_with(
-        F.col("pq_code"),
-        lut_col,
-        lambda c, row: F.element_at(row, c.cast("int") + 1),
-    )
-    score = F.aggregate(contrib, bias_col, lambda a, x: a + x)
+    # r9: unrolled over the m subquantizers (model.m is pinned) — the
+    # zip_with/aggregate HOF pair was interpreted per element; same
+    # left-fold order from the bias, so ADC scores are bit-identical
+    code = F.col("pq_code")
+    score = bias_col
+    for i in range(1, int(model.m) + 1):
+        score = score + F.element_at(
+            F.element_at(lut_col, i), F.element_at(code, i).cast("int") + 1
+        )
     scored = scored_src.select(
         F.col(id_col).alias("id"), F.round(score, 6).alias("adc_score")
     )

@@ -425,7 +425,9 @@ def index_drift(
         *[F.lit([float(x) for x in c]).cast("array<double>") for c in centroids]
     )
     dist = V.l2_distance(
-        F.col(vec_col), F.element_at(cents, F.col("cluster_id") + 1)
+        F.col(vec_col),
+        F.element_at(cents, F.col("cluster_id") + 1),
+        int(centroids.shape[1]),
     )
     return (
         indexed.select("cluster_id", dist.alias("d"))

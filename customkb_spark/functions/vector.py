@@ -19,22 +19,46 @@ def _dbl(col: Column) -> Column:
     return col.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    prods = F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+def dot(a: Column, b: Column, dims: int | None = None) -> Column:
+    """Dot product. With ``dims`` (the embedding-column fixed width —
+    probe one row or take len(query_vec)) the left-fold is UNROLLED
+    into a flat codegen-able arithmetic chain: ``zip_with``/
+    ``aggregate`` are CodegenFallback higher-order functions evaluated
+    interpreted, per element, with a lambda frame per step — measured
+    ~30 µs per 64-dim pair score, which made every brute-force scoring
+    join expression-bound (r9: sf1 knn_join 52 s → the unrolled form
+    is whole-stage-codegen'd). The chain starts at lit(0.0) and adds
+    element products in index order, reproducing the fold's IEEE
+    summation order BIT-EXACTLY (including the ±0.0 edge), so scores
+    are unchanged."""
+    if dims is None:
+        prods = F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y)
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    ad, bd = _dbl(a), _dbl(b)
+    acc: Column = F.lit(0.0)
+    for i in range(1, int(dims) + 1):
+        acc = acc + F.element_at(ad, i) * F.element_at(bd, i)
+    return acc
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dims: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dims))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
+    return dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
 
 
-def l2_distance(a: Column, b: Column) -> Column:
-    diffs = F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y))
-    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+def l2_distance(a: Column, b: Column, dims: int | None = None) -> Column:
+    if dims is None:
+        diffs = F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y))
+        return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+    ad, bd = _dbl(a), _dbl(b)
+    acc: Column = F.lit(0.0)
+    for i in range(1, int(dims) + 1):
+        d = F.element_at(ad, i) - F.element_at(bd, i)
+        acc = acc + d * d
+    return F.sqrt(acc)
 
 
 def l2_normalize(a: Column) -> Column:

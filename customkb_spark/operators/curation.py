@@ -465,7 +465,10 @@ def decontaminate_semantic(
             _probe_clusters_udf(centroids, nprobe)(F.col(vec_col))
         ).alias("cluster_id"),
     )
-    sim = F.round(V.cosine(F.col(vec_col), F.col("_bench_vec")), 6)
+    # centroids pin dims — unrolled codegen cosine (functions/vector.py)
+    sim = F.round(
+        V.cosine(F.col(vec_col), F.col("_bench_vec"), int(len(centroids[0]))), 6
+    )
     # deterministic argmax: struct max orders by (sim, bench_id), so a
     # sim tie resolves to the LARGEST bench id on every engine
     best = (
@@ -1433,6 +1436,7 @@ def build_vocab(
     id_col: str = "doc_id",
     min_count: int = 1,
     rank_partitions: int = 32,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Corpus vocabulary with term/document frequencies and frequency
     rank — the input of tokenizer training (BPE/unigram corpora start
@@ -1468,6 +1472,22 @@ def build_vocab(
         )
         .filter(F.col("tf") >= min_count)
     )
+    if top_k is not None:
+        # r9: consumers that only need the frequency HEAD (vocab_topk,
+        # the Zipf fit) don't need a global rank at all — rank ≤ top_k
+        # ⇔ membership in the top_k rows by (tf desc, token), which
+        # orderBy+limit plans as TakeOrderedAndProject: a per-partition
+        # top-k merged on the driver, bounded by k at any corpus size.
+        # The two-phase rank's range-exchange (a full re-evaluation of
+        # the vocab subtree for boundary sampling), its localCheckpoint
+        # job, and its per-bucket-counts collect all disappear. Ranks
+        # within the ≤top_k-row head come from a window over a
+        # BOUNDED single partition — identical values to the global
+        # two-phase rank filtered to rank <= top_k (same total order,
+        # same tie-break).
+        head = vocab.orderBy(F.desc("tf"), F.asc("token")).limit(int(top_k))
+        w = Window.orderBy(F.desc("tf"), F.asc("token"))
+        return head.withColumn("rank", F.row_number().over(w).cast("long"))
     if rank_partitions <= 1:
         w = Window.orderBy(F.desc("tf"), F.asc("token"))
         return vocab.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1517,7 +1537,9 @@ def corpus_zipf_fit(
     oracle-able. Cost: the ``build_vocab`` shuffle + a ``top_k``-row
     aggregate.
     """
-    vocab = build_vocab(df, text_col, id_col).filter(F.col("rank") <= top_k)
+    # r9: bounded head via build_vocab(top_k=...) — TakeOrdered instead
+    # of the two-phase global rank + filter (same rows, same ranks)
+    vocab = build_vocab(df, text_col, id_col, top_k=top_k)
     # (18,9): products stay inside decimal(37,18) in BOTH Spark and
     # DuckDB (38-digit cap) — wider operands would silently lose scale
     # on one engine and break value-hash parity
@@ -1595,9 +1617,16 @@ def unigram_surprisal(
         )
     else:
         vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
-    total = vocab.agg(F.sum("tf")).collect()[0][0] or 1
-    scored = toks.join(vocab, "token").select(
-        id_col, (-F.log(F.col("tf") / F.lit(float(total)))).alias("s")
+    # r9: the corpus token total rides the plan as a broadcast 1-row
+    # relation instead of a driver collect — one job round saved per
+    # call (q_unigram_surprisal makes two), identical arithmetic: the
+    # same SUM produces the same long, cast to double for the division
+    # exactly as float(total) was
+    total = F.broadcast(
+        vocab.agg(F.coalesce(F.sum("tf"), F.lit(1)).cast("double").alias("_total"))
+    )
+    scored = toks.join(vocab, "token").crossJoin(total).select(
+        id_col, (-F.log(F.col("tf") / F.col("_total"))).alias("s")
     )
     return (
         scored.groupBy(id_col)

@@ -362,6 +362,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_col: str | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -379,7 +380,7 @@ def embedding_near_duplicates(
     cond = F.col("a.id") < F.col("b.id")
     if bucket_col:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    sim = V.cosine(F.col("a.vec"), F.col("b.vec"))
+    sim = V.cosine(F.col("a.vec"), F.col("b.vec"), dims)
     return (
         a.join(b, cond)
         .select(
@@ -569,8 +570,10 @@ def semantic_duplicates(
     from customkb_spark.embedding.index import assign_clusters
 
     assigned = assign_clusters(embeddings, centroids, vec_col)
+    # centroids pin the embedding width: unrolled codegen cosine
     return embedding_near_duplicates(
-        assigned, id_col, vec_col, threshold, bucket_col="cluster_id"
+        assigned, id_col, vec_col, threshold, bucket_col="cluster_id",
+        dims=int(len(centroids[0])),
     )
 
 
@@ -693,7 +696,8 @@ def semdedup_incremental(
         F.col(vec_col).alias("_kept_vec"),
         "cluster_id",
     )
-    sim = V.cosine(F.col(vec_col), F.col("_kept_vec"))
+    # frozen centroids pin the embedding width — unrolled codegen sim
+    sim = V.cosine(F.col(vec_col), F.col("_kept_vec"), int(len(centroids[0])))
     dup_ids = (
         new_a.join(kept_a, "cluster_id")
         .filter(F.round(sim, 6) >= threshold)

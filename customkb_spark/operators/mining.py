@@ -56,6 +56,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     metric: str = "cosine",
+    dims: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar DIFFERENT-label corpus rows per anchor.
 
@@ -72,7 +73,7 @@ def hard_negatives(
         )
     )
     c = _norm(corpus, id_col, vec_col, label_col)
-    score = _metric_score(F.col("vector"), F.col("qvec"), metric)
+    score = _metric_score(F.col("vector"), F.col("qvec"), metric, dims)
     scored = (
         c.crossJoin(a)
         .filter(F.col("label") != F.col("qlabel"))
@@ -93,6 +94,7 @@ def hardest_positives(
     vec_col: str = "embedding",
     label_col: str = "label",
     metric: str = "cosine",
+    dims: int | None = None,
 ) -> DataFrame:
     """The LEAST-similar same-label corpus row per anchor (excluding the
     anchor itself) — FaceNet's argmax-distance positive. Returns
@@ -105,7 +107,7 @@ def hardest_positives(
         )
     )
     c = _norm(corpus, id_col, vec_col, label_col)
-    score = _metric_score(F.col("vector"), F.col("qvec"), metric)
+    score = _metric_score(F.col("vector"), F.col("qvec"), metric, dims)
     scored = (
         c.crossJoin(a)
         .filter((F.col("label") == F.col("qlabel")) & (F.col("id") != F.col("qid")))
@@ -128,6 +130,7 @@ def triplet_mine(
     vec_col: str = "embedding",
     label_col: str = "label",
     metric: str = "cosine",
+    dims: int | None = None,
 ) -> DataFrame:
     """Triplet candidates: each anchor's top-k hard negatives joined
     with its hardest positive, flagged with the FaceNet margin
@@ -140,8 +143,8 @@ def triplet_mine(
     violates_margin, semi_hard)``. One corpus scan per leg; the join is
     anchors-sized.
     """
-    negs = hard_negatives(anchors, corpus, k, id_col, vec_col, label_col, metric)
-    pos = hardest_positives(anchors, corpus, id_col, vec_col, label_col, metric)
+    negs = hard_negatives(anchors, corpus, k, id_col, vec_col, label_col, metric, dims)
+    pos = hardest_positives(anchors, corpus, id_col, vec_col, label_col, metric, dims)
     return negs.join(pos, "qid").select(
         "qid",
         "neg_id",

@@ -24,15 +24,19 @@ from pyspark.sql import functions as F
 from customkb_spark.functions import vector as V
 
 
-def _metric_score(vec, qvec, metric: str):
+def _metric_score(vec, qvec, metric: str, dims: int | None = None):
     """Column-vs-column similarity under the shared metric contract
-    (higher = closer for every metric, l2 via l2_to_similarity)."""
+    (higher = closer for every metric, l2 via l2_to_similarity).
+
+    ``dims`` (the fixed embedding width, when the caller knows it)
+    switches the fold to the UNROLLED codegen-able form — bit-identical
+    scores, ~10-50× faster per pair (functions/vector.py docstring)."""
     if metric == "cosine":
-        return V.cosine(vec, qvec)
+        return V.cosine(vec, qvec, dims)
     if metric == "ip":
-        return V.dot(vec, qvec)
+        return V.dot(vec, qvec, dims)
     if metric == "l2":
-        return V.l2_to_similarity(V.l2_distance(vec, qvec))
+        return V.l2_to_similarity(V.l2_distance(vec, qvec, dims))
     raise ValueError(f"unknown metric {metric}")
 
 
@@ -50,14 +54,10 @@ def brute_force_topk(
     upcast to double; rounding removes summation-order noise).
     """
     q = F.lit(query_vec).cast("array<double>")
-    if metric == "cosine":
-        score = V.cosine(F.col(vec_col), q)
-    elif metric == "ip":
-        score = V.dot(F.col(vec_col), q)
-    elif metric == "l2":
-        score = V.l2_to_similarity(V.l2_distance(F.col(vec_col), q))
-    else:
-        raise ValueError(f"unknown metric {metric}")
+    # dims comes free from the query vector — every brute-force scan
+    # (and the ANN refine paths that call this) gets the unrolled
+    # whole-stage-codegen score instead of the interpreted HOF fold
+    score = _metric_score(F.col(vec_col), q, metric, dims=len(query_vec))
     return (
         vectors.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
@@ -74,6 +74,7 @@ def knn_join(
     id_col: str = "id",
     vec_col: str = "vector",
     metric: str = "cosine",
+    dims: int | None = None,
 ) -> DataFrame:
     """Top-k neighbors for every query row (broadcast k-NN join).
 
@@ -87,7 +88,7 @@ def knn_join(
         )
     )
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
-    score = _metric_score(F.col("vector"), F.col("qvec"), metric)
+    score = _metric_score(F.col("vector"), F.col("qvec"), metric, dims)
     scored = v.crossJoin(q).select(
         "qid", "id", F.round(score, 6).alias("score")
     )

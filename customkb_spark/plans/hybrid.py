@@ -472,7 +472,8 @@ def hybrid_search_batch(
         ).select("qid", "id", "score")
     else:
         vec_hits = knn_join(
-            qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector"
+            qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector",
+            dims=cfg.vector_dimensions,
         ).select("qid", "id", "score")
 
     # same tokenizer as the postings index (text.bm25_token_set);

@@ -169,3 +169,30 @@ def test_mean_pool_empty_and_null(spark):
     row = mean_pool(mixed, "g", "v").collect()[0]
     # NULL vector dropped: count matches the mean's denominator
     assert row.n_members == 1 and list(row.v) == [2.0, 4.0]
+
+
+def test_unrolled_fold_bit_exact(spark):
+    # r9: the dims-unrolled codegen forms must reproduce the HOF
+    # left-fold BIT-exactly (same IEEE summation order) — no rounding
+    # in this assertion on purpose
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        ([rng.uniform(-3, 3) for _ in range(17)],
+         [rng.uniform(-3, 3) for _ in range(17)])
+        for _ in range(50)
+    ] + [(None, [0.0] * 17)]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("d0"),
+        V.dot(F.col("a"), F.col("b"), 17).alias("d1"),
+        V.cosine(F.col("a"), F.col("b")).alias("c0"),
+        V.cosine(F.col("a"), F.col("b"), 17).alias("c1"),
+        V.l2_distance(F.col("a"), F.col("b")).alias("l0"),
+        V.l2_distance(F.col("a"), F.col("b"), 17).alias("l1"),
+    ).collect()
+    for r in out:
+        assert r["d0"] == r["d1"]
+        assert r["c0"] == r["c1"]
+        assert r["l0"] == r["l1"]
