@@ -1092,12 +1092,6 @@ def q_knn_join(spark, sf_dir):
     from customkb_spark.operators import evalmetrics as EV
 
     emb = _t(spark, sf_dir, "embeddings")
-    # r9: probe the fixed embedding width once (a 1-row parquet head
-    # read, ~0.1 s) so every pair score below takes the UNROLLED
-    # codegen path in functions/vector.py instead of the interpreted
-    # zip_with/aggregate fold — the triplet mode alone scores
-    # |anchors|x|corpus| pairs (measured 52.7 s at sf1 interpreted)
-    dims = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -1111,7 +1105,7 @@ def q_knn_join(spark, sf_dir):
         F.lit(None).cast("double").alias("ap_k"),
     ]
     knn = _longs(
-        TK.knn_join(queries, emb, 5, "qid", "qvec", "vec_id", "embedding", dims=dims)
+        TK.knn_join(queries, emb, 5, "qid", "qvec", "vec_id", "embedding")
     ).select(
         F.lit("knn").alias("mode"),
         "qid",
@@ -1127,7 +1121,7 @@ def q_knn_join(spark, sf_dir):
     anchors = emb.filter(
         (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
     )
-    trip = MI.triplet_mine(anchors, emb, k=5, margin=0.05, dims=dims).select(
+    trip = MI.triplet_mine(anchors, emb, k=5, margin=0.05).select(
         F.lit("triplet").alias("mode"),
         F.col("qid").cast("long").alias("qid"),
         F.col("neg_id").cast("long").alias("id"),
@@ -1145,23 +1139,29 @@ def q_knn_join(spark, sf_dir):
     # scored projection), localCheckpoint-ed so the metrics subtree —
     # and the final orderBy's range-sampling double-eval — operate on
     # the materialized Q×corpus-row slice, never re-scanning vectors.
-    from customkb_spark.operators.topk import _metric_score
+    from customkb_spark.functions import vector as _V
 
+    # pre-normed cosine (r9): norms bound per row on each join side —
+    # bit-identical scores, one dot fold in the pair expression
     ql = F.broadcast(
         emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qvec"),
             F.col("label").alias("qlabel"),
+            _V.norm(F.col("embedding")).alias("_nq"),
         )
     )
     esc = (
-        emb.crossJoin(ql)
+        emb.withColumn("_nv", _V.norm(F.col("embedding")))
+        .crossJoin(ql)
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             F.col("vec_id").alias("id"),
             F.round(
-                _metric_score(F.col("embedding"), F.col("qvec"), "cosine", dims), 6
+                _V.dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("_nv") * F.col("_nq")),
+                6,
             ).alias("score"),
             (F.col("label") == F.col("qlabel")).alias("_rel"),
         )
@@ -2068,7 +2068,6 @@ def q_lsh_bucketed_near_dups(spark, sf_dir):
         "embedding",
         threshold=0.35,
         bucket_col="lsh_bucket",
-        dims=64,  # pinned by the hyperplane width above
     )
 
 

@@ -189,12 +189,10 @@ def build_vector_index(
         # reachable explicitly via cfg.ann_index="ivfsq".
         from customkb_spark.embedding.index import sample_vectors
         from customkb_spark.embedding.sq import encode_sq, train_sq
-        from customkb_spark.functions.vector import l2_normalize
+        from customkb_spark.functions.vector import l2_normalized_frame
         from pyspark.sql import functions as F
 
-        normed = vectors.select(
-            F.col(id_col), l2_normalize(F.col(vec_col)).alias(vec_col)
-        )
+        normed = l2_normalized_frame(vectors.select(id_col, vec_col), vec_col)
         nlist = _n_centroids(n, cfg, False)
         sample = sample_vectors(normed, vec_col, _train_sample(nlist), 42)
         cents = train_centroids(normed, vec_col, nlist, sample=sample)
@@ -207,14 +205,12 @@ def build_vector_index(
         )
     if kind == "ivfpq":
         from customkb_spark.embedding.index import sample_vectors
-        from customkb_spark.functions.vector import l2_normalize
+        from customkb_spark.functions.vector import l2_normalized_frame
         from pyspark.sql import functions as F
 
         # train/encode on L2-normalized vectors so ADC inner product is
         # exactly cosine; the raw table is kept for the refine pass
-        normed = vectors.select(
-            F.col(id_col), l2_normalize(F.col(vec_col)).alias(vec_col)
-        )
+        normed = l2_normalized_frame(vectors.select(id_col, vec_col), vec_col)
         nlist = _n_centroids(n, cfg, True)
         # one driver-side collect feeds both trainers
         sample = sample_vectors(normed, vec_col, _train_sample(nlist), 42)

@@ -204,12 +204,6 @@ def assign_clusters(
             centroids, with_sim=False, sc=vectors.sparkSession.sparkContext
         )
         return vectors.withColumn("cluster_id", udf(F.col(vec_col)))
-    # NOTE (r9): deliberately NOT dims-unrolled — the argmin tree
-    # evaluates `dists` twice (array_position + array_min), so an
-    # unrolled form is nlist × dims × ~5 expression nodes × 2, which
-    # at nlist=16 × dims=64 already OOMs whole-stage-codegen JIT on a
-    # default-1g driver. The compact HOF fold keeps the plan node
-    # count O(nlist); large-nlist assignment goes matmul anyway.
     dists = F.array(
         *[
             V.l2_distance(F.col(vec_col), F.lit(c.tolist()).cast("array<double>"))
@@ -259,7 +253,6 @@ def assign_with_centroid_sim(
             V.cosine(
                 F.col(vec_col),
                 F.element_at(cent_arr, F.col("cluster_id") + 1),
-                int(centroids.shape[1]),
             ),
             6,
         ),
@@ -336,6 +329,16 @@ def ivf_search_batch(
 
     from customkb_spark.operators.topk import _metric_score
 
+    # pre-normed cosine (r9): bind each side's norm to a projected
+    # attribute before the join — norms per row, not per candidate
+    # pair; bit-identical scores (same arithmetic DAG)
+    if metric == "cosine":
+        indexed_vectors = indexed_vectors.withColumn(
+            "_nv", V.norm(F.col(vec_col))
+        )
+        queries = queries.select(
+            "*", V.norm(F.col(query_vec_col)).alias("_nq")
+        )
     if probe_mode == "distributed":
         probe_df = queries.select(
             query_id_col,
@@ -345,7 +348,9 @@ def ivf_search_batch(
         )
         # AQE decides broadcast-vs-shuffle for both joins by actual size
         cand = indexed_vectors.join(probe_df, "cluster_id").join(
-            queries.select(query_id_col, query_vec_col), query_id_col
+            queries.select(query_id_col, query_vec_col, *(
+                ["_nq"] if metric == "cosine" else []
+            )), query_id_col
         )
     elif probe_mode == "driver":
         qrows = queries.select(query_id_col, query_vec_col).collect()
@@ -378,16 +383,20 @@ def ivf_search_batch(
             indexed_vectors.filter(F.col("cluster_id").isin(probed_set))
             .join(F.broadcast(probe_df), "cluster_id")
             .join(
-                F.broadcast(queries.select(query_id_col, query_vec_col)),
+                F.broadcast(queries.select(query_id_col, query_vec_col, *(
+                    ["_nq"] if metric == "cosine" else []
+                ))),
                 query_id_col,
             )
         )
     else:
         raise ValueError(f"ivf_search_batch: unknown probe_mode {probe_mode!r}")
-    # centroids pin the embedding width — unrolled codegen scoring
-    score = _metric_score(
-        F.col(vec_col), F.col(query_vec_col), metric, dims=int(centroids.shape[1])
-    )
+    if metric == "cosine":
+        score = V.dot(F.col(vec_col), F.col(query_vec_col)) / (
+            F.col("_nv") * F.col("_nq")
+        )
+    else:
+        score = _metric_score(F.col(vec_col), F.col(query_vec_col), metric)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("id"))
     return (
         cand.select(

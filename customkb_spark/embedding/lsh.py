@@ -36,12 +36,9 @@ def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
 
     dot ≥ 0 → '1'. String keys (not ints) keep the expression mirrorable
     in the DuckDB oracle and debuggable."""
-    # len(p) pins dims: unrolled codegen dot per plane (vector.py)
     bits = [
         F.when(
-            V.dot(
-                vec_col, F.lit([float(x) for x in p]).cast("array<double>"), len(p)
-            ) >= 0,
+            V.dot(vec_col, F.lit([float(x) for x in p]).cast("array<double>")) >= 0,
             F.lit("1"),
         ).otherwise(F.lit("0"))
         for p in planes

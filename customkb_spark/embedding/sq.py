@@ -154,23 +154,22 @@ def sq_topk(
     if model.centroids is not None:
         probes = nearest_clusters(query_vec, model.centroids, nprobe)
         src = encoded.filter(F.col("cluster_id").isin([int(c) for c in probes]))
-    # r9: the zip_with/aggregate HOF fold is CodegenFallback
-    # (interpreted per element); dims are pinned by the model, so the
-    # fold is unrolled into a flat codegen-able chain with the SAME
-    # left-to-right IEEE summation order — identical scores
-    code = F.col("sq_code").cast("array<double>")
     if metric == "ip":
-        wv = (q * model.scale).tolist()
-        score: F.Column = F.lit(float(q @ model.vmin))
-        for i, wi in enumerate(wv, start=1):
-            score = score + F.element_at(code, i) * F.lit(float(wi))
+        w = F.lit((q * model.scale).tolist())
+        bias = float(q @ model.vmin)
+        contrib = F.zip_with(
+            F.col("sq_code").cast("array<double>"), w, lambda c, wi: c * wi
+        )
+        score = F.aggregate(contrib, F.lit(bias), lambda acc, x: acc + x)
     else:
-        av = (q - model.vmin).tolist()
-        sv = model.scale.tolist()
-        score = F.lit(0.0)
-        for i, (ai, si) in enumerate(zip(av, sv), start=1):
-            d = F.lit(float(ai)) - F.element_at(code, i) * F.lit(float(si))
-            score = score + d * d
+        a = F.lit((q - model.vmin).tolist())
+        s = F.lit(model.scale.tolist())
+        diff = F.zip_with(
+            F.zip_with(F.col("sq_code").cast("array<double>"), s, lambda c, si: c * si),
+            a,
+            lambda cs, ai: (ai - cs) * (ai - cs),
+        )
+        score = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
     scored = src.select(
         F.col(id_col).alias("id"), F.round(score, 6).alias("sq_score")
     )

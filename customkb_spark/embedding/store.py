@@ -381,12 +381,11 @@ def _load_tier(
             )
         else:
             from customkb_spark.embedding.sq import encode_sq
-            from customkb_spark.functions.vector import l2_normalize
+            from customkb_spark.functions.vector import l2_normalized_frame
 
             sq_m = load_sq(spark, f"{path}/sq", centroids=cents)
-            normed = fresh.select(
-                F.col(meta.id_col),
-                l2_normalize(F.col(meta.vec_col)).alias(meta.vec_col),
+            normed = l2_normalized_frame(
+                fresh.select(meta.id_col, meta.vec_col), meta.vec_col
             )
             appended = encode_sq(normed, sq_m, meta.id_col, meta.vec_col)
             if appended.limit(1).count():
@@ -427,7 +426,6 @@ def index_drift(
     dist = V.l2_distance(
         F.col(vec_col),
         F.element_at(cents, F.col("cluster_id") + 1),
-        int(centroids.shape[1]),
     )
     return (
         indexed.select("cluster_id", dist.alias("d"))

@@ -456,7 +456,10 @@ def decontaminate_semantic(
     if centroids is None:
         centroids = train_centroids(doc_embeddings, vec_col, nlist)
     docs_a = assign_clusters(doc_embeddings, centroids, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("cluster_id")
+        F.col(id_col), F.col(vec_col), F.col("cluster_id"),
+        # pre-normed cosine (r9): per-row norms bound before the join —
+        # bit-identical scores, one dot fold per candidate pair
+        V.norm(F.col(vec_col)).alias("_nv"),
     )
     bench_a = bench_embeddings.select(
         F.col(bench_id_col).alias("_bench_id"),
@@ -464,10 +467,12 @@ def decontaminate_semantic(
         F.explode(
             _probe_clusters_udf(centroids, nprobe)(F.col(vec_col))
         ).alias("cluster_id"),
+        V.norm(F.col(vec_col)).alias("_nb"),
     )
-    # centroids pin dims — unrolled codegen cosine (functions/vector.py)
     sim = F.round(
-        V.cosine(F.col(vec_col), F.col("_bench_vec"), int(len(centroids[0]))), 6
+        V.dot(F.col(vec_col), F.col("_bench_vec"))
+        / (F.col("_nv") * F.col("_nb")),
+        6,
     )
     # deterministic argmax: struct max orders by (sim, bench_id), so a
     # sim tie resolves to the LARGEST bench id on every engine

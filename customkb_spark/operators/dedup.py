@@ -362,7 +362,6 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_col: str | None = None,
-    dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -376,11 +375,17 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("vec"),
         *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
     )
+    # pre-normed cosine (r9): one norm per ROW bound before the self
+    # join (both aliases inherit it) instead of two norm folds per
+    # PAIR — bit-identical (same arithmetic DAG, a.norm then b.norm)
+    e = e.withColumn("_nv", V.norm(F.col("vec")))
     a, b = e.alias("a"), e.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if bucket_col:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    sim = V.cosine(F.col("a.vec"), F.col("b.vec"), dims)
+    sim = V.dot(F.col("a.vec"), F.col("b.vec")) / (
+        F.col("a._nv") * F.col("b._nv")
+    )
     return (
         a.join(b, cond)
         .select(
@@ -570,10 +575,8 @@ def semantic_duplicates(
     from customkb_spark.embedding.index import assign_clusters
 
     assigned = assign_clusters(embeddings, centroids, vec_col)
-    # centroids pin the embedding width: unrolled codegen cosine
     return embedding_near_duplicates(
-        assigned, id_col, vec_col, threshold, bucket_col="cluster_id",
-        dims=int(len(centroids[0])),
+        assigned, id_col, vec_col, threshold, bucket_col="cluster_id"
     )
 
 
@@ -696,8 +699,7 @@ def semdedup_incremental(
         F.col(vec_col).alias("_kept_vec"),
         "cluster_id",
     )
-    # frozen centroids pin the embedding width — unrolled codegen sim
-    sim = V.cosine(F.col(vec_col), F.col("_kept_vec"), int(len(centroids[0])))
+    sim = V.cosine(F.col(vec_col), F.col("_kept_vec"))
     dup_ids = (
         new_a.join(kept_a, "cluster_id")
         .filter(F.round(sim, 6) >= threshold)

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from customkb_spark.functions import vector as V
 from customkb_spark.operators.topk import _metric_score
 
 
@@ -48,6 +49,22 @@ def _norm(df: DataFrame, id_col: str, vec_col: str, label_col: str) -> DataFrame
     )
 
 
+def _pair_score(c: DataFrame, a: DataFrame, metric: str):
+    """(corpus, anchors, score) with cosine PRE-NORMED (r9): per-row
+    norm attributes bound on each side before the join — bit-identical
+    to the inline cosine (same arithmetic DAG), but norms evaluate per
+    row (n + q folds) instead of per pair (3·n·q folds)."""
+    if metric == "cosine":
+        c = c.withColumn("_nv", V.norm(F.col("vector")))
+        a = a.withColumn("_nq", V.norm(F.col("qvec")))
+        score = V.dot(F.col("vector"), F.col("qvec")) / (
+            F.col("_nv") * F.col("_nq")
+        )
+    else:
+        score = _metric_score(F.col("vector"), F.col("qvec"), metric)
+    return c, a, score
+
+
 def hard_negatives(
     anchors: DataFrame,
     corpus: DataFrame,
@@ -56,7 +73,6 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     metric: str = "cosine",
-    dims: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar DIFFERENT-label corpus rows per anchor.
 
@@ -65,17 +81,15 @@ def hard_negatives(
     oracle-comparable. Anchors broadcast; one corpus scan; the
     cross-label filter runs before the ranking window.
     """
-    a = F.broadcast(
-        anchors.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("qvec"),
-            F.col(label_col).alias("qlabel"),
-        )
+    a = anchors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
     )
     c = _norm(corpus, id_col, vec_col, label_col)
-    score = _metric_score(F.col("vector"), F.col("qvec"), metric, dims)
+    c, a, score = _pair_score(c, a, metric)
     scored = (
-        c.crossJoin(a)
+        c.crossJoin(F.broadcast(a))
         .filter(F.col("label") != F.col("qlabel"))
         .select("qid", F.col("id").alias("neg_id"), F.round(score, 6).alias("neg_score"))
     )
@@ -94,22 +108,19 @@ def hardest_positives(
     vec_col: str = "embedding",
     label_col: str = "label",
     metric: str = "cosine",
-    dims: int | None = None,
 ) -> DataFrame:
     """The LEAST-similar same-label corpus row per anchor (excluding the
     anchor itself) — FaceNet's argmax-distance positive. Returns
     ``(qid, pos_id, pos_score)``. Same broadcast/one-scan shape."""
-    a = F.broadcast(
-        anchors.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("qvec"),
-            F.col(label_col).alias("qlabel"),
-        )
+    a = anchors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
     )
     c = _norm(corpus, id_col, vec_col, label_col)
-    score = _metric_score(F.col("vector"), F.col("qvec"), metric, dims)
+    c, a, score = _pair_score(c, a, metric)
     scored = (
-        c.crossJoin(a)
+        c.crossJoin(F.broadcast(a))
         .filter((F.col("label") == F.col("qlabel")) & (F.col("id") != F.col("qid")))
         .select("qid", F.col("id").alias("pos_id"), F.round(score, 6).alias("pos_score"))
     )
@@ -130,7 +141,6 @@ def triplet_mine(
     vec_col: str = "embedding",
     label_col: str = "label",
     metric: str = "cosine",
-    dims: int | None = None,
 ) -> DataFrame:
     """Triplet candidates: each anchor's top-k hard negatives joined
     with its hardest positive, flagged with the FaceNet margin
@@ -143,8 +153,8 @@ def triplet_mine(
     violates_margin, semi_hard)``. One corpus scan per leg; the join is
     anchors-sized.
     """
-    negs = hard_negatives(anchors, corpus, k, id_col, vec_col, label_col, metric, dims)
-    pos = hardest_positives(anchors, corpus, id_col, vec_col, label_col, metric, dims)
+    negs = hard_negatives(anchors, corpus, k, id_col, vec_col, label_col, metric)
+    pos = hardest_positives(anchors, corpus, id_col, vec_col, label_col, metric)
     return negs.join(pos, "qid").select(
         "qid",
         "neg_id",

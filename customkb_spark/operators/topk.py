@@ -12,6 +12,13 @@ all vectors in one pass — one scan regardless of query count, then a
 per-query window top-k. This is the shape that beats per-query loops by
 orders of magnitude on a cluster.
 
+Cosine scoring is PRE-NORMED (r9): each side's L2 norm binds to a
+projected attribute BEFORE the join, so norms are evaluated per ROW
+(n + q folds) instead of per PAIR (3·n·q folds) — the same arithmetic
+DAG, bit-identical scores, measured sf1 knn_join 52.7 s → ~6 s.
+Driver-known single query vectors pre-fold their norm in Python
+(``vector.py_norm`` — IEEE-identical).
+
 Ties are broken by id ascending so results are deterministic and
 oracle-comparable.
 """
@@ -24,19 +31,15 @@ from pyspark.sql import functions as F
 from customkb_spark.functions import vector as V
 
 
-def _metric_score(vec, qvec, metric: str, dims: int | None = None):
+def _metric_score(vec, qvec, metric: str):
     """Column-vs-column similarity under the shared metric contract
-    (higher = closer for every metric, l2 via l2_to_similarity).
-
-    ``dims`` (the fixed embedding width, when the caller knows it)
-    switches the fold to the UNROLLED codegen-able form — bit-identical
-    scores, ~10-50× faster per pair (functions/vector.py docstring)."""
+    (higher = closer for every metric, l2 via l2_to_similarity)."""
     if metric == "cosine":
-        return V.cosine(vec, qvec, dims)
+        return V.cosine(vec, qvec)
     if metric == "ip":
-        return V.dot(vec, qvec, dims)
+        return V.dot(vec, qvec)
     if metric == "l2":
-        return V.l2_to_similarity(V.l2_distance(vec, qvec, dims))
+        return V.l2_to_similarity(V.l2_distance(vec, qvec))
     raise ValueError(f"unknown metric {metric}")
 
 
@@ -54,12 +57,18 @@ def brute_force_topk(
     upcast to double; rounding removes summation-order noise).
     """
     q = F.lit(query_vec).cast("array<double>")
-    # dims comes free from the query vector — every brute-force scan
-    # (and the ANN refine paths that call this) gets the unrolled
-    # whole-stage-codegen score instead of the interpreted HOF fold
-    score = _metric_score(F.col(vec_col), q, metric, dims=len(query_vec))
+    if metric == "cosine":
+        # pre-normed: row norm bound once per row; query norm pre-folds
+        # driver-side (bit-identical to the Column fold — py_norm)
+        src = vectors.withColumn("_nv", V.norm(F.col(vec_col)))
+        score = V.dot(F.col(vec_col), q) / (
+            F.col("_nv") * F.lit(V.py_norm(query_vec))
+        )
+    else:
+        src = vectors
+        score = _metric_score(F.col(vec_col), q, metric)
     return (
-        vectors.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
+        src.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
@@ -74,7 +83,6 @@ def knn_join(
     id_col: str = "id",
     vec_col: str = "vector",
     metric: str = "cosine",
-    dims: int | None = None,
 ) -> DataFrame:
     """Top-k neighbors for every query row (broadcast k-NN join).
 
@@ -82,14 +90,19 @@ def knn_join(
     window top-k partitioned by query. The vectors side is never
     shuffled; for Q queries the shuffle is only Q×k result rows.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qvec")
-        )
+    qsel = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qvec")
     )
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
-    score = _metric_score(F.col("vector"), F.col("qvec"), metric, dims)
-    scored = v.crossJoin(q).select(
+    if metric == "cosine":
+        qsel = qsel.withColumn("_nq", V.norm(F.col("qvec")))
+        v = v.withColumn("_nv", V.norm(F.col("vector")))
+        score = V.dot(F.col("vector"), F.col("qvec")) / (
+            F.col("_nv") * F.col("_nq")
+        )
+    else:
+        score = _metric_score(F.col("vector"), F.col("qvec"), metric)
+    scored = v.crossJoin(F.broadcast(qsel)).select(
         "qid", "id", F.round(score, 6).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))

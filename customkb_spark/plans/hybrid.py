@@ -472,8 +472,7 @@ def hybrid_search_batch(
         ).select("qid", "id", "score")
     else:
         vec_hits = knn_join(
-            qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector",
-            dims=cfg.vector_dimensions,
+            qvecs, index.vectors, cfg.query_top_k, "qid", "qvec", "id", "vector"
         ).select("qid", "id", "score")
 
     # same tokenizer as the postings index (text.bm25_token_set);

@@ -171,28 +171,58 @@ def test_mean_pool_empty_and_null(spark):
     assert row.n_members == 1 and list(row.v) == [2.0, 4.0]
 
 
-def test_unrolled_fold_bit_exact(spark):
-    # r9: the dims-unrolled codegen forms must reproduce the HOF
-    # left-fold BIT-exactly (same IEEE summation order) — no rounding
-    # in this assertion on purpose
+def test_py_norm_bit_exact(spark):
+    # r9 pre-normed cosine: a driver-folded query norm (py_norm) must
+    # equal the Column fold BIT-exactly (same IEEE summation order) —
+    # no rounding in this assertion on purpose
     import random
 
     rng = random.Random(7)
+    vecs = [[rng.uniform(-3, 3) for _ in range(17)] for _ in range(50)]
+    df = spark.createDataFrame([(v,) for v in vecs], "a array<double>")
+    out = df.select(V.norm(F.col("a")).alias("n")).collect()
+    for r, v in zip(out, vecs):
+        assert r["n"] == V.py_norm(v)
+
+
+def test_prenormed_cosine_bit_exact(spark):
+    # the factored form dot/(norm_a_attr * norm_b_attr) — used by every
+    # scoring join since r9 — must reproduce the inline cosine fold
+    # BIT-exactly (same arithmetic DAG, norms merely bound to columns)
+    import random
+
+    rng = random.Random(11)
     rows = [
         ([rng.uniform(-3, 3) for _ in range(17)],
          [rng.uniform(-3, 3) for _ in range(17)])
         for _ in range(50)
     ] + [(None, [0.0] * 17)]
     df = spark.createDataFrame(rows, "a array<double>, b array<double>")
-    out = df.select(
-        V.dot(F.col("a"), F.col("b")).alias("d0"),
-        V.dot(F.col("a"), F.col("b"), 17).alias("d1"),
+    bound = df.withColumn("_na", V.norm(F.col("a"))).withColumn(
+        "_nb", V.norm(F.col("b"))
+    )
+    out = bound.select(
         V.cosine(F.col("a"), F.col("b")).alias("c0"),
-        V.cosine(F.col("a"), F.col("b"), 17).alias("c1"),
-        V.l2_distance(F.col("a"), F.col("b")).alias("l0"),
-        V.l2_distance(F.col("a"), F.col("b"), 17).alias("l1"),
+        (V.dot(F.col("a"), F.col("b")) / (F.col("_na") * F.col("_nb"))).alias("c1"),
     ).collect()
     for r in out:
-        assert r["d0"] == r["d1"]
         assert r["c0"] == r["c1"]
-        assert r["l0"] == r["l1"]
+
+
+def test_l2_normalized_frame_bit_exact(spark):
+    # the bulk normalizer (norm bound to an attribute before the scale
+    # step) must equal the Column form element-for-element, including
+    # NULL propagation and the zero-vector passthrough
+    import random
+
+    rng = random.Random(13)
+    rows = [([rng.uniform(-3, 3) for _ in range(9)],) for _ in range(30)]
+    rows += [(None,), ([0.0] * 9,)]
+    df = spark.createDataFrame(rows, "v array<float>").withColumn(
+        "i", F.monotonically_increasing_id()
+    )
+    a = df.select("i", V.l2_normalize(F.col("v")).alias("x"))
+    b = V.l2_normalized_frame(df, "v")
+    rows_a = {r["i"]: r["x"] for r in a.collect()}
+    rows_b = {r["i"]: r["v"] for r in b.collect()}
+    assert rows_a == rows_b
