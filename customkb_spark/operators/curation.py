@@ -1001,19 +1001,25 @@ def span_dedup_stats(
 
     No self-joins over corpus rows, no collect, no windows.
     """
-    toks = X.tokens(text_col)
-    spans = df.select(
+    # _toks staged in its own projection: a raw X.tokens() expression
+    # captured by the transform() lambda is re-evaluated PER SPAN under
+    # interpreted HOF evaluation (the l2_normalize capture trap) — the
+    # regex tokenizer must run once per row, then the lambda slices an
+    # attribute.
+    toked = df.select(F.col(id_col), X.tokens(text_col).alias("_toks"))
+    tk = F.col("_toks")
+    spans = toked.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(
                     F.lit(0),
                     F.greatest(
-                        (F.size(toks) - 1) / span_words, F.lit(0)
+                        (F.size(tk) - 1) / span_words, F.lit(0)
                     ).cast("int"),
                 ),
                 lambda i: F.array_join(
-                    F.slice(toks, i * span_words + 1, span_words), " "
+                    F.slice(tk, i * span_words + 1, span_words), " "
                 ),
             )
         ).alias("span_idx", "span_text"),
@@ -2252,17 +2258,35 @@ def dsir_log_weights(
         F.coalesce(target_pred, F.lit(False)).cast("int").alias("_is_t"),
         F.explode(X.tokens(text_col)).alias("token"),
     ).withColumn("bucket", _dsir_bucket(F.col("token"), seed, n_buckets_hex))
-    counts = toks.groupBy("bucket").agg(
-        F.sum("_is_t").cast("long").alias("c_t"),
-        F.sum(1 - F.col("_is_t")).cast("long").alias("c_r"),
+    # r9: both the model branch and the probe branch consume the SAME
+    # per-(doc, bucket) histogram — the two subtrees canonicalize to one
+    # exchange, so ReuseExchange tokenizes + md5s the corpus ONCE (it
+    # ran twice before), and every later shuffle carries ≤ 16^n rows
+    # per doc instead of the raw token stream (guide §2.2). Exactness:
+    # c_t/c_r are the same long sums regrouped; per-doc
+    # sum(log_ratio × c) ≡ sum of log_ratio over c token occurrences in
+    # DECIMAL arithmetic (exact, order-free), then the same double cast.
+    hist = toks.groupBy(id_col, "_is_t", "bucket").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    counts = hist.groupBy("bucket").agg(
+        F.sum(F.col("_c") * F.col("_is_t")).cast("long").alias("c_t"),
+        F.sum(F.col("_c") * (1 - F.col("_is_t"))).cast("long").alias("c_r"),
     )
     ratios = _dsir_ratios(counts, n_buckets_hex, alpha)
+    # _c as decimal(9,0): decimal(28,9) × decimal(9,0) → decimal(38,9)
+    # EXACTLY (a bare long would promote past precision 38 and drop the
+    # scale to 6 under allowPrecisionLoss, truncating the 9-dp sum).
+    # Safe bound: _c counts one bucket's tokens within ONE document, and
+    # Spark rows cap strings < 2 GB, so _c < 1e9 always.
     return (
-        toks.join(F.broadcast(ratios), "bucket")
+        hist.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("log_ratio").cast("double").alias("log_weight"),
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.sum(F.col("log_ratio") * F.col("_c").cast("decimal(9,0)"))
+            .cast("double")
+            .alias("log_weight"),
         )
     )
 

@@ -105,34 +105,44 @@ def minhash_signatures(
     shingle_n: int = 3,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, mh0..mh{K-1}) — computed entirely PER ROW with higher-order
-    functions, ZERO shuffle, so at 100 TB it scales with scan bandwidth.
+    """(id, mh0..mh{K-1}) over a codegen'd exploded-shingle projection
+    with a map-side-partial min aggregate — the exchange carries ~one
+    row per doc (never the shingle stream), so at 100 TB the stage
+    still scales with scan bandwidth.
 
     ONE md5 per shingle → int x, then k linear permutations
     (a_k·x + b_k) mod P (functions/hashing.py): the digest cost is
     amortized over the whole family — 16× less hashing than a
     salted-digest family, pure int64 arithmetic after the digest.
-    (min over the shingle array ≡ min over the distinct shingle set.)
+    (min over the shingle multiset ≡ min over the distinct shingle set.)
     Pass ``shingles_df`` (from shingle_sets) to reuse an
-    already-computed/persisted shingle table."""
+    already-computed/persisted shingle table. Requires unique ids
+    (every caller feeds doc-keyed frames)."""
     sh = shingles_df if shingles_df is not None else shingle_sets(
         docs, id_col, text_col, shingle_n
     )
-    # materialize the int array in its own projection (module docstring)
-    xs = sh.select(
-        "id",
-        F.transform(F.col("shingles"), lambda s: H.shingle_to_int(s)).alias("xs"),
-    )
+    # r9: the digest + permutation family runs over EXPLODED shingle
+    # rows, not inside transform() lambdas — higher-order functions are
+    # CodegenFallback (interpreted, ~17 expression evals per shingle
+    # here), which made the signature stage scan-CPU-bound (sf10
+    # pipeline stage 143 s; the exploded projection whole-stage-
+    # codegens). The groupBy(id) min aggregates PARTIALLY map-side —
+    # a doc's shingles live in one exploded run, so the exchange
+    # carries ~one row per doc, never the shingle stream. min over the
+    # exploded multiset ≡ array_min over the array (exact int64
+    # arithmetic), and explode_outer keeps NULL/empty shingle arrays
+    # as NULL signatures exactly like transform/array_min did.
     params = H.minhash_perm_params(num_hashes)
-    cols = [
-        F.array_min(
-            F.transform(
-                F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % H.MINHASH_PRIME
+    ex = sh.select("id", F.explode_outer("shingles").alias("_s"))
+    ex = ex.select("id", H.shingle_to_int(F.col("_s")).alias("_x"))
+    return ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("_x") + F.lit(b)) % H.MINHASH_PRIME).alias(
+                f"mh{k}"
             )
-        ).alias(f"mh{k}")
-        for k, (a, b) in enumerate(params)
-    ]
-    return xs.select("id", *cols)
+            for k, (a, b) in enumerate(params)
+        ]
+    )
 
 
 def minhash_band_buckets(
