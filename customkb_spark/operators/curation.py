@@ -2258,14 +2258,17 @@ def dsir_log_weights(
         F.coalesce(target_pred, F.lit(False)).cast("int").alias("_is_t"),
         F.explode(X.tokens(text_col)).alias("token"),
     ).withColumn("bucket", _dsir_bucket(F.col("token"), seed, n_buckets_hex))
-    # r9: both the model branch and the probe branch consume the SAME
-    # per-(doc, bucket) histogram — the two subtrees canonicalize to one
-    # exchange, so ReuseExchange tokenizes + md5s the corpus ONCE (it
-    # ran twice before), and every later shuffle carries ≤ 16^n rows
-    # per doc instead of the raw token stream (guide §2.2). Exactness:
-    # c_t/c_r are the same long sums regrouped; per-doc
-    # sum(log_ratio × c) ≡ sum of log_ratio over c token occurrences in
-    # DECIMAL arithmetic (exact, order-free), then the same double cast.
+    # r9: both branches consume a per-(doc, bucket) histogram instead
+    # of the raw token stream (guide §2.3). Column pruning keeps the
+    # two histogram subtrees canonically distinct, so the tokenize+md5
+    # scan still runs once per branch (plans/r09/dsir_importance_*.txt)
+    # — the measured win is that the broadcast-join probe and both
+    # downstream aggregates now process ≤ 16^n rows per doc rather than
+    # one row per token (~50× fewer decimal-sum/join evaluations at the
+    # bench corpus; sf1 row 13.2 → 1.8 s). Exactness: c_t/c_r are the
+    # same long sums regrouped; per-doc sum(log_ratio × c) ≡ sum of
+    # log_ratio over c token occurrences in DECIMAL arithmetic (exact,
+    # order-free), then the same double cast.
     hist = toks.groupBy(id_col, "_is_t", "bucket").agg(
         F.count("*").cast("long").alias("_c")
     )

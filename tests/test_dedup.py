@@ -432,3 +432,47 @@ def test_star_cc_exhausted_iterations_still_one_row_per_id(spark):
     ids = [r.id for r in out]
     assert len(ids) == len(set(ids)) == 64
     assert all(r.cluster_id <= r.id for r in out)
+
+
+def test_minhash_signatures_match_hof_reference(spark):
+    """r9 pins the exploded-projection + partial-agg signature rewrite
+    to the original per-row HOF definition, including the edge
+    geometries the explode path must preserve: empty text (empty
+    shingle array), NULL text, and a doc shorter than the shingle
+    width (all -> one row of NULL signatures via explode_outer)."""
+    from customkb_spark.functions import hashing as H
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, ""),
+            (4, None),
+            (5, "shorty"),
+            (6, "alpha beta gamma delta epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = D.shingle_sets(docs, "doc_id", "text", 3)
+    xs = sh.select(
+        "id", F.transform(F.col("shingles"), lambda s: H.shingle_to_int(s)).alias("xs")
+    )
+    params = H.minhash_perm_params(8)
+    ref_cols = [
+        F.array_min(
+            F.transform(F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % H.MINHASH_PRIME)
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(params)
+    ]
+    ref = {r["id"]: tuple(r)[1:] for r in xs.select("id", *ref_cols).collect()}
+    got = {
+        r["id"]: tuple(r)[1:]
+        for r in D.minhash_signatures(docs, "doc_id", "text", 8, 3).collect()
+    }
+    assert got == ref
+    # every doc keeps exactly one row — the explode_outer path must not
+    # drop empty/NULL/short-text docs (short docs carry the whole-text
+    # fallback shingle, the tokenizer's convention)
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # identical texts agree; near-identical overlap on most mins
+    assert got[1] == got[6]
