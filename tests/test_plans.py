@@ -69,10 +69,18 @@ def test_context_range_join_broadcasts_hits(spark, documents):
     assert "SortMergeJoin" not in plan
 
 
-def test_minhash_signatures_shuffle_free(spark, documents):
+def test_minhash_signatures_partial_agg_exchange(spark, documents):
+    # r9: signatures run over exploded shingle rows with a groupBy(id)
+    # min — the plan must keep the map-side partial aggregate so the
+    # ONE exchange carries ~a row per doc, never the shingle stream
+    # (plans/r09/minhash_lsh_dedup_after.txt)
     sigs = D.minhash_signatures(documents, "doc_id", "text", 16, 3)
-    plan = explain_str(sigs, "simple")
-    assert "Exchange" not in plan  # map-side only
+    plan = explain_str(sigs, "formatted")
+    tree = plan.split("\n\n", 1)[0]  # node tree, before the detail blocks
+    assert tree.count("Exchange") == 1
+    # partial + final HashAggregate pair around the exchange
+    assert tree.count("HashAggregate") == 2
+    assert "partial_min" in plan
 
 
 def test_simhash_shuffle_free(spark, documents):
