@@ -118,9 +118,6 @@ def minhash_signatures(
     Pass ``shingles_df`` (from shingle_sets) to reuse an
     already-computed/persisted shingle table. Requires unique ids
     (every caller feeds doc-keyed frames)."""
-    sh = shingles_df if shingles_df is not None else shingle_sets(
-        docs, id_col, text_col, shingle_n
-    )
     # r9: the digest + permutation family runs over EXPLODED shingle
     # rows, not inside transform() lambdas — higher-order functions are
     # CodegenFallback (interpreted, ~17 expression evals per shingle
@@ -133,8 +130,42 @@ def minhash_signatures(
     # arithmetic), and explode_outer keeps NULL/empty shingle arrays
     # as NULL signatures exactly like transform/array_min did.
     params = H.minhash_perm_params(num_hashes)
-    ex = sh.select("id", F.explode_outer("shingles").alias("_s"))
-    ex = ex.select("id", H.shingle_to_int(F.col("_s")).alias("_x"))
+    if shingles_df is not None:
+        ex = shingles_df.select("id", F.explode_outer("shingles").alias("_s"))
+        ex = ex.select("id", H.shingle_to_int(F.col("_s")).alias("_x"))
+    else:
+        # r9b: the shingle STRING is also built on the exploded rows —
+        # H.shingles' transform() lambda (3 element_at + concat_ws per
+        # shingle, interpreted) was ~40% of the signature wall at sf10.
+        # Exploding a when-guarded index sequence instead keeps every
+        # expression codegen-capable: per shingle row the n element_at
+        # + concat_ws + digest + permutations all run in one
+        # whole-stage-codegen span. Index -1 marks the short/empty/NULL
+        # fallback (< n tokens → ONE whole-text shingle, exactly
+        # H.shingles' otherwise branch — concat_ws(' ', NULL) = '' ∘
+        # explode_outer keeps the row either way). Shingle strings are
+        # byte-identical to H.shingles by construction (same element_at
+        # offsets, same separator), pinned by
+        # test_minhash_signatures_match_hof_reference.
+        toks = docs.select(
+            F.col(id_col).alias("id"), X.tokens(text_col).alias("_t")
+        )
+        idx = F.when(
+            F.size("_t") >= shingle_n,
+            F.sequence(F.lit(0), F.size("_t") - shingle_n),
+        ).otherwise(F.array(F.lit(-1)))
+        ex = toks.select("id", "_t", F.explode_outer(idx).alias("_i"))
+        shingle = F.when(
+            F.col("_i") >= 0,
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at("_t", (F.col("_i") + j + 1).cast("int"))
+                    for j in range(shingle_n)
+                ],
+            ),
+        ).otherwise(F.concat_ws(" ", F.col("_t")))
+        ex = ex.select("id", H.shingle_to_int(shingle).alias("_x"))
     return ex.groupBy("id").agg(
         *[
             F.min((F.lit(a) * F.col("_x") + F.lit(b)) % H.MINHASH_PRIME).alias(

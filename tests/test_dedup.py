@@ -450,6 +450,9 @@ def test_minhash_signatures_match_hof_reference(spark):
             (4, None),
             (5, "shorty"),
             (6, "alpha beta gamma delta epsilon zeta"),
+            # exactly n tokens — one shingle, the index-sequence
+            # boundary of the codegen'd exploded construction
+            (7, "one two three"),
         ],
         ["doc_id", "text"],
     )
@@ -473,6 +476,6 @@ def test_minhash_signatures_match_hof_reference(spark):
     # every doc keeps exactly one row — the explode_outer path must not
     # drop empty/NULL/short-text docs (short docs carry the whole-text
     # fallback shingle, the tokenizer's convention)
-    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
     # identical texts agree; near-identical overlap on most mins
     assert got[1] == got[6]
